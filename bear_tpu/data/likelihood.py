@@ -1,0 +1,42 @@
+"""Whole-dataset BMM (vanilla-BEAR) marginal likelihood.
+
+Replaces the reference's MirroredStrategy-distributed reduction
+(bear_model/dataloader.py:111-147) with a single jitted scan over count
+batches; multi-device execution shards the k-mer axis and psums, see
+bear_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bear_tpu.ops.distributions import bmm_marginal_logpmf
+
+
+def bmm_likelihood(counts, alpha, batch_size: int = 1 << 16):
+    """Exact BMM marginal likelihood of a dataset for a vector of priors.
+
+    Parameters
+    ----------
+    counts : [num_kmers, num_ds, alphabet_size+1] array (host or device).
+    alpha : [num_alpha] symmetric Dirichlet concentrations.
+
+    Returns
+    -------
+    [num_ds, num_alpha] log-likelihoods (matches reference
+    dataloader.bmm_likelihood's output shape).
+    """
+    counts = np.asarray(counts)
+    alpha = jnp.asarray(alpha)
+
+    @jax.jit
+    def step(carry, batch):
+        return carry + bmm_marginal_logpmf(batch, alpha), None
+
+    total = jnp.zeros((counts.shape[1], alpha.shape[0]), dtype=alpha.dtype)
+    # Host-side batching keeps memory bounded for genome-scale datasets.
+    for start in range(0, counts.shape[0], batch_size):
+        total, _ = step(total, jnp.asarray(counts[start : start + batch_size]))
+    return total

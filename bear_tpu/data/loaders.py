@@ -1,0 +1,171 @@
+"""Host-side loaders for k-mer transition-count datasets.
+
+Replaces the reference's tf.data + tensorflow-io JSON-decoding pipeline
+(bear_model/dataloader.py:6-109) with plain NumPy parsing on the host: the
+formats are tiny structured TSVs, and the expensive part of training is the
+device math, not decoding — so we parse once, encode k-mers to integer codes,
+and hand the device dense arrays. Files format-compatible with the reference:
+
+Dense (the output of summarize): rows ``kmer\t[[c00,...],[c10,...],...]``
+with one inner list per dataset group, counts ordered A,C,G,T,$
+(reference summarize.py:59-64).
+
+Sparse: ``kmer; [[ds,letter],...]; [vals...]`` with a header row
+(reference dataloader.py:52-109; example data/ex_seqs_kmap_for_var_pred.csv).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from bear_tpu.ops import alphabets
+
+
+@dataclass
+class CountDataset:
+    """An in-memory transition-count dataset.
+
+    Attributes
+    ----------
+    kmers : [num_kmers] numpy array of k-mer strings (contexts; may contain '[').
+    codes : [num_kmers, lag] int8 integer-coded k-mers.
+    counts : [num_kmers, num_ds, alphabet_size+1] float array, column order
+        A,...,stop matching the reference.
+    alphabet : alphabet name.
+    """
+
+    kmers: np.ndarray
+    codes: np.ndarray
+    counts: np.ndarray
+    alphabet: str
+
+    @property
+    def num_kmers(self) -> int:
+        return len(self.kmers)
+
+    @property
+    def lag(self) -> int:
+        return self.codes.shape[-1]
+
+    @property
+    def num_ds(self) -> int:
+        return self.counts.shape[1]
+
+    def batches(
+        self, batch_size: int, *, epochs: int = 1, drop_remainder: bool = False
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yield (codes, counts) minibatches, sequentially per epoch (the
+        reference does not shuffle; files are pre-shuffled by summarize's
+        random binning)."""
+        n = self.num_kmers
+        for _ in range(epochs):
+            for start in range(0, n, batch_size):
+                end = min(start + batch_size, n)
+                if drop_remainder and end - start < batch_size:
+                    break
+                yield self.codes[start:end], self.counts[start:end]
+
+    def concat(self, other: "CountDataset") -> "CountDataset":
+        assert self.alphabet == other.alphabet
+        return CountDataset(
+            kmers=np.concatenate([self.kmers, other.kmers]),
+            codes=np.concatenate([self.codes, other.codes]),
+            counts=np.concatenate([self.counts, other.counts]),
+            alphabet=self.alphabet,
+        )
+
+
+def load_dense(
+    file: str, alphabet: str, num_ds: int, dtype=np.float64, header: bool = False
+) -> CountDataset:
+    """Load a dense count TSV (reference dataloader.dataloader's format)."""
+    A1 = alphabets.alphabet_size(alphabet) + 1
+    kmers = []
+    rows = []
+    with open(file, "r") as fh:
+        for i, line in enumerate(fh):
+            if header and i == 0:
+                continue
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            kmer, mat = line.split("\t")
+            kmers.append(kmer)
+            # "[[a,b,...],[...]]" — strip brackets, parse the flat number list.
+            rows.append(mat.replace("[", "").replace("]", "").split(","))
+    kmers = np.array(kmers)
+    counts = np.array(rows, dtype=dtype).reshape(len(kmers), num_ds, A1)
+    codes = alphabets.encode_kmers(kmers, alphabet)
+    return CountDataset(kmers=kmers, codes=codes, counts=counts, alphabet=alphabet)
+
+
+def load_sparse(
+    file: str, alphabet: str, num_ds: int, dtype=np.float64, header: bool = True
+) -> CountDataset:
+    """Load a sparse count file: ``kmer; [[ds,letter],...]; [vals...]``."""
+    A1 = alphabets.alphabet_size(alphabet) + 1
+    kmers = []
+    all_pos = []
+    all_val = []
+    with open(file, "r") as fh:
+        for i, line in enumerate(fh):
+            if header and i == 0:
+                continue
+            line = line.strip()
+            if not line:
+                continue
+            kmer, pos_str, val_str = [part.strip() for part in line.split(";")]
+            kmers.append(kmer)
+            all_pos.append(np.array(json.loads(pos_str), dtype=np.int64).reshape(-1, 2))
+            all_val.append(np.array(json.loads(val_str), dtype=dtype))
+    kmers = np.array(kmers)
+    counts = np.zeros((len(kmers), num_ds, A1), dtype=dtype)
+    for i, (pos, val) in enumerate(zip(all_pos, all_val)):
+        # Duplicate (ds, letter) entries accumulate, matching tf.sparse semantics
+        # only for unique indices; the reference's data has unique entries.
+        counts[i, pos[:, 0], pos[:, 1]] += val
+    codes = alphabets.encode_kmers(kmers, alphabet)
+    return CountDataset(kmers=kmers, codes=codes, counts=counts, alphabet=alphabet)
+
+
+def load_files(
+    files: Sequence[str],
+    alphabet: str,
+    num_ds: int,
+    sparse: bool = False,
+    dtype=np.float64,
+) -> CountDataset:
+    """Load and concatenate multiple count files (the reference interleaves
+    with tf.data at train_bear_net.py:79-86; order within an epoch does not
+    affect the objective)."""
+    loader = load_sparse if sparse else load_dense
+    parts = [loader(f, alphabet, num_ds, dtype=dtype) for f in files]
+    ds = parts[0]
+    for part in parts[1:]:
+        ds = ds.concat(part)
+    return ds
+
+
+def discover_files(files_path: str, start_token: str) -> list[str]:
+    """File discovery by filename prefix (reference train_bear_net.py:52-53)."""
+    return sorted(
+        os.path.join(files_path, f)
+        for f in os.listdir(files_path)
+        if f.startswith(start_token)
+    )
+
+
+def count_kmers(files: Sequence[str], header: bool = False) -> int:
+    """Total number of k-mer rows (the reference shells out to ``wc -l``,
+    train_bear_net.py:54-55)."""
+    total = 0
+    for f in files:
+        with open(f, "rb") as fh:
+            n = sum(buf.count(b"\n") for buf in iter(lambda: fh.read(1 << 20), b""))
+        total += n - (1 if header else 0)
+    return total

@@ -1,0 +1,86 @@
+"""Data-layer parity: dense/sparse loaders against the reference's bundled
+fixtures (golden values from reference tests/test_dataloader.py:20-32) and the
+BMM likelihood against the closed-form numpy recomputation."""
+
+import numpy as np
+import pytest
+from scipy.special import loggamma
+
+from bear_tpu.data import bmm_likelihood, load_dense, load_sparse
+from tests.conftest import REFERENCE_DATA, reference_data_available
+
+import os
+
+needs_ref = pytest.mark.skipif(
+    not reference_data_available(), reason="reference data mount not available"
+)
+
+
+@needs_ref
+def test_dense_loader_ysd1_golden():
+    ds = load_dense(
+        os.path.join(REFERENCE_DATA, "ysd1_lag_5_file_0_preshuf.tsv"), "dna", 3
+    )
+    assert ds.num_kmers == 1365
+    assert ds.lag == 5
+    assert ds.counts.shape == (1365, 3, 5)
+    # First three rows (golden values, reference test_dataloader.py:25-30).
+    np.testing.assert_array_equal(ds.kmers[:3], ["TAATC", "CGGTC", "ACGCT"])
+    want = [
+        [[14837, 15127, 22260, 16279, 446], [5029, 5095, 7408, 5487, 134], [16, 16, 23, 17, 0]],
+        [[61890, 729, 39733, 35956, 1017], [20524, 239, 13199, 12046, 309], [69, 0, 45, 39, 0]],
+        [[13965, 23135, 73870, 37045, 1035], [4705, 7591, 24532, 12305, 385], [14, 25, 81, 39, 0]],
+    ]
+    np.testing.assert_array_equal(ds.counts[:3], np.array(want, dtype=np.float64))
+    assert ds.counts.dtype == np.float64
+
+
+@needs_ref
+def test_sparse_loader_toy():
+    ds = load_sparse(
+        os.path.join(REFERENCE_DATA, "ex_seqs_kmap_for_var_pred.csv"), "dna", 1
+    )
+    # Sequences were TTTAT, TTCTT, TTTTT, TTTTT: check a known row.
+    # 'TTT' appears with transitions A (1, from TTTAT) + T (4) + stop (2).
+    row = ds.counts[ds.kmers == "TTT"][0, 0]
+    np.testing.assert_array_equal(row, [1, 0, 0, 4, 2])
+    row = ds.counts[ds.kmers == "[[T"][0, 0]
+    np.testing.assert_array_equal(row, [0, 0, 0, 4, 0])
+
+
+@needs_ref
+def test_bmm_likelihood_vs_numpy():
+    ds = load_dense(
+        os.path.join(REFERENCE_DATA, "ysd1_lag_5_file_0_preshuf.tsv"), "dna", 3
+    )
+    counts = ds.counts
+    alpha = np.array([0.1, 1.0, 10.0])
+    want = np.sum(
+        (
+            np.sum(loggamma(counts[:, :, None, :] + alpha[:, None]), axis=-1)
+            - loggamma(np.sum(counts[:, :, None, :] + alpha[:, None], axis=-1))
+        )
+        - (
+            np.sum(loggamma(0 * counts[:, :, None, :] + alpha[:, None]), axis=-1)
+            - loggamma(np.sum(0 * counts[:, :, None, :] + alpha[:, None], axis=-1))
+        ),
+        axis=0,
+    )
+    got = np.asarray(bmm_likelihood(counts, alpha, batch_size=400))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_batches_iteration():
+    from bear_tpu.data import CountDataset
+
+    n = 10
+    ds = CountDataset(
+        kmers=np.array(["AAA"] * n),
+        codes=np.zeros((n, 3), np.int8),
+        counts=np.ones((n, 1, 5)),
+        alphabet="dna",
+    )
+    batches = list(ds.batches(4))
+    assert [len(b[0]) for b in batches] == [4, 4, 2]
+    batches = list(ds.batches(4, epochs=2, drop_remainder=True))
+    assert [len(b[0]) for b in batches] == [4, 4, 4, 4]

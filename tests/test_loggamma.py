@@ -1,0 +1,52 @@
+"""KS-test the log-gamma sampler against scipy's gamma, across the
+concentration range of the reference's test (tests/test_log_gamma.py:9-19),
+including the tiny-h regime where naive log(gamma) underflows.
+"""
+
+import numpy as np
+import jax
+from scipy import stats as st
+
+from bear_tpu.ops import log_gamma, sample_dirichlet_log
+
+
+def test_loggamma_ks():
+    concs = np.array([0.01, 0.1, 0.5, 0.99, 1.0, 5.0, 100.0])
+    n = 100000
+    key = jax.random.key(0)
+    tiled = np.tile(concs[:, None], (1, n))
+    samples = np.asarray(log_gamma(key, tiled.astype(np.float32)))
+    for i, conc in enumerate(concs):
+        pvalue = st.kstest(np.exp(samples[i].astype(np.float64)), cdf="gamma", args=[conc]).pvalue
+        assert pvalue > 0.1 / 6, (conc, pvalue)
+
+
+def test_loggamma_tiny_conc_no_underflow():
+    # conc = 1e-4: log X is around -1e4-scale; the naive sampler would emit -inf.
+    key = jax.random.key(1)
+    samples = np.asarray(log_gamma(key, np.full(1000, 1e-4, np.float32)))
+    assert np.all(np.isfinite(samples))
+    # E[log Gamma(c)] = digamma(c) ~ -1/c for tiny c.
+    from scipy.special import digamma
+
+    assert abs(np.mean(samples) - digamma(1e-4)) / abs(digamma(1e-4)) < 0.1
+
+
+def test_loggamma_size_arg():
+    key = jax.random.key(2)
+    concs = np.ones((3, 5), np.float32)
+    out = log_gamma(key, concs, size=(7,))
+    assert out.shape == (7, 3, 5)
+
+
+def test_dirichlet_log_moments():
+    # Beta-moment oracle as in reference test_var_prob.py: for Dirichlet with
+    # concentration (a, b_total-a), E[log p_0] = digamma(a) - digamma(b_total).
+    from scipy.special import digamma
+
+    key = jax.random.key(3)
+    concs = np.array([4.1, 1.0, 1.0, 2.0, 0.9], np.float32)
+    draws = np.asarray(sample_dirichlet_log(key, concs, size=(200000,)))
+    want = digamma(concs) - digamma(concs.sum())
+    got = draws.mean(0)
+    np.testing.assert_allclose(got, want, rtol=0.02)
