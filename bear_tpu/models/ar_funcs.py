@@ -1,0 +1,173 @@
+"""Embedded autoregressive functions as pure (init, apply) pairs.
+
+The reference builds closures over tf.Variables (bear_model/ar_funcs.py). Here
+each AR function is a pair of pure functions — ``init(key) -> params`` and
+``apply(params, one_hot_kmers) -> probs`` — so they compose with jit/grad/vmap
+and shard_map. ``params`` is a *list* of arrays in the exact order the
+reference stores them (ar_funcs.py:46, 98-99, 127), preserving the
+checkpoint contract ([h_signed] + ar_params, bear_net.py:73-100).
+
+Shapes: apply maps [..., lag, alphabet_size+1] one-hot k-mers to
+[..., alphabet_size+1] transition probabilities.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ARFunc:
+    """A pure AR function: params list + apply(params, one_hot) -> probs."""
+
+    init: Callable[[jax.Array], List[jax.Array]]
+    apply: Callable[[List[jax.Array], jax.Array], jax.Array]
+    name: str
+
+
+def _l2_normalize(x, axis):
+    return x / jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis, keepdims=True), 1e-24))
+
+
+def _normalize_layer(layer, axis=-1):
+    """Scale-free layer normalization (reference ar_funcs.py:5-20)."""
+    mean = jnp.mean(layer, axis=axis, keepdims=True)
+    var = jnp.var(layer, axis=axis, keepdims=True)
+    return (layer - mean) / jnp.sqrt(var + 1e-5)
+
+
+def make_ar_func_linear(lag, alphabet_size, dtype=jnp.float32) -> ARFunc:
+    """Linear AR function: softmax of a per-position linear map
+    (reference ar_funcs.py:23-46; init 0.05 * l2-normalized normal over the
+    input-letter axis)."""
+    A1 = alphabet_size + 1
+
+    def init(key):
+        mat = jax.random.normal(key, (lag, A1, A1), dtype=dtype)
+        return [0.05 * _l2_normalize(mat, axis=1)]
+
+    def apply(params, kmers_oh):
+        (mat,) = params
+        logits = jnp.einsum("...jk,jkl->...l", kmers_oh, mat)
+        return jax.nn.softmax(logits)
+
+    return ARFunc(init=init, apply=apply, name="linear")
+
+
+def make_ar_func_cnn(
+    lag,
+    alphabet_size,
+    filter_width=8,
+    num_filters=30,
+    kmer_layer1_width=16,
+    dtype=jnp.float32,
+) -> ARFunc:
+    """CNN AR function (reference ar_funcs.py:49-99): conv over the lag axis,
+    two normalized dense layers with elu, softmax head. Param order matches
+    the reference's list (ar_funcs.py:98-99): [filters, intercept0, weights1,
+    intercept1, weights2, intercept2, scale0, scale1]."""
+    filter_width = int(filter_width)
+    num_filters = int(num_filters)
+    kmer_layer1_width = int(kmer_layer1_width)
+    A1 = alphabet_size + 1
+    conv_len = lag - filter_width + 1
+    small_start = 0.05
+
+    def init(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        filters = _l2_normalize(
+            jax.random.normal(k1, (filter_width, A1, num_filters), dtype=dtype),
+            axis=(0, 1),
+        )
+        intercept0 = jnp.ones((conv_len, num_filters), dtype=dtype)
+        scale0 = jnp.ones((conv_len, num_filters), dtype=dtype)
+        weights1 = _l2_normalize(
+            jax.random.normal(
+                k2, (conv_len, num_filters, kmer_layer1_width), dtype=dtype
+            ),
+            axis=0,
+        )
+        intercept1 = jnp.ones((kmer_layer1_width,), dtype=dtype)
+        scale1 = jnp.ones((kmer_layer1_width,), dtype=dtype)
+        weights2 = small_start * _l2_normalize(
+            jax.random.normal(k3, (kmer_layer1_width, A1), dtype=dtype), axis=0
+        )
+        intercept2 = jnp.zeros((A1,), dtype=dtype)
+        return [
+            filters,
+            intercept0,
+            weights1,
+            intercept1,
+            weights2,
+            intercept2,
+            scale0,
+            scale1,
+        ]
+
+    def apply(params, kmers_oh):
+        (
+            filters,
+            intercept0,
+            weights1,
+            intercept1,
+            weights2,
+            intercept2,
+            scale0,
+            scale1,
+        ) = params
+        lead = kmers_oh.shape[:-2]
+        x = kmers_oh.reshape((-1, lag, A1))
+        # VALID conv over the lag axis ('NWC' x 'WIO' -> 'NWC'); batched over
+        # k-mers — XLA maps this onto the MXU as a batched matmul.
+        conv = jax.lax.conv_general_dilated(
+            x,
+            filters,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        nn0 = scale0 * _normalize_layer(conv) + intercept0
+        nn1 = (
+            scale1
+            * _normalize_layer(
+                jnp.tensordot(jax.nn.elu(nn0), weights1, axes=[[-2, -1], [0, 1]])
+            )
+            + intercept1
+        )
+        nn2 = jnp.tensordot(jax.nn.elu(nn1), weights2, axes=[[-1], [0]]) + intercept2
+        return jax.nn.softmax(nn2).reshape(lead + (A1,))
+
+    return ARFunc(init=init, apply=apply, name="cnn")
+
+
+def make_ar_func_stop(lag, alphabet_size, dtype=jnp.float32) -> ARFunc:
+    """Constant stop-predicting AR function — the ``g`` of the reference
+    model (reference ar_funcs.py:102-127). No parameters."""
+    stop = np.zeros(alphabet_size + 1)
+    stop[-1] = 1.0
+    stop_const = jnp.asarray(stop, dtype=dtype)
+
+    def init(key):
+        return []
+
+    def apply(params, kmers_oh):
+        return jnp.broadcast_to(stop_const, kmers_oh.shape[:-2] + stop_const.shape)
+
+    return ARFunc(init=init, apply=apply, name="stop")
+
+
+AR_FUNCS = {
+    "linear": make_ar_func_linear,
+    "cnn": make_ar_func_cnn,
+    "stop": make_ar_func_stop,
+}
+
+
+def get_ar_func(name: str, lag: int, alphabet_size: int, af_kwargs=None, dtype=jnp.float32) -> ARFunc:
+    """AR function by config name (reference train_bear_net.py:103)."""
+    return AR_FUNCS[name](lag, alphabet_size, **(af_kwargs or {}), dtype=dtype)

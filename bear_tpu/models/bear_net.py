@@ -1,0 +1,462 @@
+"""BEAR / AR model training, evaluation and h-scan.
+
+Re-design of the reference's bear_model/bear_net.py for TPU:
+
+- No distribution objects or tf.Variables: the model is a params pytree
+  ``{"h_signed": scalar, "ar": [arrays]}`` and a handful of pure functions.
+- No MirroredStrategy (reference bear_net.py:246): data parallelism is a
+  ``jax.sharding.Mesh`` — batches are sharded over the ``data`` axis and XLA
+  inserts the psum for the (replicated) gradients, the TPU-native equivalent
+  of the reference's NCCL all-reduce (bear_net.py:290-291).
+- No per-batch Python dispatch in the hot loop: when the collapsed count
+  dataset fits on device (it always does up to lag ~13 — see SURVEY.md §7),
+  the entire training run is ONE jitted ``lax.scan`` over steps, with k-mer
+  codes kept as int8 and one-hot built on the fly in-register (20x less HBM
+  traffic than storing one-hot).
+- Gradient accumulation (reference bear_net.py:259-261, 296-315) is an inner
+  scan summing grads over ``acc_steps`` before each optimizer apply.
+
+Semantics parity notes:
+- loss = -(num_kmers / actual_batch_size) * sum counts_log_prob
+  (reference bear_net.py:187-191); the *actual* (unpadded) batch size is used
+  for the final partial batch, like the reference's dynamic shape.
+- A trailing group of fewer than acc_steps batches is accumulated but never
+  applied in the reference (bear_net.py:301); here it is simply dropped —
+  identical effect on the parameters.
+- The reference's ``epochs`` argument to train() is unused (callers pre-repeat
+  the dataset, train_bear_net.py:87); here ``epochs`` actually repeats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bear_tpu.ops import alphabets
+from bear_tpu.ops.distributions import (
+    EPSILON,
+    dirichlet_multinomial_perm_logpmf,
+    ml_output_dm,
+    ml_output_mult,
+    multinomial_perm_logpmf,
+)
+from bear_tpu.models.ar_funcs import ARFunc
+
+
+# --- model core -----------------------------------------------------------
+
+
+def bear_log_prob(counts, ar_probs, h, condition=None):
+    """BEAR marginal likelihood of transition counts.
+
+    concentrations = ar_probs / h + condition + eps
+    (reference bear_net.py:43); condition=None means prior (0), a count tensor
+    means the posterior predictive.
+    """
+    conc = ar_probs / h + EPSILON
+    if condition is not None:
+        conc = conc + condition
+    return dirichlet_multinomial_perm_logpmf(counts, conc)
+
+
+def ar_log_prob(counts, ar_probs):
+    """Point-AR likelihood: multinomial with probs = ar + eps
+    (reference bear_net.py:68)."""
+    return multinomial_perm_logpmf(counts, ar_probs + EPSILON)
+
+
+def init_params(key, ar_func: ARFunc, dtype=jnp.float32):
+    """h_signed = log h, init 0 (reference bear_net.py:73-100) + AR params."""
+    return {"h_signed": jnp.zeros((), dtype=dtype), "ar": ar_func.init(key)}
+
+
+def params_to_list(params) -> List[np.ndarray]:
+    """Flatten to the reference's checkpoint order [h_signed] + ar_params
+    (reference bear_net.py:99)."""
+    return [np.asarray(params["h_signed"])] + [np.asarray(p) for p in params["ar"]]
+
+
+def params_from_list(lst, dtype=jnp.float32):
+    """Inverse of params_to_list — the reference's change_scope_params
+    rehydration (bear_net.py:103-143)."""
+    return {
+        "h_signed": jnp.asarray(lst[0], dtype=dtype),
+        "ar": [jnp.asarray(p, dtype=dtype) for p in lst[1:]],
+    }
+
+
+_OPTAX_NAMES = {
+    "adam": optax.adam,
+    "adamw": optax.adamw,
+    "adamax": optax.adamax,
+    "sgd": optax.sgd,
+    "rmsprop": optax.rmsprop,
+    "adagrad": optax.adagrad,
+    "nadam": optax.nadam,
+    "adadelta": optax.adadelta,
+    "lion": optax.lion,
+}
+
+
+def make_optimizer(optimizer_name: str, learning_rate: float):
+    """Optimizer by (Keras-style) name. eps=1e-7 where supported, matching
+    tf.keras defaults (the reference resolves names via tf.keras.optimizers,
+    bear_net.py:264)."""
+    name = optimizer_name.lower()
+    if name not in _OPTAX_NAMES:
+        raise ValueError(f"unknown optimizer {optimizer_name!r}")
+    factory = _OPTAX_NAMES[name]
+    try:
+        return factory(learning_rate, eps=1e-7)
+    except TypeError:
+        return factory(learning_rate)
+
+
+# --- training -------------------------------------------------------------
+
+
+@dataclass
+class TrainResult:
+    params: dict
+    losses: np.ndarray  # ELBO estimate at each optimizer apply (loss_save)
+
+    @property
+    def h(self) -> float:
+        return float(np.exp(np.asarray(self.params["h_signed"])))
+
+    @property
+    def params_list(self) -> List[np.ndarray]:
+        return params_to_list(self.params)
+
+
+def _stack_batches(codes, counts, batch_size, pad_multiple=1):
+    """Stack a dataset into [n_steps, B, ...] with zero padding (zero-count
+    rows contribute exactly 0 likelihood and gradient). Returns stacked codes,
+    counts, and the actual size of each step's batch."""
+    n = codes.shape[0]
+    bsz = int(batch_size)
+    if pad_multiple > 1:
+        bsz = ((bsz + pad_multiple - 1) // pad_multiple) * pad_multiple
+    n_steps = max(1, -(-n // bsz))
+    padded = n_steps * bsz
+    codes_p = np.zeros((padded,) + codes.shape[1:], dtype=codes.dtype)
+    counts_p = np.zeros((padded,) + counts.shape[1:], dtype=counts.dtype)
+    codes_p[:n] = codes
+    counts_p[:n] = counts
+    sizes = np.minimum(np.full(n_steps, bsz), n - bsz * np.arange(n_steps))
+    return (
+        codes_p.reshape(n_steps, bsz, *codes.shape[1:]),
+        counts_p.reshape(n_steps, bsz, *counts.shape[1:]),
+        sizes.astype(counts.dtype),
+    )
+
+
+def train(
+    codes,
+    counts,
+    num_kmers,
+    ar_func: ARFunc,
+    *,
+    alphabet: str = "dna",
+    batch_size: int,
+    epochs: int = 1,
+    learning_rate: float = 0.01,
+    optimizer_name: str = "Adam",
+    train_ar: bool = False,
+    acc_steps: int = 1,
+    params_restart: Optional[list] = None,
+    seed: int = 0,
+    dtype=jnp.float32,
+    mesh=None,
+    writer=None,
+) -> TrainResult:
+    """Train a BEAR (empirical-Bayes h) or AR (max-likelihood) model.
+
+    Parameters
+    ----------
+    codes : [N, lag] int8 integer-coded k-mers (host array).
+    counts : [N, alphabet_size+1] transition counts for the training column.
+    num_kmers : total k-mer count for the unbiased ELBO scale
+        (reference bear_net.py:190).
+    train_ar : train the point AR likelihood instead of the BEAR marginal
+        (reference bear_net.py:182-186).
+    mesh : optional jax.sharding.Mesh with a 'data' axis for multi-chip
+        data parallelism.
+    writer : optional metrics writer with a ``scalar(tag, value, step)``
+        method (see bear_tpu.utils.metrics).
+    """
+    A1 = alphabets.alphabet_size(alphabet) + 1
+    key = jax.random.key(seed)
+    if params_restart is not None:
+        params = params_from_list(params_restart, dtype=dtype)
+    else:
+        params = init_params(key, ar_func, dtype=dtype)
+
+    optimizer = make_optimizer(optimizer_name, learning_rate)
+    opt_state = optimizer.init(params)
+
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+    codes_s, counts_s, sizes = _stack_batches(
+        np.asarray(codes), np.asarray(counts, dtype=np.dtype(dtype)), batch_size, n_dev
+    )
+    steps_per_epoch = codes_s.shape[0]
+    total_steps = steps_per_epoch * int(epochs)
+    n_apply = total_steps // int(acc_steps)
+    if n_apply == 0:
+        raise ValueError("fewer total steps than acc_steps; nothing to train")
+
+    num_kmers = jnp.asarray(num_kmers, dtype=dtype)
+
+    def loss_fn(p, codes_b, counts_b, actual_size):
+        oh = alphabets.one_hot(codes_b, A1, dtype)
+        ar_probs = ar_func.apply(p["ar"], oh)
+        if train_ar:
+            ll = ar_log_prob(counts_b, ar_probs)
+        else:
+            ll = bear_log_prob(counts_b, ar_probs, jnp.exp(p["h_signed"]))
+        elbo = (num_kmers / actual_size) * jnp.sum(ll)
+        return -elbo
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P(None, "data"))
+        codes_s = jax.device_put(jnp.asarray(codes_s), batch_sharding)
+        counts_s = jax.device_put(jnp.asarray(counts_s), batch_sharding)
+    else:
+        codes_s = jnp.asarray(codes_s)
+        counts_s = jnp.asarray(counts_s)
+    sizes = jnp.asarray(sizes)
+
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+    # The whole run is one scan over optimizer applies; each apply holds an
+    # inner scan accumulating acc_steps gradient sums (the reference's
+    # accumulator variables, bear_net.py:259-261, 296-315).
+    def apply_step(carry, apply_idx):
+        p, o = carry
+        start = apply_idx * acc_steps
+
+        def inner(inner_carry, k):
+            acc, loss_sum = inner_carry
+            idx = (start + k) % steps_per_epoch
+            loss, grads = grad_fn(
+                p,
+                jax.lax.dynamic_index_in_dim(codes_s, idx, keepdims=False),
+                jax.lax.dynamic_index_in_dim(counts_s, idx, keepdims=False),
+                sizes[idx],
+            )
+            return (jax.tree.map(jnp.add, acc, grads), loss_sum + loss), None
+
+        (grads, loss_sum), _ = jax.lax.scan(
+            inner, (zero_grads, jnp.zeros((), dtype)), jnp.arange(acc_steps)
+        )
+        updates, o = optimizer.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        # ELBO estimate recorded at each apply (reference bear_net.py:303-307).
+        return (p, o), -loss_sum / acc_steps
+
+    @jax.jit
+    def run(p, o):
+        return jax.lax.scan(apply_step, (p, o), jnp.arange(n_apply))
+
+    (params, opt_state), elbos = run(params, opt_state)
+    elbos = np.asarray(elbos)
+    if writer is not None:
+        for i, e in enumerate(elbos):
+            writer.scalar("elbo", float(e), step=(i + 1) * acc_steps)
+    return TrainResult(params=jax.tree.map(lambda x: np.asarray(x), params), losses=-elbos)
+
+
+# --- evaluation -----------------------------------------------------------
+
+
+def _evaluation_step(
+    counts_test, ar_probs, h, van_reg, key, counts_train=None, dtype=jnp.float32
+):
+    """Per-batch metrics for the three simultaneous model readings — BEAR
+    posterior predictive, point AR, and vanilla BMM with a vector of priors
+    (reference bear_net.py:323-371).
+
+    h may be a scalar or a vector [H] (h_scan, reference bear_net.py:516-529).
+    Returns sums to be accumulated: (ll_ear, ll_arm, ll_van[V], correct_ear,
+    correct_arm, correct_van[V], total_len).
+    """
+    A1 = counts_test.shape[-1]
+    h = jnp.asarray(h, dtype=dtype)
+    h_b = h.reshape(h.shape + (1, 1))  # broadcast against [B, A1]
+    total_test = jnp.sum(counts_test, axis=-1)
+
+    if counts_train is not None:
+        van_condition = counts_train[:, None, :] + van_reg[:, None]
+        cond_ear = counts_train
+    else:
+        van_condition = van_reg[:, None] * jnp.ones((1, A1), dtype=dtype)
+        cond_ear = None
+
+    conc_ear = ar_probs / h_b + EPSILON
+    if cond_ear is not None:
+        conc_ear = conc_ear + cond_ear
+    ll_ear_per = dirichlet_multinomial_perm_logpmf(counts_test, conc_ear)
+    ll_ear = jnp.sum(ll_ear_per, axis=-1)
+
+    probs_arm = ar_probs + EPSILON
+    ll_arm = jnp.sum(multinomial_perm_logpmf(counts_test, probs_arm))
+
+    conc_van = van_condition + EPSILON
+    ll_van = jnp.sum(
+        dirichlet_multinomial_perm_logpmf(counts_test[:, None, :], conc_van), axis=0
+    )
+
+    k_ear, k_arm, k_van = jax.random.split(key, 3)
+    ml_ear = ml_output_dm(conc_ear, k_ear)
+    ml_arm = ml_output_mult(probs_arm, k_arm)
+    ml_van = ml_output_dm(conc_van, k_van)
+    rng_idx = jnp.arange(A1, dtype=dtype)
+    oh_ear = (ml_ear[..., None] == rng_idx).astype(dtype)
+    oh_arm = (ml_arm[..., None] == rng_idx).astype(dtype)
+    oh_van = (ml_van[..., None] == rng_idx).astype(dtype)
+
+    correct_ear = jnp.sum(jnp.sum(counts_test * oh_ear, axis=-1), axis=-1)
+    correct_arm = jnp.sum(counts_test * oh_arm)
+    correct_van = jnp.sum(jnp.sum(counts_test[:, None, :] * oh_van, axis=0), axis=-1)
+    total_len = jnp.sum(counts_test)
+    return ll_ear, ll_arm, ll_van, correct_ear, correct_arm, correct_van, total_len
+
+
+def evaluation(
+    codes,
+    counts,
+    ds_loc_train,
+    ds_loc_test,
+    alphabet,
+    h,
+    ar_func: ARFunc,
+    ar_params,
+    van_reg,
+    *,
+    batch_size: int = 1 << 14,
+    dtype=jnp.float32,
+    seed: int = 0,
+    mesh=None,
+):
+    """Evaluate a trained BEAR/AR/BMM model (reference bear_net.py:387-463).
+
+    ds_loc_train = -1 disables conditioning on training counts (prior mode).
+
+    Returns the reference's 9-tuple:
+    (ll_ear, ll_arm, ll_van, perp_ear, perp_arm, perp_van,
+     acc_ear, acc_arm, acc_van) with van entries vectors over van_reg.
+    """
+    A1 = alphabets.alphabet_size(alphabet) + 1
+    use_train = ds_loc_train >= 0
+    counts = np.asarray(counts, dtype=np.dtype(dtype))
+    counts_test = counts[:, ds_loc_test, :]
+    counts_train = counts[:, ds_loc_train, :] if use_train else None
+    van_reg = jnp.asarray(np.asarray(van_reg), dtype=dtype)
+    h_arr = jnp.asarray(h, dtype=dtype)
+
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+    codes_s, counts_test_s, _ = _stack_batches(
+        np.asarray(codes), counts_test, batch_size, n_dev
+    )
+    if use_train:
+        _, counts_train_s, _ = _stack_batches(
+            np.asarray(codes), counts_train, batch_size, n_dev
+        )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(None, "data"))
+        codes_s = jax.device_put(jnp.asarray(codes_s), sh)
+        counts_test_s = jax.device_put(jnp.asarray(counts_test_s), sh)
+        if use_train:
+            counts_train_s = jax.device_put(jnp.asarray(counts_train_s), sh)
+
+    base_key = jax.random.key(seed)
+
+    def batch_metrics(step):
+        codes_b = jax.lax.dynamic_index_in_dim(codes_s, step, keepdims=False)
+        ct_b = jax.lax.dynamic_index_in_dim(counts_test_s, step, keepdims=False)
+        tr_b = (
+            jax.lax.dynamic_index_in_dim(counts_train_s, step, keepdims=False)
+            if use_train
+            else None
+        )
+        oh = alphabets.one_hot(codes_b, A1, dtype)
+        ar_probs = ar_func.apply(ar_params, oh)
+        return _evaluation_step(
+            ct_b,
+            ar_probs,
+            h_arr,
+            van_reg,
+            jax.random.fold_in(base_key, step),
+            counts_train=tr_b,
+            dtype=dtype,
+        )
+
+    @jax.jit
+    def run():
+        def body(carry, step):
+            out = batch_metrics(step)
+            return jax.tree.map(jnp.add, carry, out), None
+
+        zeros = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(batch_metrics, 0)
+        )
+        carry, _ = jax.lax.scan(body, zeros, jnp.arange(codes_s.shape[0]))
+        return carry
+
+    ll_ear, ll_arm, ll_van, c_ear, c_arm, c_van, total = run()
+    return (
+        np.asarray(ll_ear),
+        np.asarray(ll_arm),
+        np.asarray(ll_van),
+        np.asarray(jnp.exp(-ll_ear / total)),
+        np.asarray(jnp.exp(-ll_arm / total)),
+        np.asarray(jnp.exp(-ll_van / total)),
+        np.asarray(c_ear / total),
+        np.asarray(c_arm / total),
+        np.asarray(c_van / total),
+    )
+
+
+def h_scan(
+    codes,
+    counts,
+    ds_loc_train,
+    ds_loc_test,
+    alphabet,
+    h_values,
+    ar_func: ARFunc,
+    ar_params,
+    **kwargs,
+):
+    """Evaluate BEAR at a vector of h simultaneously
+    (reference bear_net.py:465-531). Returns (ll_ear[H], perp_ear[H], acc_ear[H])."""
+    out = evaluation(
+        codes,
+        counts,
+        ds_loc_train,
+        ds_loc_test,
+        alphabet,
+        np.asarray(h_values),
+        ar_func,
+        ar_params,
+        van_reg=np.ones(1),
+        **kwargs,
+    )
+    ll_ear, _, _, perp_ear, _, _, acc_ear, _, _ = out
+    return ll_ear, perp_ear, acc_ear

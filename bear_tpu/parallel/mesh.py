@@ -1,0 +1,56 @@
+"""Mesh construction and sharding helpers.
+
+The reference's only distribution strategy is single-host MirroredStrategy
+data parallelism with NCCL all-reduce (bear_net.py:246, 273, 290-291). The
+TPU-native equivalent: a jax.sharding.Mesh whose ``data`` axis shards the
+k-mer batch dimension; parameters stay replicated and XLA inserts psum over
+ICI for the gradient/metric reductions (every reduction in the reference is a
+SUM — see SURVEY.md §5 — which maps 1:1 onto psum).
+
+A second mesh axis ``kmer`` is used by the counting engine to shard the
+``~1.33 * 4^L x (A+1)`` transition-count table at large lag (the natural
+"model" axis of BEAR; SURVEY.md §2 parallelism table).
+
+Multi-host: initialize jax.distributed outside, then these helpers see the
+global device list; per-host data feeding shards over DCN automatically via
+jax.make_array_from_process_local_data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def data_parallel_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """1D mesh over the first n (default all) devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def grid_mesh(shape: dict) -> Mesh:
+    """N-D mesh from {axis_name: size}, e.g. {'data': 2, 'kmer': 4}."""
+    sizes = list(shape.values())
+    n = int(np.prod(sizes))
+    devices = np.array(jax.devices()[:n]).reshape(sizes)
+    return Mesh(devices, tuple(shape.keys()))
+
+
+def shard_along(mesh: Mesh, x, axis: int = 0, mesh_axis: str = "data"):
+    """Place an array with the given dim sharded over a mesh axis."""
+    spec = [None] * np.ndim(x)
+    spec[axis] = mesh_axis
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

