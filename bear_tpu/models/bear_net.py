@@ -174,6 +174,7 @@ def train(
     dtype=jnp.float32,
     mesh=None,
     writer=None,
+    ref_counts=None,
 ) -> TrainResult:
     """Train a BEAR (empirical-Bayes h) or AR (max-likelihood) model.
 
@@ -189,6 +190,9 @@ def train(
         data parallelism.
     writer : optional metrics writer with a ``scalar(tag, value, step)``
         method (see bear_tpu.utils.metrics).
+    ref_counts : optional [N, alphabet_size+1] per-k-mer reference transition
+        counts, passed as a second argument to ar_func.apply — the
+        reference-guided BEAR variant (see bear_tpu.models.bear_ref).
     """
     A1 = alphabets.alphabet_size(alphabet) + 1
     key = jax.random.key(seed)
@@ -206,6 +210,14 @@ def train(
     codes_s, counts_s, sizes = _stack_batches(
         np.asarray(codes), np.asarray(counts, dtype=np.dtype(dtype)), batch_size, n_dev
     )
+    ref_s = None
+    if ref_counts is not None:
+        _, ref_s, _ = _stack_batches(
+            np.asarray(codes),
+            np.asarray(ref_counts, dtype=np.dtype(dtype)),
+            batch_size,
+            n_dev,
+        )
     steps_per_epoch = codes_s.shape[0]
     total_steps = steps_per_epoch * int(epochs)
     n_apply = total_steps // int(acc_steps)
@@ -214,9 +226,12 @@ def train(
 
     num_kmers = jnp.asarray(num_kmers, dtype=dtype)
 
-    def loss_fn(p, codes_b, counts_b, actual_size):
+    def loss_fn(p, codes_b, counts_b, ref_b, actual_size):
         oh = alphabets.one_hot(codes_b, A1, dtype)
-        ar_probs = ar_func.apply(p["ar"], oh)
+        if ref_b is not None:
+            ar_probs = ar_func.apply(p["ar"], oh, ref_b)
+        else:
+            ar_probs = ar_func.apply(p["ar"], oh)
         if train_ar:
             ll = ar_log_prob(counts_b, ar_probs)
         else:
@@ -232,9 +247,13 @@ def train(
         batch_sharding = NamedSharding(mesh, P(None, "data"))
         codes_s = jax.device_put(jnp.asarray(codes_s), batch_sharding)
         counts_s = jax.device_put(jnp.asarray(counts_s), batch_sharding)
+        if ref_s is not None:
+            ref_s = jax.device_put(jnp.asarray(ref_s), batch_sharding)
     else:
         codes_s = jnp.asarray(codes_s)
         counts_s = jnp.asarray(counts_s)
+        if ref_s is not None:
+            ref_s = jnp.asarray(ref_s)
     sizes = jnp.asarray(sizes)
 
     zero_grads = jax.tree.map(jnp.zeros_like, params)
@@ -253,6 +272,9 @@ def train(
                 p,
                 jax.lax.dynamic_index_in_dim(codes_s, idx, keepdims=False),
                 jax.lax.dynamic_index_in_dim(counts_s, idx, keepdims=False),
+                None
+                if ref_s is None
+                else jax.lax.dynamic_index_in_dim(ref_s, idx, keepdims=False),
                 sizes[idx],
             )
             return (jax.tree.map(jnp.add, acc, grads), loss_sum + loss), None
@@ -348,6 +370,7 @@ def evaluation(
     dtype=jnp.float32,
     seed: int = 0,
     mesh=None,
+    ref_counts=None,
 ):
     """Evaluate a trained BEAR/AR/BMM model (reference bear_net.py:387-463).
 
@@ -375,6 +398,14 @@ def evaluation(
         _, counts_train_s, _ = _stack_batches(
             np.asarray(codes), counts_train, batch_size, n_dev
         )
+    ref_s = None
+    if ref_counts is not None:
+        _, ref_s, _ = _stack_batches(
+            np.asarray(codes),
+            np.asarray(ref_counts, dtype=np.dtype(dtype)),
+            batch_size,
+            n_dev,
+        )
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -384,6 +415,8 @@ def evaluation(
         counts_test_s = jax.device_put(jnp.asarray(counts_test_s), sh)
         if use_train:
             counts_train_s = jax.device_put(jnp.asarray(counts_train_s), sh)
+        if ref_s is not None:
+            ref_s = jax.device_put(jnp.asarray(ref_s), sh)
 
     base_key = jax.random.key(seed)
 
@@ -396,7 +429,11 @@ def evaluation(
             else None
         )
         oh = alphabets.one_hot(codes_b, A1, dtype)
-        ar_probs = ar_func.apply(ar_params, oh)
+        if ref_s is not None:
+            ref_b = jax.lax.dynamic_index_in_dim(ref_s, step, keepdims=False)
+            ar_probs = ar_func.apply(ar_params, oh, ref_b)
+        else:
+            ar_probs = ar_func.apply(ar_params, oh)
         return _evaluation_step(
             ct_b,
             ar_probs,

@@ -1,0 +1,168 @@
+"""Reference-guided BEAR: the embedded AR function mixes a learned net with
+Jukes-Cantor-smoothed reference-genome transition counts.
+
+Mirror of the reference's bear_model/bear_ref.py as pure functions:
+
+- ``counts_to_probs`` (reference bear_ref.py:9-33): l1-normalize reference
+  counts, apply Jukes-Cantor error smoothing
+  ``e^{-tau} * norm + (1 - e^{-tau})/|B|`` on residues, zero stop probability.
+- ``make_ref_ar_func`` (reference bear_ref.py:36-69): learnable
+  ``tau_signed`` (init log(1/30)) and ``net_weight_signed`` (init -log 100);
+  ``f = (nu * g(kmers) + JC(ref)) / (nu + 1)``.
+- Training/evaluation reuse bear_net's scan machinery via its ``ref_counts``
+  pass-through; the stop column of the reference counts is stripped and an
+  epsilon added exactly as the reference's data map does
+  (bear_ref.py:332-337).
+
+Derived diagnostics (reference models/train_bear_ref.py:143-147):
+error rate = 1 - e^{-tau}; stop rate = nu/(1+nu) contribution.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bear_tpu.models import bear_net
+from bear_tpu.models.ar_funcs import ARFunc
+from bear_tpu.ops.distributions import EPSILON
+
+
+def counts_to_probs(ref_counts, tau, alphabet_size):
+    """Jukes-Cantor smoothing of reference transition counts
+    (reference bear_ref.py:9-33). ref_counts must already have stops zeroed
+    and epsilon added on residues (see prepare_ref_counts).
+
+    The l1-normalization guards against all-zero rows (zero-padded batch
+    slots): 0/0 would poison gradients (xlogy's d/dy = x/y) and evaluation
+    likelihoods with NaN; such rows fall back to the JC-uniform and contribute
+    exactly zero likelihood and gradient because their counts are zero."""
+    total = jnp.sum(jnp.abs(ref_counts), axis=-1, keepdims=True)
+    norm = ref_counts / jnp.maximum(total, jnp.finfo(ref_counts.dtype).tiny)
+    shape = jnp.concatenate(
+        [jnp.ones(alphabet_size, dtype=ref_counts.dtype),
+         jnp.zeros(1, dtype=ref_counts.dtype)]
+    )
+    base = (1.0 / alphabet_size) * shape
+    return base + jnp.exp(-tau) * (norm - base)
+
+
+def prepare_ref_counts(ref_column, alphabet_size, dtype):
+    """(ref + eps) * not_stop — strip stops, add epsilon so normalization is
+    well-defined (reference bear_ref.py:332-337)."""
+    ref = jnp.asarray(np.asarray(ref_column), dtype=dtype)
+    not_stop = 1.0 - jax.nn.one_hot(alphabet_size, alphabet_size + 1, dtype=dtype)
+    return (ref + EPSILON) * not_stop
+
+
+def make_ref_ar_func(lag, alphabet_size, make_net_func, af_kwargs=None, dtype=jnp.float32) -> ARFunc:
+    """Wrap a net AR function with the reference-guided mixture.
+
+    Params order matches the reference checkpoint layout
+    (bear_ref.py:69): [tau_signed, net_weight_signed] + net_params.
+    apply takes (params, one_hot_kmers, ref_counts)."""
+    net = make_net_func(lag, alphabet_size, **(af_kwargs or {}), dtype=dtype)
+
+    def init(key) -> List[jax.Array]:
+        return [
+            jnp.asarray(np.log(1 / 30), dtype=dtype),   # tau_signed
+            jnp.asarray(-np.log(100), dtype=dtype),     # net_weight_signed
+        ] + net.init(key)
+
+    def apply(params, kmers_oh, ref_counts):
+        tau = jnp.exp(params[0])
+        nw = jnp.exp(params[1])
+        g = net.apply(params[2:], kmers_oh)
+        return (nw * g + counts_to_probs(ref_counts, tau, alphabet_size)) / (nw + 1.0)
+
+    return ARFunc(init=init, apply=apply, name=f"ref[{net.name}]")
+
+
+def train(
+    codes,
+    counts,
+    ref_column,
+    num_kmers,
+    net_func_factory,
+    af_kwargs=None,
+    *,
+    alphabet="dna",
+    lag=None,
+    dtype=jnp.float32,
+    **kwargs,
+) -> bear_net.TrainResult:
+    """Train a reference-guided BEAR/AR model (reference bear_ref.py:262-389).
+
+    Parameters mirror bear_net.train, plus:
+    ref_column : [N, alphabet_size+1] raw reference counts column.
+    net_func_factory : e.g. ar_funcs.make_ar_func_stop — the ``g`` net.
+    """
+    from bear_tpu.ops import alphabets as _alph
+
+    A = _alph.alphabet_size(alphabet)
+    lag = lag if lag is not None else np.asarray(codes).shape[-1]
+    ar_func = make_ref_ar_func(lag, A, net_func_factory, af_kwargs, dtype=dtype)
+    ref_counts = np.asarray(prepare_ref_counts(ref_column, A, dtype))
+    return bear_net.train(
+        codes,
+        counts,
+        num_kmers,
+        ar_func,
+        alphabet=alphabet,
+        dtype=dtype,
+        ref_counts=ref_counts,
+        **kwargs,
+    )
+
+
+def evaluation(
+    codes,
+    counts,
+    ds_loc_train,
+    ds_loc_test,
+    ds_loc_ref,
+    alphabet,
+    h,
+    ar_func: ARFunc,
+    ar_params,
+    van_reg,
+    **kwargs,
+):
+    """Evaluate a reference-guided model (reference bear_ref.py:453-539).
+    Strips stops from the reference column exactly as the reference's map."""
+    from bear_tpu.ops import alphabets as _alph
+
+    A = _alph.alphabet_size(alphabet)
+    dtype = kwargs.get("dtype", jnp.float32)
+    ref_counts = np.asarray(
+        prepare_ref_counts(np.asarray(counts)[:, ds_loc_ref, :], A, dtype)
+    )
+    return bear_net.evaluation(
+        codes,
+        counts,
+        ds_loc_train,
+        ds_loc_test,
+        alphabet,
+        h,
+        ar_func,
+        ar_params,
+        van_reg,
+        ref_counts=ref_counts,
+        **kwargs,
+    )
+
+
+def error_rate(params) -> float:
+    """1 - e^{-tau} (reference train_bear_ref.py:144-145)."""
+    return float(1.0 - np.exp(-np.exp(np.asarray(params["ar"][0]))))
+
+
+def stop_rate_inverse(params) -> float:
+    """nu^{-1} estimate: with g = stop net, expected stop probability is
+    nu/(1+nu) per step, so 1/nu ~ read length (reference train_bear_ref.py:146-147,
+    docs/usage.rst:289-291)."""
+    nu = np.exp(np.asarray(params["ar"][1]))
+    return float((1.0 + nu) / nu)

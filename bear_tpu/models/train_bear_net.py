@@ -1,0 +1,167 @@
+"""Config-driven training/evaluation runner for BEAR and AR models.
+
+Usage (same contract as the reference's bear_model/models/train_bear_net.py):
+
+``python -m bear_tpu.models.train_bear_net config.cfg``
+
+Reads the reference's INI config format (see bear_tpu/utils/config.py),
+trains with empirical Bayes (BEAR) or max likelihood (AR), evaluates heldout
+and train-as-test metrics, and writes everything back into the out-dir's
+config.cfg [results] section plus results.pickle — byte-level compatible with
+the reference's output contract (train_bear_net.py:141-198).
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import json
+import os
+
+import numpy as np
+
+from bear_tpu.data import count_kmers, load_files
+from bear_tpu.models import bear_net, get_ar_func
+from bear_tpu.utils import MetricsWriter, RunConfig, save_loss_curve, save_results
+from bear_tpu.utils.checkpoint import load_params_list
+
+
+def main(config: configparser.ConfigParser, mesh=None):
+    """Run an end-to-end training + evaluation from a parsed config.
+
+    Returns 1, or (1, ll_van, perp_van) when train_test is enabled
+    (the reference's contract, train_bear_net.py:198-200)."""
+    run = RunConfig.from_configparser(config)
+    out_folder = run.resolve_out_folder()
+    dtype = run.dtype()
+    writer = MetricsWriter(out_folder)
+
+    # Load data.
+    files = run.resolve_files()
+    num_kmers = count_kmers(files, header=run.sparse)
+    batch_size = run.resolve_batch_size(num_kmers)
+    epochs = run.resolve_epochs(num_kmers, batch_size)
+    ds = load_files(files, run.alphabet, run.num_ds, sparse=run.sparse)
+    print("data_loaded")
+
+    # Record result location in the config (reference train_bear_net.py:90-95).
+    result_file = os.path.join(out_folder, "results.pickle")
+    config["results"]["out_folder"] = out_folder
+    config["results"]["file"] = result_file
+    with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
+        config.write(cw)
+
+    ds_loc = run.train_column
+    from bear_tpu.ops import alphabets as _alph
+
+    ar_func = get_ar_func(
+        run.ar_func_name,
+        run.lag,
+        _alph.alphabet_size(run.alphabet),
+        run.af_kwargs,
+        dtype=dtype,
+    )
+
+    params_restart = (
+        load_params_list(run.restart_path) if run.restart else None
+    )
+
+    if run.train:
+        result = bear_net.train(
+            ds.codes,
+            ds.counts[:, ds_loc],
+            num_kmers=num_kmers,
+            ar_func=ar_func,
+            batch_size=batch_size,
+            epochs=epochs,
+            learning_rate=run.learning_rate,
+            optimizer_name=run.optimizer_name,
+            train_ar=run.train_ar,
+            acc_steps=run.accumulation_steps,
+            params_restart=params_restart,
+            seed=run.seed,
+            dtype=dtype,
+            mesh=mesh,
+            writer=writer,
+        )
+        params = result.params
+        save_loss_curve(result.losses, out_folder)
+    else:
+        assert run.restart, "train=False requires restart=True"
+        params = bear_net.params_from_list(params_restart, dtype=dtype)
+
+    h = float(np.exp(np.asarray(params["h_signed"])))
+    config["results"]["h"] = str(h)
+    with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
+        config.write(cw)
+
+    save_results(out_folder, bear_net.params_to_list(params))
+
+    van_reg = np.array(run.van_reg)
+
+    def write_eval(prefix, out):
+        (ll_ear, ll_ar, ll_van, perp_ear, perp_ar, perp_van, acc_ear, acc_ar, acc_van) = out
+        config["results"][f"{prefix}perplex_BEAR"] = str(float(perp_ear))
+        config["results"][f"{prefix}perplex_AR"] = str(float(perp_ar))
+        config["results"][f"{prefix}perplex_BMM"] = json.dumps(np.asarray(perp_van).tolist())
+        config["results"][f"{prefix}loglikelihood_BEAR"] = str(float(ll_ear))
+        config["results"][f"{prefix}loglikelihood_AR"] = str(float(ll_ar))
+        config["results"][f"{prefix}loglikelihood_BMM"] = json.dumps(np.asarray(ll_van).tolist())
+        config["results"][f"{prefix}accuracy_BEAR"] = str(float(acc_ear))
+        config["results"][f"{prefix}accuracy_AR"] = str(float(acc_ar))
+        config["results"][f"{prefix}accuracy_BMM"] = json.dumps(np.asarray(acc_van).tolist())
+        with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
+            config.write(cw)
+
+    if run.test:
+        out = bear_net.evaluation(
+            ds.codes,
+            ds.counts,
+            ds_loc,
+            run.test_column,
+            run.alphabet,
+            h,
+            ar_func,
+            params["ar"],
+            van_reg,
+            dtype=dtype,
+            seed=run.seed,
+            mesh=mesh,
+        )
+        write_eval("heldout_", out)
+
+    if run.train_test:
+        # Evaluate the training data under prior-only conditioning
+        # (reference train_bear_net.py:174-198; ds_loc_train=-1).
+        out = bear_net.evaluation(
+            ds.codes,
+            ds.counts,
+            -1,
+            ds_loc,
+            run.alphabet,
+            h,
+            ar_func,
+            params["ar"],
+            van_reg,
+            dtype=dtype,
+            seed=run.seed,
+            mesh=mesh,
+        )
+        write_eval("", out)
+        ll_van, perp_van = np.asarray(out[2]), np.asarray(out[5])
+        return 1, ll_van, perp_van
+
+    return 1
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("configPath")
+    args = parser.parse_args()
+
+    config = configparser.ConfigParser()
+    config.read(args.configPath)
+    if "results" not in config:
+        config["results"] = {}
+
+    main(config)

@@ -1,0 +1,138 @@
+"""Config-driven runner for reference-guided BEAR/AR models.
+
+``python -m bear_tpu.models.train_bear_ref config.cfg``
+
+Same contract as the reference's bear_model/models/train_bear_ref.py: trains
+with the reference-count column, writes ``h``, ``error_rate`` and
+``stop_rate`` diagnostics plus the 9 evaluation metrics into the out-dir
+config's [results] section (reference train_bear_ref.py:142-213).
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import json
+import os
+
+import numpy as np
+
+from bear_tpu.data import count_kmers, load_files
+from bear_tpu.models import bear_net, bear_ref
+from bear_tpu.models.ar_funcs import AR_FUNCS
+from bear_tpu.utils import MetricsWriter, RunConfig, save_loss_curve, save_results
+from bear_tpu.utils.checkpoint import load_params_list
+
+
+def main(config: configparser.ConfigParser, mesh=None):
+    run = RunConfig.from_configparser(config)
+    out_folder = run.resolve_out_folder()
+    dtype = run.dtype()
+    writer = MetricsWriter(out_folder)
+
+    files = run.resolve_files()
+    num_kmers = count_kmers(files, header=run.sparse)
+    batch_size = run.resolve_batch_size(num_kmers)
+    epochs = run.resolve_epochs(num_kmers, batch_size)
+    ds = load_files(files, run.alphabet, run.num_ds, sparse=run.sparse)
+    print("data_loaded")
+
+    result_file = os.path.join(out_folder, "results.pickle")
+    config["results"]["out_folder"] = out_folder
+    config["results"]["file"] = result_file
+    with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
+        config.write(cw)
+
+    ds_loc = run.train_column
+    ds_loc_ref = run.reference_column
+    from bear_tpu.ops import alphabets as _alph
+
+    A = _alph.alphabet_size(run.alphabet)
+    net_factory = AR_FUNCS[run.ar_func_name]
+    ar_func = bear_ref.make_ref_ar_func(run.lag, A, net_factory, run.af_kwargs, dtype=dtype)
+
+    params_restart = load_params_list(run.restart_path) if run.restart else None
+
+    if run.train:
+        result = bear_ref.train(
+            ds.codes,
+            ds.counts[:, ds_loc],
+            ds.counts[:, ds_loc_ref],
+            num_kmers,
+            net_factory,
+            run.af_kwargs,
+            alphabet=run.alphabet,
+            lag=run.lag,
+            dtype=dtype,
+            batch_size=batch_size,
+            epochs=epochs,
+            learning_rate=run.learning_rate,
+            optimizer_name=run.optimizer_name,
+            train_ar=run.train_ar,
+            acc_steps=run.accumulation_steps,
+            params_restart=params_restart,
+            seed=run.seed,
+            mesh=mesh,
+            writer=writer,
+        )
+        params = result.params
+        save_loss_curve(result.losses, out_folder)
+    else:
+        assert run.restart, "train=False requires restart=True"
+        params = bear_net.params_from_list(params_restart, dtype=dtype)
+
+    h = float(np.exp(np.asarray(params["h_signed"])))
+    config["results"]["h"] = str(h)
+    config["results"]["error_rate"] = str(bear_ref.error_rate(params))
+    config["results"]["stop_rate"] = str(bear_ref.stop_rate_inverse(params))
+    with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
+        config.write(cw)
+
+    save_results(out_folder, bear_net.params_to_list(params))
+
+    van_reg = np.array(run.van_reg)
+
+    def write_eval(prefix, out):
+        (ll_ear, ll_ar, ll_van, perp_ear, perp_ar, perp_van, acc_ear, acc_ar, acc_van) = out
+        config["results"][f"{prefix}perplex_BEAR"] = str(float(perp_ear))
+        config["results"][f"{prefix}perplex_AR"] = str(float(perp_ar))
+        config["results"][f"{prefix}perplex_BMM"] = json.dumps(np.asarray(perp_van).tolist())
+        config["results"][f"{prefix}loglikelihood_BEAR"] = str(float(ll_ear))
+        config["results"][f"{prefix}loglikelihood_AR"] = str(float(ll_ar))
+        config["results"][f"{prefix}loglikelihood_BMM"] = json.dumps(np.asarray(ll_van).tolist())
+        config["results"][f"{prefix}accuracy_BEAR"] = str(float(acc_ear))
+        config["results"][f"{prefix}accuracy_AR"] = str(float(acc_ar))
+        config["results"][f"{prefix}accuracy_BMM"] = json.dumps(np.asarray(acc_van).tolist())
+        with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
+            config.write(cw)
+
+    common = dict(dtype=dtype, seed=run.seed, mesh=mesh)
+    if run.test:
+        out = bear_ref.evaluation(
+            ds.codes, ds.counts, ds_loc, run.test_column, ds_loc_ref,
+            run.alphabet, h, ar_func, params["ar"], van_reg, **common,
+        )
+        write_eval("heldout_", out)
+
+    if run.train_test:
+        out = bear_ref.evaluation(
+            ds.codes, ds.counts, -1, ds_loc, ds_loc_ref,
+            run.alphabet, h, ar_func, params["ar"], van_reg, **common,
+        )
+        write_eval("", out)
+        return 1, np.asarray(out[2]), np.asarray(out[5])
+
+    return 1
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("configPath")
+    args = parser.parse_args()
+
+    config = configparser.ConfigParser()
+    config.read(args.configPath)
+    if "results" not in config:
+        config["results"] = {}
+
+    main(config)

@@ -1,0 +1,153 @@
+"""Reference-compatible config front-end.
+
+The reference drives everything from configparser INI files with sections
+[general] [data] [hyperp] [train] [test] [model] [results]
+(bear_model/models/config_files/*.cfg; parsing at train_bear_net.py:29-118).
+We keep the same file format and key names — a user's existing .cfg runs
+unchanged — backed here by a typed dataclass.
+
+Reference semantics preserved:
+- out_folder 'TEST' -> package-local out_data/logs/<timestamp>
+  (train_bear_net.py:32-34); trailing '*' -> use path literally, mkdir -p
+  (:35-37); otherwise out_folder/logs/<timestamp> (:38-40).
+- files_path 'TEST' -> the bundled YSD1 counts (:49-51).
+- batch_size <= 1 -> fraction of num_kmers (:56-60).
+- epochs with trailing 's' -> step count converted to epochs (:61-65).
+"""
+
+from __future__ import annotations
+
+import configparser
+import datetime
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+DEFAULT_REFERENCE_PATH = os.environ.get("BEAR_REFERENCE_PATH", "/root/reference")
+
+
+def bundled_ysd1_path() -> str:
+    """Path to the bundled YSD1 parity fixture (a public dataset shipped with
+    the reference; loaded from the reference mount)."""
+    return os.path.join(
+        DEFAULT_REFERENCE_PATH, "bear_model", "data", "ysd1_lag_5_file_0_preshuf.tsv"
+    )
+
+
+@dataclass
+class RunConfig:
+    # [general]
+    out_folder: str
+    seed: int
+    precision: str
+    # [data]
+    files_path: str
+    start_token: str
+    sparse: bool
+    num_ds: int
+    alphabet: str
+    train_column: int
+    test_column: int
+    reference_column: int
+    # [hyperp]
+    lag: int
+    # [train]
+    train: bool
+    epochs_raw: str
+    batch_size_raw: float
+    optimizer_name: str
+    learning_rate: float
+    train_ar: bool
+    accumulation_steps: int
+    cache: bool
+    restart: bool
+    restart_path: str
+    # [test]
+    test: bool
+    train_test: bool
+    van_reg: list
+    # [model]
+    ar_func_name: str
+    af_kwargs: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_configparser(cls, config: configparser.ConfigParser) -> "RunConfig":
+        g, d, hp = config["general"], config["data"], config["hyperp"]
+        tr, te, mo = config["train"], config["test"], config["model"]
+        return cls(
+            out_folder=g["out_folder"],
+            seed=int(g["seed"]),
+            precision=g["precision"],
+            files_path=d["files_path"],
+            start_token=d["start_token"],
+            sparse=d["sparse"] == "True",
+            num_ds=int(d["num_ds"]),
+            alphabet=d["alphabet"],
+            train_column=int(d["train_column"]),
+            test_column=int(d["test_column"]),
+            reference_column=int(d.get("reference_column", "-1")),
+            lag=int(hp["lag"]),
+            train=tr["train"] == "True",
+            epochs_raw=tr["epochs"],
+            batch_size_raw=float(tr["batch_size"]),
+            optimizer_name=tr["optimizer_name"],
+            learning_rate=float(tr["learning_rate"]),
+            train_ar=tr["train_ar"] == "True",
+            accumulation_steps=int(tr["accumulation_steps"]),
+            cache=tr.get("cache", "True") == "True",
+            restart=tr.get("restart", "False") == "True",
+            restart_path=tr.get("restart_path", ""),
+            test=te["test"] == "True",
+            train_test=te["train_test"] == "True",
+            van_reg=json.loads(te["van_reg"]),
+            ar_func_name=mo["ar_func_name"],
+            af_kwargs=json.loads(mo["af_kwargs"]),
+        )
+
+    @classmethod
+    def read(cls, path: str) -> tuple["RunConfig", configparser.ConfigParser]:
+        config = configparser.ConfigParser()
+        config.read(path)
+        if "results" not in config:
+            config["results"] = {}
+        return cls.from_configparser(config), config
+
+    def resolve_out_folder(self, package_root: Optional[str] = None) -> str:
+        time_stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        if self.out_folder == "TEST":
+            package_root = package_root or os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            )
+            out = os.path.join(package_root, "models", "out_data", "logs", time_stamp)
+        elif self.out_folder.endswith("*"):
+            out = self.out_folder[:-1]
+        else:
+            out = os.path.join(self.out_folder, "logs", time_stamp)
+        os.makedirs(out, exist_ok=True)
+        return out
+
+    def resolve_files(self) -> list[str]:
+        if self.files_path == "TEST":
+            return [bundled_ysd1_path()]
+        from bear_tpu.data import discover_files
+
+        return discover_files(self.files_path, self.start_token)
+
+    def resolve_batch_size(self, num_kmers: int) -> int:
+        b = self.batch_size_raw
+        return int(num_kmers * b) if b <= 1 else int(b)
+
+    def resolve_epochs(self, num_kmers: int, batch_size: int) -> int:
+        if self.epochs_raw.endswith("s"):
+            return int(self.epochs_raw[:-1]) // (1 + num_kmers // batch_size) + 1
+        return int(self.epochs_raw)
+
+    def dtype(self):
+        import jax
+        import jax.numpy as jnp
+
+        if self.precision == "float64":
+            jax.config.update("jax_enable_x64", True)
+            return jnp.float64
+        return jnp.float32

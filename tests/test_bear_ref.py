@@ -1,0 +1,128 @@
+"""Reference-guided BEAR: Jukes-Cantor smoothing contract, ref AR mixture,
+training end-to-end, and the CLI run with BMM cross-check
+(mirrors reference tests/test_run.py::test_run_ref)."""
+
+import configparser
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bear_tpu.models import bear_ref, bear_net
+from bear_tpu.models.ar_funcs import make_ar_func_stop, make_ar_func_linear
+from bear_tpu.ops import alphabets
+from bear_tpu.ops.distributions import EPSILON
+from tests.conftest import reference_data_available
+
+needs_ref = pytest.mark.skipif(
+    not reference_data_available(), reason="reference data mount not available"
+)
+
+
+def test_counts_to_probs_jukes_cantor():
+    # Pure reference counts, tau -> inf: uniform over residues, 0 stop.
+    ref = jnp.asarray(np.array([[10.0, 0.0, 0.0, 0.0, 0.0]]))
+    ref = np.asarray(bear_ref.prepare_ref_counts(ref, 4, jnp.float64))
+    out = np.asarray(bear_ref.counts_to_probs(jnp.asarray(ref), 50.0, 4))
+    np.testing.assert_allclose(out[0, :4], 0.25, rtol=1e-6)
+    assert out[0, 4] == 0.0
+    # tau -> 0: exact normalized reference.
+    out = np.asarray(bear_ref.counts_to_probs(jnp.asarray(ref), 0.0, 4))
+    np.testing.assert_allclose(out[0, 0], 1.0, rtol=1e-5)
+    np.testing.assert_allclose(out[0].sum(), 1.0, rtol=1e-6)
+
+
+def test_ref_ar_func_mixture():
+    ar = bear_ref.make_ref_ar_func(3, 4, make_ar_func_stop, dtype=jnp.float64)
+    params = ar.init(jax.random.key(0))
+    assert len(params) == 2  # tau_signed, net_weight_signed (+0 for stop net)
+    np.testing.assert_allclose(float(params[0]), np.log(1 / 30))
+    np.testing.assert_allclose(float(params[1]), -np.log(100))
+    codes = np.zeros((2, 3), np.int8)
+    oh = alphabets.one_hot(codes, 5, jnp.float64)
+    ref = bear_ref.prepare_ref_counts(
+        jnp.asarray(np.array([[5.0, 0, 0, 0, 0], [0, 5.0, 0, 0, 0]])), 4, jnp.float64
+    )
+    probs = np.asarray(ar.apply(params, oh, ref))
+    # nu = 1/100: stop net contributes nu/(1+nu) to the stop bucket.
+    nu = 1 / 100
+    np.testing.assert_allclose(probs[:, 4], nu / (1 + nu), rtol=1e-6)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-6)
+    # Residue mass follows the JC-smoothed reference.
+    tau = 1 / 30
+    jc = np.asarray(bear_ref.counts_to_probs(ref, tau, 4))
+    np.testing.assert_allclose(probs[:, :4], jc[:, :4] / (1 + nu), rtol=1e-6)
+
+
+def test_ref_train_learns():
+    rng = np.random.default_rng(0)
+    n = 64
+    codes = rng.integers(0, 4, (n, 3)).astype(np.int8)
+    counts = rng.poisson(10.0, (n, 5)).astype(np.float64)
+    ref_col = counts + rng.poisson(1.0, (n, 5))
+    res = bear_ref.train(
+        codes,
+        counts,
+        ref_col,
+        num_kmers=n,
+        net_func_factory=make_ar_func_stop,
+        batch_size=32,
+        epochs=40,
+        learning_rate=0.05,
+        train_ar=False,
+        dtype=jnp.float64,
+    )
+    assert res.losses[-1] < res.losses[0]
+    assert 0.0 < bear_ref.error_rate(res.params) < 1.0
+    assert bear_ref.stop_rate_inverse(res.params) > 1.0
+
+
+def test_ref_padded_batches_stay_finite():
+    # Regression: batch padding introduces all-zero reference rows; the JC
+    # normalization must not emit NaN into gradients or eval likelihoods.
+    rng = np.random.default_rng(1)
+    n = 10  # batch_size 16 > n forces padded rows
+    codes = rng.integers(0, 4, (n, 3)).astype(np.int8)
+    counts = np.stack([rng.poisson(5.0, (n, 5)), rng.poisson(5.0, (n, 5)),
+                       rng.poisson(5.0, (n, 5))], axis=1).astype(np.float64)
+    res = bear_ref.train(
+        codes, counts[:, 0], counts[:, 2], num_kmers=n,
+        net_func_factory=make_ar_func_stop, batch_size=16, epochs=2,
+        learning_rate=0.01, train_ar=True, dtype=jnp.float64,
+    )
+    assert np.all(np.isfinite([np.asarray(p) for p in res.params_list[1:]][0]))
+    ar = bear_ref.make_ref_ar_func(3, 4, make_ar_func_stop, dtype=jnp.float64)
+    out = bear_ref.evaluation(
+        codes, counts, 0, 1, 2, "dna", 1.0, ar, res.params["ar"],
+        np.array([1.0]), batch_size=16, dtype=jnp.float64,
+    )
+    assert np.isfinite(out[0]) and np.isfinite(out[3])
+
+
+@needs_ref
+def test_run_ref_cli(tmp_path):
+    from bear_tpu.models import train_bear_ref
+    from bear_tpu.data import bmm_likelihood, load_dense
+    from bear_tpu.utils.config import bundled_ysd1_path
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bear_tpu", "models", "config_files", "bear_test.cfg",
+    )
+    config = configparser.ConfigParser()
+    config.read(cfg_path)
+    config["general"]["out_folder"] = str(tmp_path) + "*"
+    exit_code, ll_van, perp_van = train_bear_ref.main(config)
+    assert exit_code == 1
+    assert "error_rate" in config["results"]
+    assert "stop_rate" in config["results"]
+
+    ds = load_dense(bundled_ysd1_path(), "dna", 3)
+    alpha = np.array([0.1, 1.0, 10.0]) + EPSILON
+    calc = np.asarray(bmm_likelihood(ds.counts, alpha))
+    np.testing.assert_allclose(calc[0], ll_van, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.exp(-calc[0] / np.sum(ds.counts[:, 0, :])), perp_van, rtol=1e-6
+    )

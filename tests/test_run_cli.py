@@ -1,0 +1,78 @@
+"""End-to-end CLI run with the TEST config, cross-checked against an
+independent BMM-likelihood computation — mirrors reference tests/test_run.py."""
+
+import configparser
+import os
+
+import numpy as np
+import pytest
+
+from bear_tpu.data import bmm_likelihood, load_dense
+from bear_tpu.ops.distributions import EPSILON
+from tests.conftest import reference_data_available
+
+needs_ref = pytest.mark.skipif(
+    not reference_data_available(), reason="reference data mount not available"
+)
+
+CFG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bear_tpu",
+    "models",
+    "config_files",
+    "bear_test.cfg",
+)
+
+
+@needs_ref
+def test_run_net(tmp_path):
+    from bear_tpu.models import train_bear_net
+    from bear_tpu.utils.config import bundled_ysd1_path
+
+    config = configparser.ConfigParser()
+    config.read(CFG)
+    config["general"]["out_folder"] = str(tmp_path) + "*"
+    exit_code, ll_van, perp_van = train_bear_net.main(config)
+    assert exit_code == 1
+
+    # Independent BMM cross-check (reference test_run.py:21-30).
+    ds = load_dense(bundled_ysd1_path(), "dna", 3)
+    alpha = np.array([0.1, 1.0, 10.0]) + EPSILON
+    calc = np.asarray(bmm_likelihood(ds.counts, alpha))
+    train_liks = calc[0]
+    np.testing.assert_allclose(train_liks, ll_van, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.exp(-train_liks / np.sum(ds.counts[:, 0, :])), perp_van, rtol=1e-6
+    )
+
+    # Output contract: config.cfg + results.pickle in the out dir.
+    out = config["results"]["out_folder"]
+    assert os.path.exists(os.path.join(out, "config.cfg"))
+    assert os.path.exists(os.path.join(out, "results.pickle"))
+    assert "heldout_perplex_BEAR" in config["results"]
+
+    # Restartability: params round-trip through the results.pickle.
+    from bear_tpu.utils.checkpoint import load_params_list
+
+    params = load_params_list(out)
+    assert len(params) == 2  # h_signed + linear matrix
+    assert params[1].shape == (5, 5, 5)
+
+
+@needs_ref
+def test_run_restart(tmp_path):
+    from bear_tpu.models import train_bear_net
+
+    config = configparser.ConfigParser()
+    config.read(CFG)
+    config["general"]["out_folder"] = str(tmp_path / "first") + "*"
+    train_bear_net.main(config)
+    first_out = config["results"]["out_folder"]
+
+    config2 = configparser.ConfigParser()
+    config2.read(CFG)
+    config2["general"]["out_folder"] = str(tmp_path / "second") + "*"
+    config2["train"]["restart"] = "True"
+    config2["train"]["restart_path"] = first_out
+    exit_code, *_ = train_bear_net.main(config2)
+    assert exit_code == 1
