@@ -1,0 +1,11 @@
+"""TPU-native k-mer transition counting engine (replaces KMC + summarize.py)."""
+
+from bear_tpu.counting.engine import (
+    ReadChunk,
+    TransitionCounter,
+    chunk_reads,
+    context_to_row,
+    row_to_context,
+    table_rows,
+)
+from bear_tpu.counting.summarize import run_counting

@@ -1,0 +1,318 @@
+"""TPU-native k-mer transition counting engine.
+
+Replaces the reference's three-stage KMC pipeline (bear_model/summarize.py:
+stage-1 prefix/suffix fastq rewriting, stage-2 external C++ KMC count/sort/
+dump subprocesses, stage-3 Python heap-merge of sorted dumps) with a single
+device pass:
+
+    host: stream reads -> int8 base codes (bear_tpu.counting.fastx)
+    device: rolling base-4 context codes for every lag + scatter-add into
+            dense per-lag transition-count tables        (one jitted kernel)
+    merge: psum/all-reduce of per-device partial tables  (multi-chip)
+
+There is no sort, no disk round-trip, and no string processing on the hot
+path; the k-mer string only exists at the TSV-export boundary.
+
+Count-table layout
+------------------
+The context alphabet is residues + the start pad '['; since '[' occurs only
+as a prefix run, a lag-l context is (n_pad, suffix) with suffix in base 4 of
+length l - n_pad. Table row index:
+
+    offset(n_pad) = (4^(l-n_pad) - 1) / 3
+    row = offset(n_pad) + base4(suffix)
+    rows(l) = (4^(l+1) - 1) / 3    (~1.33 * 4^l)
+
+Columns are the transition symbols A,C,G,T,$ in the reference's order
+(summarize.py:59-64). Tables are [n_groups, rows(l), 5].
+
+Counting semantics parity (oracle: reference tests/test_summarize.py:90-114):
+for lag l, each read contributes len+1 transitions of the '['*l padded,
+']'-terminated sequence — prefix contexts included, one stop transition.
+Counts exceeding 2^32 do NOT clamp (KMC's documented 4-billion limit,
+summarize.py:66-67, is deliberately fixed here): the device accumulates int32
+per flush window and the host accumulator is int64.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STOP = 4  # transition column of '$'
+PAD_LEN_ALIGN = 64
+
+
+def table_rows(lag: int) -> int:
+    return (4 ** (lag + 1) - 1) // 3
+
+
+def pad_offset(lag: int, n_pad) -> int:
+    """Row offset of the contexts with n_pad leading '['s."""
+    return (4 ** (lag - n_pad) - 1) // 3
+
+
+def context_to_row(context: str, lag: int) -> int:
+    """Host-side: context string (may contain leading '[') -> table row."""
+    assert len(context) == lag
+    n_pad = len(context) - len(context.lstrip("["))
+    code = 0
+    for ch in context[n_pad:]:
+        code = code * 4 + "ACGT".index(ch)
+    return pad_offset(lag, n_pad) + code
+
+
+def row_to_context(row: int, lag: int) -> str:
+    """Host-side inverse of context_to_row."""
+    m = 0
+    while (4 ** (m + 1) - 1) // 3 <= row:
+        m += 1
+    code = row - (4**m - 1) // 3
+    letters = []
+    for _ in range(m):
+        letters.append("ACGT"[code % 4])
+        code //= 4
+    return "[" * (lag - m) + "".join(reversed(letters))
+
+
+@dataclass
+class ReadChunk:
+    """A padded batch of encoded reads/segments ready for the device kernel.
+
+    codes : [B, L] int8 base codes (0..3; padding is 0 and masked off).
+    lengths : [B] number of real bases in each row.
+    skip : [B] transitions at positions < skip are not counted (used for
+        continuation segments of long sequences, which carry a max_lag
+        overlap as context only).
+    stopped : [B] whether a '$' transition is emitted at position == length.
+    groups : [B] dataset group of each row.
+    """
+
+    codes: np.ndarray
+    lengths: np.ndarray
+    skip: np.ndarray
+    stopped: np.ndarray
+    groups: np.ndarray
+
+
+def _count_chunk_kernel(codes, lengths, skip, stopped, groups, lags, n_groups):
+    """Jitted device kernel: scatter-add one chunk's transitions into dense
+    per-lag tables. Returns {lag: int32 [n_groups * rows(lag), 5]}."""
+    B, L = codes.shape
+    P = L + 1  # transition positions 0..L (stop can land at j == length <= L)
+    j = jnp.arange(P, dtype=jnp.int32)[None, :]  # [1, P]
+    codes32 = codes.astype(jnp.int32)
+    lengths = lengths.astype(jnp.int32)[:, None]
+    skip = skip.astype(jnp.int32)[:, None]
+    groups32 = groups.astype(jnp.int32)[:, None]
+
+    # next symbol at position j: s[j] for j < len, '$' at j == len (if stopped)
+    codes_ext = jnp.pad(codes32, ((0, 0), (0, 1)))
+    nxt = jnp.where(j < lengths, codes_ext, STOP)
+    mask = (j >= skip) & (
+        (j < lengths) | ((j == lengths) & stopped.astype(bool)[:, None])
+    )
+
+    out = {}
+    max_lag = max(lags)
+    # shifted[i][b, j] = codes[b, j - i - 1] (0 when out of range): the
+    # (i+1)-th previous base of transition position j.
+    shifted = []
+    for i in range(1, max_lag + 1):
+        shifted.append(jnp.pad(codes32, ((0, 0), (i, 0)))[:, :P])
+
+    code_acc = jnp.zeros((B, P), dtype=jnp.int32)
+    pow4 = 1
+    for l in range(1, max_lag + 1):
+        # rolling base-4 suffix code: digits beyond the read start read the
+        # zero padding, which is exactly the truncated-prefix code.
+        code_acc = code_acc + shifted[l - 1] * pow4
+        pow4 *= 4
+        if l not in lags:
+            continue
+        n_pad = jnp.maximum(0, l - j)  # [1, P] broadcasting over rows
+        offset = (4 ** (l - n_pad) - 1) // 3
+        row = offset + code_acc
+        flat = (groups32 * table_rows(l) + row) * 5 + nxt
+        flat = jnp.where(mask, flat, 0)
+        upd = mask.astype(jnp.int32)  # masked positions add 0 at index 0
+        tbl = jnp.zeros((n_groups * table_rows(l) * 5,), dtype=jnp.int32)
+        tbl = tbl.at[flat.reshape(-1)].add(upd.reshape(-1), mode="drop")
+        out[l] = tbl.reshape(n_groups * table_rows(l), 5)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("lags", "n_groups"))
+def _count_chunk_jit(codes, lengths, skip, stopped, groups, lags, n_groups):
+    return _count_chunk_kernel(codes, lengths, skip, stopped, groups, lags, n_groups)
+
+
+@dataclass
+class TransitionCounter:
+    """Accumulates transition counts over streamed read chunks.
+
+    lags : which lags to count (the reference counts 1..max_lag;
+        pass a single lag for training-only use).
+    n_groups : number of dataset groups (merged columns).
+    reverse : also count the reverse complement of every read (the
+        reference's -r pass semantics: forward AND reverse counts in one
+        table set, test_summarize.py:100-114).
+    """
+
+    lags: Sequence[int]
+    n_groups: int = 1
+    reverse: bool = False
+    tables: Dict[int, np.ndarray] = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.lags = tuple(sorted(set(int(l) for l in self.lags)))
+        for l in self.lags:
+            self.tables[l] = np.zeros((self.n_groups, table_rows(l), 5), dtype=np.int64)
+
+    @property
+    def max_lag(self) -> int:
+        return max(self.lags)
+
+    def add_chunk(self, chunk: ReadChunk):
+        self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped, chunk.groups)
+        if self.reverse:
+            rc, rlen = reverse_complement_codes(chunk.codes, chunk.lengths)
+            # RC of a continuation segment would need right-side context;
+            # reverse counting of segmented sequences is handled by the
+            # caller emitting RC segments. Chunks built by chunk_reads for
+            # whole reads always have skip == 0.
+            assert np.all(chunk.skip == 0), "reverse=True requires whole-read chunks"
+            self._add(rc, rlen, chunk.skip, chunk.stopped, chunk.groups)
+
+    def _add(self, codes, lengths, skip, stopped, groups):
+        out = _count_chunk_jit(
+            jnp.asarray(codes),
+            jnp.asarray(lengths),
+            jnp.asarray(skip),
+            jnp.asarray(stopped),
+            jnp.asarray(groups),
+            self.lags,
+            self.n_groups,
+        )
+        for l in self.lags:
+            self.tables[l] += np.asarray(out[l]).astype(np.int64).reshape(
+                self.n_groups, table_rows(l), 5
+            )
+
+    def merge_from(self, other: "TransitionCounter"):
+        """Merge partial counts (cross-host/process reduction point)."""
+        for l in self.lags:
+            self.tables[l] += other.tables[l]
+
+    # -- output ------------------------------------------------------------
+
+    def nonzero_rows(self, lag: int) -> np.ndarray:
+        return np.nonzero(self.tables[lag].sum(axis=(0, 2)))[0]
+
+    def to_dataset(self, lag: int, alphabet: str = "dna"):
+        """Direct in-memory handoff to training (no TSV round-trip — a
+        capability the reference lacks)."""
+        from bear_tpu.data import CountDataset
+        from bear_tpu.ops import alphabets
+
+        rows = self.nonzero_rows(lag)
+        kmers = np.array([row_to_context(int(r), lag) for r in rows])
+        counts = self.tables[lag][:, rows, :].transpose(1, 0, 2).astype(np.float64)
+        codes = alphabets.encode_kmers(kmers, alphabet) if len(kmers) else np.zeros((0, lag), np.int8)
+        return CountDataset(kmers=kmers, codes=codes, counts=counts, alphabet=alphabet)
+
+    def export_tsv(self, out_prefix: str, lag: int, n_bin_bits: int = 0, seed: int = 0):
+        """Write reference-format TSVs: ``{out_prefix}_lag_{l}_file_{b}.tsv``
+        rows ``kmer\\t[[g0 counts],[g1 counts],...]`` sharded uniformly at
+        random into 2^n_bin_bits files (summarize.py:429-449)."""
+        rng = np.random.default_rng(seed)
+        n_bins = 2**n_bin_bits
+        rows = self.nonzero_rows(lag)
+        bins = rng.integers(0, n_bins, size=len(rows)) if n_bins > 1 else np.zeros(len(rows), int)
+        paths = [f"{out_prefix}_lag_{lag}_file_{b}.tsv" for b in range(n_bins)]
+        handles = [open(p, "w") for p in paths]
+        tab = self.tables[lag]
+        try:
+            for r, b in zip(rows, bins):
+                kmer = row_to_context(int(r), lag)
+                mat = "[[" + "],[".join(
+                    ",".join(str(int(c)) for c in tab[g, r]) for g in range(self.n_groups)
+                ) + "]]"
+                handles[b].write(f"{kmer}\t{mat}\n")
+        finally:
+            for h in handles:
+                h.close()
+        return paths
+
+
+def reverse_complement_codes(codes: np.ndarray, lengths: np.ndarray):
+    """RC on 2-bit codes: complement is 3 - c, reversal is per-row by length
+    (vectorized gather; out-of-range slots read position 0 and stay masked)."""
+    B, L = codes.shape
+    j = np.arange(L)[None, :]
+    src = lengths[:, None] - 1 - j
+    valid = src >= 0
+    rc = np.where(valid, 3 - codes[np.arange(B)[:, None], np.clip(src, 0, L - 1)], 0)
+    return rc.astype(codes.dtype), lengths.copy()
+
+
+def chunk_reads(
+    encoded: Iterable[tuple[np.ndarray, int]],
+    max_lag: int,
+    batch_size: int = 1024,
+    segment_len: int = 1 << 16,
+) -> Iterable[ReadChunk]:
+    """Batch encoded reads (code_array, group) into padded ReadChunks.
+
+    Long sequences (genomes) are split into segments of ``segment_len`` with a
+    ``max_lag`` overlap carried as context-only (skip = max_lag), so counting
+    streams at constant memory regardless of sequence length.
+    """
+    rows: List[tuple[np.ndarray, int, int, bool]] = []  # codes, group, skip, stopped
+
+    def emit():
+        nonlocal rows
+        if not rows:
+            return None
+        maxlen = max(len(c) for c, *_ in rows)
+        maxlen = -(-maxlen // PAD_LEN_ALIGN) * PAD_LEN_ALIGN
+        B = len(rows)
+        codes = np.zeros((B, maxlen), dtype=np.int8)
+        lengths = np.zeros(B, dtype=np.int32)
+        skip = np.zeros(B, dtype=np.int32)
+        stopped = np.zeros(B, dtype=bool)
+        groups = np.zeros(B, dtype=np.int32)
+        for i, (c, g, s, st) in enumerate(rows):
+            codes[i, : len(c)] = c
+            lengths[i] = len(c)
+            skip[i] = s
+            stopped[i] = st
+            groups[i] = g
+        rows = []
+        return ReadChunk(codes, lengths, skip, stopped, groups)
+
+    for code_arr, group in encoded:
+        n = len(code_arr)
+        if n <= segment_len:
+            rows.append((code_arr, group, 0, True))
+        else:
+            start = 0
+            first = True
+            while start < n:
+                end = min(start + segment_len, n)
+                seg_start = start if first else start - max_lag
+                rows.append((code_arr[seg_start:end], group, 0 if first else max_lag, end == n))
+                if len(rows) >= batch_size:
+                    yield emit()
+                first = False
+                start = end
+        if len(rows) >= batch_size:
+            yield emit()
+    last = emit()
+    if last is not None:
+        yield last

@@ -1,0 +1,111 @@
+"""Streaming FASTA/FASTQ parsing and base encoding on the host.
+
+Replaces the reference's Biopython iteration + fastq rewriting (stage 1 of
+summarize.py:96-286): reads stream directly into 2-bit base codes with no
+intermediate files. A C++ fast path (bear_tpu/counting/_fastx.cpp, loaded via
+ctypes) accelerates bulk encoding when built; the NumPy path is always
+available and semantically identical.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator, Tuple
+
+import numpy as np
+
+_ENCODE_TABLE = np.zeros(256, dtype=np.int8)
+for _i, _ch in enumerate("ACGT"):
+    _ENCODE_TABLE[ord(_ch)] = _i
+    _ENCODE_TABLE[ord(_ch.lower())] = _i
+# Bases outside ACGT (e.g. N) map to A — the reference pipeline is documented
+# as not handling N carefully either (summarize.py:69-70).
+
+_NATIVE = None
+
+
+def _native():
+    """ctypes handle to the C++ encoder, or None."""
+    global _NATIVE
+    if _NATIVE is None:
+        from bear_tpu.counting import _native_build
+
+        _NATIVE = _native_build.load() or False
+    return _NATIVE or None
+
+
+def encode_seq(seq: str) -> np.ndarray:
+    """ASCII sequence -> int8 codes 0..3."""
+    buf = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    return _ENCODE_TABLE[buf]
+
+
+def iter_fasta(path: str) -> Iterator[Tuple[str, str]]:
+    name, parts = None, []
+    with open(path, "r") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, "".join(parts)
+                name, parts = line[1:].split(" ")[0], []
+            else:
+                parts.append(line)
+        if name is not None:
+            yield name, "".join(parts)
+
+
+def iter_fastq(path: str) -> Iterator[Tuple[str, str]]:
+    with open(path, "r") as fh:
+        while True:
+            header = fh.readline()
+            if not header:
+                return
+            seq = fh.readline().rstrip("\n")
+            fh.readline()  # '+'
+            fh.readline()  # quality
+            yield header[1:].rstrip("\n").split(" ")[0], seq
+
+
+def iter_seqs(path: str, file_type: str) -> Iterator[Tuple[str, str]]:
+    if file_type == "fa":
+        return iter_fasta(path)
+    if file_type == "fq":
+        return iter_fastq(path)
+    raise ValueError(f"unknown file type {file_type!r} (expected 'fa' or 'fq')")
+
+
+def read_input_csv(path: str) -> list[tuple[str, int, str]]:
+    """Parse the reference's input CSV: rows FILE,GROUP,TYPE
+    (summarize.py:12-18)."""
+    entries = []
+    base = os.path.dirname(os.path.abspath(path))
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            f, group, ftype = [part.strip() for part in line.split(",")]
+            if ftype not in ("fa", "fq"):
+                raise ValueError(
+                    f"unknown file type {ftype!r} for {f!r} (expected 'fa' or 'fq')"
+                )
+            if not os.path.isabs(f):
+                f = os.path.join(base, f)
+            entries.append((f, int(group), ftype))
+    return entries
+
+
+def stream_encoded(
+    entries: Iterable[tuple[str, int, str]]
+) -> Iterator[Tuple[np.ndarray, int]]:
+    """Stream (code_array, group) over all input files."""
+    native = _native()
+    for path, group, ftype in entries:
+        if native is not None:
+            yield from native.stream_encoded(path, ftype, group)
+        else:
+            for _, seq in iter_seqs(path, ftype):
+                yield encode_seq(seq), group

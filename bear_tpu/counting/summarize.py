@@ -1,0 +1,106 @@
+"""Summarization CLI: sequence files -> per-lag transition-count TSVs.
+
+Drop-in replacement for the reference's ``python summarize.py`` (CLI contract
+at summarize.py:666-695), with the KMC subprocess pipeline replaced by the
+on-device counting engine. Same inputs (csv of FILE,GROUP,TYPE rows), same
+outputs (``{out_prefix}_lag_{l}_file_{b}.tsv`` with rows
+``kmer\\t[[group0 counts],...]``; reverse pass writes ``{out_prefix}_rev_*``),
+same flags where meaningful:
+
+-l      max lag (default 10)
+-nf     skip the forward pass
+-r      additionally run a reverse-complement pass (counts fwd+rc)
+-mf     max output chunk size in GB -> number of shard files
+-mk/-p/-t/-s12/-s3  accepted for compatibility; no-ops (no KMC, no temp
+        files, no multi-stage restart — counting is a single streaming pass)
+
+Deviation from the reference (deliberate): counts above 2^32 do not clamp
+(KMC's 4-billion cutoff, summarize.py:66-67).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+
+import numpy as np
+
+from bear_tpu.counting import engine, fastx
+
+
+def run_counting(
+    input_csv: str,
+    lags,
+    reverse: bool = False,
+    batch_size: int = 1024,
+    segment_len: int = 1 << 16,
+) -> engine.TransitionCounter:
+    """Count transitions for all requested lags over the input file set."""
+    entries = fastx.read_input_csv(input_csv)
+    n_groups = max(group for _, group, _ in entries) + 1
+    counter = engine.TransitionCounter(lags=lags, n_groups=n_groups, reverse=reverse)
+    stream = fastx.stream_encoded(
+        (path, group, ftype) for path, group, ftype in entries
+    )
+    tagged = ((codes, group) for codes, group in stream)
+    for chunk in engine.chunk_reads(tagged, counter.max_lag, batch_size, segment_len):
+        counter.add_chunk(chunk)
+    return counter
+
+
+def compute_n_bin_bits(total_rows: int, n_groups: int, mf_gb: float) -> int:
+    """Shard-count heuristic analogous to summarize.py:594-598: rows are
+    ~64 bytes each in TSV form."""
+    approx_bytes = total_rows * n_groups * 32
+    return int(max(np.ceil(np.log2(max(approx_bytes / (mf_gb * 1e9), 1))), 0))
+
+
+def run(args) -> int:
+    print("Counting...", datetime.datetime.now())
+    counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r)
+    print("Writing...", datetime.datetime.now())
+    total_rows = sum(len(counter.nonzero_rows(l)) for l in counter.lags)
+    n_bin_bits = compute_n_bin_bits(total_rows, counter.n_groups, args.mf)
+    for l in counter.lags:
+        counter.export_tsv(args.out_prefix, l, n_bin_bits)
+    print("Finished.", datetime.datetime.now())
+    return 2**n_bin_bits
+
+
+def main(args):
+    """Forward pass, then optional reverse pass with ``_rev`` prefix
+    (reference summarize.py:648-663)."""
+    n_bins = None
+    n_bins_rev = None
+    store_r = args.r
+    args.r = False
+    if not args.nf:
+        n_bins = run(args)
+    if store_r:
+        args.r = True
+        args.out_prefix += "_rev"
+        n_bins_rev = run(args)
+    return n_bins, n_bins_rev
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Extract k-mer transition-count summary statistics for BEAR training."
+    )
+    parser.add_argument("file", help="Input csv of FILE,GROUP,TYPE rows.")
+    parser.add_argument("out_prefix", help="Prefix for output files.")
+    parser.add_argument("-l", default=10, type=int, help="Maximum lag.")
+    parser.add_argument("-mk", default=12, type=float, help="(compat; unused — no KMC)")
+    parser.add_argument("-mf", default=0.1, type=float, help="Max output chunk size (GB).")
+    parser.add_argument("-p", default="", help="(compat; unused — no KMC binaries)")
+    parser.add_argument("-nf", action="store_true", default=False, help="Skip forward pass.")
+    parser.add_argument("-r", action="store_true", default=False, help="Also run reverse-complement pass.")
+    parser.add_argument("-pr", action="store_true", default=False, help="(compat; all lags always counted)")
+    parser.add_argument("-t", default="tmp/", help="(compat; unused — no temp files)")
+    parser.add_argument("-s12", action="store_true", default=False, help="(compat; unused)")
+    parser.add_argument("-s3", action="store_true", default=False, help="(compat; unused)")
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,212 @@
+"""Counting-engine oracle: brute-force in-memory Python recount of every
+k-mer transition for every lag, forward and reverse-complement, exactly the
+oracle of the reference's tests/test_summarize.py:90-159 — plus TSV export
+round-trip, long-sequence segmentation, in-memory dataset handoff, and the
+native C++ parser against the Python one."""
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from bear_tpu.counting import (
+    TransitionCounter,
+    chunk_reads,
+    context_to_row,
+    row_to_context,
+    table_rows,
+)
+from bear_tpu.counting import engine, fastx
+from bear_tpu.counting.summarize import main as summarize_main, build_parser
+
+ALPHABET = {"A": 0, "C": 1, "G": 2, "T": 3, "]": 4}
+RC = str.maketrans("ACGT", "TGCA")
+
+
+def revcomp(s):
+    return s.translate(RC)[::-1]
+
+
+def brute_force_counts(seqs_groups, max_lag, n_groups, reverse=False):
+    """The reference's oracle (test_summarize.py:90-114)."""
+    out = [defaultdict(lambda: np.zeros((n_groups, 5), dtype=np.int64)) for _ in range(max_lag)]
+    for seq, group in seqs_groups:
+        variants = [seq, revcomp(seq)] if reverse else [seq]
+        for s in variants:
+            for li in range(max_lag):
+                lag = li + 1
+                full = "[" * lag + s + "]"
+                for j in range(lag, len(full)):
+                    out[li][full[j - lag : j]][group][ALPHABET[full[j]]] += 1
+    return out
+
+
+def random_seqs(rng, n, lo=14, hi=18):
+    return ["".join(rng.choice(list("ACGT"), rng.integers(lo, hi))) for _ in range(n)]
+
+
+def assert_tables_match(counter, oracle, max_lag, n_groups):
+    for li in range(max_lag):
+        lag = li + 1
+        table = counter.tables[lag]
+        # Every oracle kmer matches; no extra nonzero rows.
+        seen_rows = set()
+        for kmer, mat in oracle[li].items():
+            row = context_to_row(kmer, lag)
+            seen_rows.add(row)
+            np.testing.assert_array_equal(
+                table[:, row, :], mat, err_msg=f"lag {lag} kmer {kmer}"
+            )
+        nz = set(int(r) for r in counter.nonzero_rows(lag))
+        assert nz == {r for r in seen_rows if oracle[li][row_to_context(r, lag)].sum() > 0}
+
+
+def test_row_codec_roundtrip():
+    for lag in (1, 3, 5):
+        for row in range(table_rows(lag)):
+            assert context_to_row(row_to_context(row, lag), lag) == row
+
+
+def test_counting_matches_oracle():
+    rng = np.random.default_rng(1)
+    max_lag, n_groups = 6, 3
+    seqs = random_seqs(rng, 12)
+    groups = [int(g) for g in rng.integers(0, n_groups, len(seqs))]
+    counter = TransitionCounter(lags=range(1, max_lag + 1), n_groups=n_groups)
+    enc = ((fastx.encode_seq(s), g) for s, g in zip(seqs, groups))
+    for chunk in chunk_reads(enc, max_lag, batch_size=5):
+        counter.add_chunk(chunk)
+    oracle = brute_force_counts(list(zip(seqs, groups)), max_lag, n_groups)
+    assert_tables_match(counter, oracle, max_lag, n_groups)
+
+
+def test_counting_reverse_matches_oracle():
+    rng = np.random.default_rng(2)
+    max_lag, n_groups = 4, 2
+    seqs = random_seqs(rng, 8)
+    groups = [int(g) for g in rng.integers(0, n_groups, len(seqs))]
+    counter = TransitionCounter(lags=range(1, max_lag + 1), n_groups=n_groups, reverse=True)
+    enc = ((fastx.encode_seq(s), g) for s, g in zip(seqs, groups))
+    for chunk in chunk_reads(enc, max_lag, batch_size=3):
+        counter.add_chunk(chunk)
+    oracle = brute_force_counts(list(zip(seqs, groups)), max_lag, n_groups, reverse=True)
+    assert_tables_match(counter, oracle, max_lag, n_groups)
+
+
+def test_long_sequence_segmentation():
+    # A genome-scale sequence split into segments must count identically to
+    # the unsegmented oracle (constant-memory streaming).
+    rng = np.random.default_rng(3)
+    seq = "".join(rng.choice(list("ACGT"), 5000))
+    max_lag = 5
+    counter = TransitionCounter(lags=range(1, max_lag + 1), n_groups=1)
+    for chunk in chunk_reads([(fastx.encode_seq(seq), 0)], max_lag, segment_len=512):
+        counter.add_chunk(chunk)
+    oracle = brute_force_counts([(seq, 0)], max_lag, 1)
+    assert_tables_match(counter, oracle, max_lag, 1)
+
+
+def test_seq_shorter_than_lag():
+    # Sequence shorter than the lag: all contexts are '['-padded.
+    seq = "AC"
+    counter = TransitionCounter(lags=[5], n_groups=1)
+    for chunk in chunk_reads([(fastx.encode_seq(seq), 0)], 5):
+        counter.add_chunk(chunk)
+    oracle = brute_force_counts([(seq, 0)], 5, 1)
+    for kmer, mat in oracle[4].items():
+        row = context_to_row(kmer, 5)
+        np.testing.assert_array_equal(counter.tables[5][:, row, :], mat)
+
+
+def test_to_dataset_handoff():
+    seqs = ["ACGTACGT", "TTTT"]
+    counter = TransitionCounter(lags=[3], n_groups=2)
+    enc = [(fastx.encode_seq(s), g) for s, g in zip(seqs, [0, 1])]
+    for chunk in chunk_reads(iter(enc), 3):
+        counter.add_chunk(chunk)
+    ds = counter.to_dataset(3)
+    assert ds.counts.shape[1] == 2
+    oracle = brute_force_counts(list(zip(seqs, [0, 1])), 3, 2)
+    for i, kmer in enumerate(ds.kmers):
+        np.testing.assert_array_equal(ds.counts[i], oracle[2][kmer])
+
+
+def test_summarize_cli_end_to_end(tmp_path):
+    # Full CLI: write fasta/fastq inputs, run forward + reverse passes, parse
+    # the TSVs back, compare with the oracle (reference test_summarize.py
+    # test_main shape).
+    rng = np.random.default_rng(4)
+    n_files = 4
+    groups = [0, 0, 1, 2]
+    ftypes = ["fa", "fq", "fq", "fa"]
+    all_seqs = []
+    csv_lines = []
+    for fi in range(n_files):
+        seqs = random_seqs(rng, int(rng.integers(2, 5)))
+        all_seqs += [(s, groups[fi]) for s in seqs]
+        path = tmp_path / f"in_{fi}.{ftypes[fi]}"
+        with open(path, "w") as fh:
+            for si, s in enumerate(seqs):
+                if ftypes[fi] == "fa":
+                    fh.write(f">s{fi}_{si}\n{s}\n")
+                else:
+                    fh.write(f"@s{fi}_{si}\n{s}\n+\n{'F'*len(s)}\n")
+        csv_lines.append(f"{path},{groups[fi]},{ftypes[fi]}")
+    csv = tmp_path / "infiles.csv"
+    csv.write_text("\n".join(csv_lines) + "\n")
+
+    max_lag = 5
+    out_prefix = str(tmp_path / "out")
+    args = build_parser().parse_args([str(csv), out_prefix, "-l", str(max_lag), "-r"])
+    n_bins, n_bins_rev = summarize_main(args)
+    assert n_bins >= 1 and n_bins_rev >= 1
+
+    def parse_outputs(prefix, nbins):
+        import csv as csvmod
+        import json
+
+        found = [dict() for _ in range(max_lag)]
+        for li in range(max_lag):
+            for b in range(nbins):
+                path = f"{prefix}_lag_{li+1}_file_{b}.tsv"
+                if not os.path.exists(path):
+                    continue
+                with open(path, newline="") as fh:
+                    for kmer, mat in csvmod.reader(fh, delimiter="\t"):
+                        assert kmer not in found[li], "duplicate kmer across shards"
+                        found[li][kmer] = np.array(json.loads(mat))
+        return found
+
+    fwd = parse_outputs(out_prefix, n_bins)
+    rev = parse_outputs(out_prefix + "_rev", n_bins_rev)
+    oracle_fwd = brute_force_counts(all_seqs, max_lag, 3)
+    oracle_rev = brute_force_counts(all_seqs, max_lag, 3, reverse=True)
+    for li in range(max_lag):
+        assert set(fwd[li]) == set(k for k, m in oracle_fwd[li].items() if m.sum() > 0)
+        for kmer, mat in fwd[li].items():
+            np.testing.assert_array_equal(mat, oracle_fwd[li][kmer])
+        assert set(rev[li]) == set(k for k, m in oracle_rev[li].items() if m.sum() > 0)
+        for kmer, mat in rev[li].items():
+            np.testing.assert_array_equal(mat, oracle_rev[li][kmer])
+
+
+def test_native_parser_matches_python(tmp_path):
+    from bear_tpu.counting import _native_build
+
+    native = _native_build.load()
+    if native is None:
+        pytest.skip("native encoder unavailable (no compiler)")
+    fa = tmp_path / "x.fa"
+    fa.write_text(">a desc\nACGTNacgt\nGGG\n>b\nTTTT\n")
+    fq = tmp_path / "x.fq"
+    fq.write_text("@a\nACGT\n+\nFFFF\n@b\nGG\n+\nFF\n")
+    for path, ftype in [(fa, "fa"), (fq, "fq")]:
+        via_native = list(native.stream_encoded(str(path), ftype, 7))
+        via_python = [
+            (fastx.encode_seq(seq), 7) for _, seq in fastx.iter_seqs(str(path), ftype)
+        ]
+        assert len(via_native) == len(via_python)
+        for (a, ga), (b, gb) in zip(via_native, via_python):
+            np.testing.assert_array_equal(a, b)
+            assert ga == gb == 7
