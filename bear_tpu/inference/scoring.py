@@ -1,0 +1,500 @@
+"""Posterior-predictive scoring of variants and sequences.
+
+Replaces the reference's bear_model/get_var_probs.py. The structural change:
+KMC random-access queries (py_kmc_api C++ bindings, get_var_probs.py:196-289)
+become plain gathers into the counting engine's dense transition tables — a
+k-mer's counts are table[row(context)] — and the NumPy rejection-sampled
+Monte Carlo (log_gamma) becomes the jitted rejection-free JAX sampler.
+
+Model stacking order matches the reference (get_var_probs.py:136-153):
+[raw AR (MAP mode only)] + [BEAR at each h] + [BMM at each van].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bear_tpu.ops import alphabets
+from bear_tpu.ops.distributions import EPSILON
+from bear_tpu.ops.loggamma import sample_dirichlet_log
+
+STOP = "]"
+
+
+# --- counters: kmer strings -> transition counts --------------------------
+
+
+class TableCounter:
+    """Random-access transition counts from a TransitionCounter table —
+    the TPU-native replacement of make_kmc_genome_counter
+    (reference get_var_probs.py:210-289).
+
+    For reverse-strand inclusion (the KMC counter's ``reverse=True``), build
+    the TransitionCounter with ``reverse=True``: a table counted over
+    {s} ∪ {revcomp(s)} reproduces the KMC forward+RC query results exactly
+    (full (k+1)-mer windows, prefix-db and suffix-db conventions included).
+
+    no_end=True zeroes the stop column (assembly mode; ends of assemblies are
+    unreliable, get_var_probs.py:212-213).
+    """
+
+    def __init__(self, counter, lag: int, group: int = 0, no_end: bool = False):
+        from bear_tpu.counting.engine import context_to_row
+
+        self._table = counter.tables[lag][group]
+        self._lag = lag
+        self._no_end = no_end
+        self._row = context_to_row
+
+    def __call__(self, kmers) -> np.ndarray:
+        kmers = np.asarray(kmers)
+        flat = kmers.reshape(-1)
+        out = np.zeros((flat.size, self._table.shape[-1]), dtype=np.float64)
+        for i, k in enumerate(flat):
+            k = str(k)
+            if len(k) < self._lag:
+                k = "[" * (self._lag - len(k)) + k
+            out[i] = self._table[self._row(k, self._lag)]
+        if self._no_end:
+            out[:, -1] = 0.0
+        return out.reshape(kmers.shape + (self._table.shape[-1],))
+
+
+class DatasetCounter:
+    """Transition counts looked up from an in-memory CountDataset (the
+    reference's batch-scan branch, get_var_probs.py:429-451, without the
+    streaming: counts live in host memory already). Unseen k-mers return
+    zeros (prior-only scoring, get_var_probs.py:444-451)."""
+
+    def __init__(self, dataset):
+        self._index = {k: i for i, k in enumerate(dataset.kmers)}
+        self._counts = dataset.counts
+
+    def __call__(self, kmers) -> np.ndarray:
+        kmers = np.asarray(kmers)
+        flat = kmers.reshape(-1)
+        num_ds, A1 = self._counts.shape[1:]
+        out = np.zeros((flat.size, num_ds, A1), dtype=self._counts.dtype)
+        for i, k in enumerate(flat):
+            j = self._index.get(str(k))
+            if j is not None:
+                out[i] = self._counts[j]
+        return out.reshape(kmers.shape + (num_ds, A1))
+
+
+# --- pdf ------------------------------------------------------------------
+
+
+@dataclass
+class Pdf:
+    """Transition log-probabilities for a set of k-mers.
+
+    log_probs : [num_kmers, A+1, num_models, mc_samples]
+    kmers : the context strings, indexable by (k+1)-mer via lookup.
+    """
+
+    kmers: np.ndarray
+    log_probs: np.ndarray
+    alphabet_name: str
+
+    def __post_init__(self):
+        self._index = {k: i for i, k in enumerate(self.kmers)}
+        self._letters = {
+            ch: i for i, ch in enumerate(alphabets.output_letters(self.alphabet_name))
+        }
+
+    def __contains__(self, kmer: str) -> bool:
+        return kmer in self._index
+
+    def lookup(self, kp1mers: Sequence[str]) -> np.ndarray:
+        """[len(kp1mers), num_models, mc_samples] log-probs of transitions."""
+        if len(kp1mers) == 0:
+            return np.zeros(self.log_probs.shape[2:])[None][:0]
+        rows = np.array([self._index[k[:-1]] for k in kp1mers])
+        cols = np.array([self._letters[k[-1]] for k in kp1mers])
+        return self.log_probs[rows, cols]
+
+    def __call__(self, kp1mers: Sequence[str]) -> np.ndarray:
+        """Summed [num_models, mc_samples] contribution (the reference's
+        summed prob_func, get_var_probs.py:84-89)."""
+        if len(kp1mers) == 0:
+            return np.zeros(self.log_probs.shape[2:])
+        return self.lookup(kp1mers).sum(axis=0)
+
+
+@dataclass
+class MargPdf:
+    """Exact marginal-likelihood scorer: (kmers, transition count vectors) ->
+    per-model log marginal (reference get_var_probs.py:156-170)."""
+
+    kmers: np.ndarray
+    concs: np.ndarray  # [num_models, num_kmers, A+1]
+
+    def __post_init__(self):
+        self._index = {k: i for i, k in enumerate(self.kmers)}
+
+    def __contains__(self, kmer: str) -> bool:
+        return kmer in self._index
+
+    def __call__(self, kmers: Sequence[str], counts: np.ndarray) -> np.ndarray:
+        from scipy.special import loggamma
+
+        rows = np.array([self._index[k] for k in kmers])
+        concs = self.concs[:, rows, :]  # [M, n, A+1]
+        counts = np.asarray(counts, dtype=np.float64)[None]
+        lp = (
+            loggamma(concs.sum(-1))
+            - loggamma(concs).sum(-1)
+            - loggamma((concs + counts).sum(-1))
+            + loggamma(concs + counts).sum(-1)
+        )
+        return lp.sum(axis=-1)  # [num_models]
+
+
+def get_pdf(
+    kmers,
+    counts,
+    h,
+    ar_apply: Optional[Callable],
+    mc_samples: int,
+    vans,
+    train_col: int,
+    alphabet_name: str,
+    get_map: bool = False,
+    get_marg: bool = False,
+    key=None,
+    dtype=jnp.float64,
+):
+    """Build transition log-probabilities for all (k+1)-mer transitions
+    (reference get_var_probs.py:91-194).
+
+    Parameters
+    ----------
+    kmers : array of context strings.
+    counts : [n, num_ds, A+1] transition counts (train_col selects the column).
+    h : array of BEAR h values (or None/empty without an AR model).
+    ar_apply : one_hot -> probs closure (already including any load-time
+        softmax), or None for BMM-only.
+    vans : BMM symmetric prior values.
+    get_map : MAP point estimates (prepends a raw-AR model row).
+    get_marg : exact marginal scorer instead of sampling.
+
+    Returns Pdf (MC/MAP) or MargPdf (get_marg).
+    """
+    assert not (get_marg and get_map), "pick marg or map"
+    A1 = alphabets.alphabet_size(alphabet_name) + 1
+    kmers = np.asarray(kmers).astype(str)
+    counts = np.asarray(counts, dtype=np.float64)
+    counts_train = counts[:, train_col, :]
+    vans = np.asarray(list(vans), dtype=np.float64)
+    if get_map or get_marg:
+        mc_samples = 1
+
+    model_concs = []
+    ar_vals = None
+    if ar_apply is not None:
+        h = np.atleast_1d(np.asarray(h, dtype=np.float64))
+        oh = alphabets.one_hot_kmers(kmers, alphabet_name, dtype)
+        ar_vals = np.asarray(ar_apply(oh), dtype=np.float64)
+        model_concs.append(ar_vals[None] / h[:, None, None])
+    if len(vans) > 0:
+        model_concs.append(
+            vans[:, None, None] * np.ones((1, len(kmers), A1))
+        )
+    alpha = np.concatenate(model_concs, axis=0)
+    concs = alpha + counts_train[None]
+
+    if get_marg:
+        return MargPdf(kmers=kmers, concs=concs)
+
+    if get_map:
+        if ar_vals is not None:
+            concs = np.concatenate([ar_vals[None], concs], axis=0)
+        log_probs = np.log(concs / concs.sum(-1, keepdims=True))
+        log_probs = log_probs[..., None]  # mc axis
+    else:
+        if key is None:
+            key = jax.random.key(0)
+        draws = sample_dirichlet_log(
+            key, jnp.asarray(concs, dtype=dtype), size=(mc_samples,)
+        )
+        log_probs = np.moveaxis(np.asarray(draws), 0, -1)  # [M, n, A+1, S]
+
+    # -> [num_kmers, A+1, num_models, mc_samples]
+    log_probs = np.moveaxis(log_probs, 0, 2)
+    return Pdf(kmers=kmers, log_probs=log_probs, alphabet_name=alphabet_name)
+
+
+# --- model loading --------------------------------------------------------
+
+
+def load_bear(path: str, double_softmax: bool = True):
+    """Load a trained model directory (config.cfg + results.pickle) into a
+    scoring-ready ar_apply closure (reference get_var_probs.py:59-82).
+
+    double_softmax reproduces the reference's load-time quirk
+    (get_var_probs.py:79-82): scoring uses softmax(ar_func(.)) + eps even
+    though ar_func already returns probabilities, so scoring-path
+    probabilities differ from training-path ones. Pass False for the
+    mathematically-intended probabilities.
+    """
+    import configparser
+    import json
+    import os
+
+    from bear_tpu.models import bear_net, get_ar_func
+    from bear_tpu.utils.checkpoint import load_params_list
+
+    config = configparser.ConfigParser()
+    config.read(os.path.join(path, "config.cfg"))
+    lag = int(config["hyperp"]["lag"])
+    alphabet_name = config["data"]["alphabet"]
+    A = alphabets.alphabet_size(alphabet_name)
+    dtype = jnp.float64 if config["general"]["precision"] == "float64" else jnp.float32
+    ar_func = get_ar_func(
+        config["model"]["ar_func_name"],
+        lag,
+        A,
+        json.loads(config["model"]["af_kwargs"]),
+        dtype=dtype,
+    )
+    params = bear_net.params_from_list(load_params_list(path), dtype=dtype)
+    h = float(np.exp(np.asarray(params["h_signed"])))
+
+    @jax.jit
+    def ar_apply(oh):
+        probs = ar_func.apply(params["ar"], oh)
+        if double_softmax:
+            probs = jax.nn.softmax(probs)
+        return probs + EPSILON
+
+    info = {
+        "config": config,
+        "params": params,
+        "files_path": config["data"]["files_path"],
+        "start_token": config["data"]["start_token"],
+        "sparse": config["data"]["sparse"] == "True",
+        "num_ds": int(config["data"]["num_ds"]),
+    }
+    return lag, alphabet_name, h, ar_apply, info
+
+
+def load_bear_dataset(info):
+    """Load the count dataset a trained model was fit on (reference
+    get_var_probs.py:35-57)."""
+    from bear_tpu.data import discover_files, load_files
+    from bear_tpu.utils.config import bundled_ysd1_path
+
+    if info["files_path"] == "TEST":
+        files = [bundled_ysd1_path()]
+    else:
+        files = discover_files(info["files_path"], info["start_token"])
+    return load_files(files, info["config"]["data"]["alphabet"], info["num_ds"], sparse=info["sparse"])
+
+
+# --- variant scoring ------------------------------------------------------
+
+
+def parse_var(var: str):
+    """'AAG23CC' -> ('AAG', 'CC', 23); accepts insertions and deletions
+    (reference get_var_probs.py:336-341)."""
+    is_int = [ch.isnumeric() for ch in var]
+    pos_num = int(np.min(np.argwhere(is_int)))
+    len_num = int(np.sum(is_int))
+    return var[:pos_num], var[pos_num + len_num :], int(var[pos_num : pos_num + len_num])
+
+
+def _variant_windows(wt_seq: str, var, lag: int):
+    """Wild-type and mutant (k+1)-mer windows around a variant
+    (reference get_var_probs.py:293-334)."""
+    wt_aa, mt_aa, pos = var
+    pos = pos + lag
+    assert wt_aa == wt_seq[pos : pos + len(wt_aa)], (
+        f"variant {var} does not match wild-type sequence at position {pos - lag}"
+    )
+    wt_win = wt_seq[pos - lag : pos + lag + len(wt_aa)]
+    mt_win = wt_seq[pos - lag : pos] + mt_aa + wt_seq[pos + len(wt_aa) : pos + lag + len(wt_aa)]
+    wt_kmers = [wt_win[i : i + lag + 1] for i in range(len(wt_win) - lag)]
+    mt_kmers = [mt_win[i : i + lag + 1] for i in range(len(mt_win) - lag)]
+    return wt_kmers, mt_kmers
+
+
+def get_bear_probs(
+    bear_path: Optional[str],
+    wt_seq: str,
+    vars_,
+    train_col: int,
+    mc_samples: int = 41,
+    vans=(0.1, 1, 10),
+    get_map: bool = False,
+    lag: Optional[int] = None,
+    alphabet_name: Optional[str] = None,
+    h=None,
+    data=None,
+    counter: Optional[Callable] = None,
+    seed: int = 0,
+):
+    """Score variants against a wild-type sequence via Δ log-probability of
+    the covering (k+1)-mers (reference get_var_probs.py:343-454).
+
+    counter : optional callable kmers -> [n, A+1] counts (e.g. TableCounter),
+        replacing the reference's kmc_path branch; otherwise ``data``
+        (a CountDataset) is queried.
+
+    Returns scores [num_variants, num_models, mc_samples]
+    (mc axis dropped when get_map).
+    """
+    ar_apply = None
+    if bear_path is not None:
+        lag, alphabet_name, h_bear, ar_apply, info = load_bear(bear_path)
+        if data is None and counter is None:
+            data = load_bear_dataset(info)
+        if h is None:
+            h = np.array([h_bear])
+    else:
+        assert lag is not None and alphabet_name is not None
+        assert (data is not None or counter is not None) and len(vans) > 0
+
+    wt_seq = lag * "[" + wt_seq + STOP
+    vars_parsed = [parse_var(v) for v in np.asarray(vars_)]
+
+    all_kmers = []
+    for var in vars_parsed:
+        wt_k, mt_k = _variant_windows(wt_seq, var, lag)
+        all_kmers += [k[:-1] for k in wt_k] + [k[:-1] for k in mt_k]
+    all_kmers = np.array(sorted(set(all_kmers)))
+
+    if counter is not None:
+        counts = np.asarray(counter(all_kmers))
+        if counts.ndim == 2:
+            counts = counts[:, None, :]
+        train_col_eff = 0
+    else:
+        counts = DatasetCounter(data)(all_kmers)
+        train_col_eff = train_col
+
+    pdf = get_pdf(
+        all_kmers,
+        counts,
+        h,
+        ar_apply,
+        mc_samples,
+        vans,
+        train_col_eff,
+        alphabet_name,
+        get_map,
+        key=jax.random.key(seed),
+    )
+
+    num_models = pdf.log_probs.shape[2]
+    eff_samples = 1 if get_map else mc_samples
+    scores = np.zeros((len(vars_parsed), num_models, eff_samples))
+    for i, var in enumerate(vars_parsed):
+        wt_k, mt_k = _variant_windows(wt_seq, var, lag)
+        scores[i] += pdf(mt_k) - pdf(wt_k)
+    if get_map:
+        scores = scores[..., 0]
+    return scores
+
+
+# --- whole-sequence scoring ----------------------------------------------
+
+
+def _seq_kmers(seq: str, lag: int):
+    return [seq[i : i + lag] for i in range(len(seq) - lag)]
+
+
+def get_bear_probs_seqs(
+    bear_path: Optional[str],
+    seqs,
+    train_col: int,
+    mc_samples: int = 41,
+    vans=(0.1, 1, 10),
+    get_map: bool = False,
+    get_marg: bool = False,
+    lag: Optional[int] = None,
+    alphabet_name: Optional[str] = None,
+    h=None,
+    data=None,
+    counter: Optional[Callable] = None,
+    no_ends: bool = False,
+    seed: int = 0,
+):
+    """Score whole sequences under BEAR posterior predictive / BMM
+    (reference get_var_probs.py:510-631).
+
+    Returns scores [num_seqs, num_models, mc_samples] (mc axis dropped for
+    get_map/get_marg).
+    """
+    ar_apply = None
+    if bear_path is not None:
+        lag, alphabet_name, h_bear, ar_apply, info = load_bear(bear_path)
+        if data is None and counter is None:
+            data = load_bear_dataset(info)
+        if h is None:
+            h = np.array([h_bear])
+    else:
+        assert lag is not None and alphabet_name is not None
+        assert (data is not None or counter is not None) and len(vans) > 0
+
+    if not no_ends:
+        seqs = [lag * "[" + s + STOP for s in seqs]
+    for s in seqs:
+        assert len(s.replace("[", "").replace(STOP, "")) >= lag, (
+            "sequences shorter than the lag cannot be scored"
+        )
+
+    all_kmers = np.array(sorted(set(k for s in seqs for k in _seq_kmers(s, lag))))
+
+    if counter is not None:
+        counts = np.asarray(counter(all_kmers))
+        if counts.ndim == 2:
+            counts = counts[:, None, :]
+        train_col_eff = 0
+    else:
+        counts = DatasetCounter(data)(all_kmers)
+        train_col_eff = train_col
+
+    pdf = get_pdf(
+        all_kmers,
+        counts,
+        h,
+        ar_apply,
+        mc_samples,
+        vans,
+        train_col_eff,
+        alphabet_name,
+        get_map,
+        get_marg,
+        key=jax.random.key(seed),
+    )
+
+    out_letters = alphabets.output_letters(alphabet_name)
+    if get_marg:
+        num_models = pdf.concs.shape[0]
+        scores = np.zeros((len(seqs), num_models, 1))
+        for i, seq in enumerate(seqs):
+            # aggregate per-kmer transition-count vectors for this sequence
+            kmer_counts = {}
+            for l in range(len(seq) - lag):
+                k = seq[l : l + lag]
+                vec = kmer_counts.setdefault(k, np.zeros(len(out_letters)))
+                vec[np.argmax(out_letters == seq[l + lag])] += 1
+            ks = list(kmer_counts)
+            scores[i, :, 0] = pdf(ks, np.stack([kmer_counts[k] for k in ks]))
+        return scores[..., 0]
+
+    num_models = pdf.log_probs.shape[2]
+    eff_samples = 1 if get_map else mc_samples
+    scores = np.zeros((len(seqs), num_models, eff_samples))
+    for i, seq in enumerate(seqs):
+        kp1 = [seq[l : l + lag + 1] for l in range(len(seq) - lag)]
+        scores[i] += pdf(kp1)
+    if get_map:
+        scores = scores[..., 0]
+    return scores

@@ -1,0 +1,92 @@
+"""Assembly: generated sequences follow the count-table transition structure,
+per-sequence model draws are reused on context revisit, determinism by seed,
+BMM and BEAR modes, and entropy/fasta outputs."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from bear_tpu.counting import TransitionCounter, chunk_reads
+from bear_tpu.counting import fastx
+from bear_tpu.inference import assemble_no_ends
+
+
+def _table_from(seqs, lag, reverse=False):
+    tc = TransitionCounter(lags=[lag], n_groups=1, reverse=reverse)
+    enc = [(fastx.encode_seq(s), 0) for s in seqs]
+    for chunk in chunk_reads(iter(enc), lag):
+        tc.add_chunk(chunk)
+    return tc.tables[lag][0]
+
+
+def test_deterministic_structure_follows_counts():
+    # Training data is a pure repeat: ACGACGACG... — generation from the
+    # count table must continue the cycle exactly (van prior tiny).
+    lag = 3
+    seqs = ["ACG" * 30]
+    table = _table_from(seqs, lag)
+    gen, ent = assemble_no_ends(
+        ["ACG"], [[0, 12]], 3, lag=lag, counter_table=table, van=1e-6,
+    )
+    assert gen.shape == (1, 3)
+    for s in gen[0]:
+        assert s == ("ACG" * 5)[:15], s
+    # Zero entropy everywhere (all replicas identical).
+    np.testing.assert_allclose(ent[0], 0.0, atol=1e-12)
+
+
+def test_left_extension_revcomp():
+    # Left flank extends the reverse complement; with a cyclic table the
+    # stitched sequence must remain on-cycle.
+    lag = 3
+    seqs = ["ACG" * 30]
+    table = _table_from(seqs, lag, reverse=True)
+    gen, _ = assemble_no_ends(
+        ["CGA"], [[6, 6]], 2, lag=lag, counter_table=table, van=1e-6,
+    )
+    for s in gen[0]:
+        assert len(s) == 15
+        assert s in ("ACGACGACGACGACG", "CGACGACGACGACGA", "GACGACGACGACGAC"), s
+
+
+def test_seed_determinism_and_variation():
+    lag = 2
+    rng = np.random.default_rng(0)
+    data = ["".join(rng.choice(list("ACGT"), 200)) for _ in range(3)]
+    table = _table_from(data, lag)
+    g1, _ = assemble_no_ends(["AC"], [[0, 20]], 4, lag=lag, counter_table=table, van=1.0, seed=7)
+    g2, _ = assemble_no_ends(["AC"], [[0, 20]], 4, lag=lag, counter_table=table, van=1.0, seed=7)
+    g3, _ = assemble_no_ends(["AC"], [[0, 20]], 4, lag=lag, counter_table=table, van=1.0, seed=8)
+    np.testing.assert_array_equal(g1, g2)
+    assert np.any(g1 != g3)
+    # Different replicas differ (independent sampled models).
+    assert len(set(g1[0])) > 1
+
+
+def test_bear_mode_and_map(tmp_path):
+    lag = 3
+    rng = np.random.default_rng(1)
+    data = ["".join(rng.choice(list("ACGT"), 300))]
+    table = _table_from(data, lag)
+
+    def ar_apply(oh):
+        return jnp.full(oh.shape[:-2] + (5,), 0.2, dtype=oh.dtype)
+
+    gen, ent = assemble_no_ends(
+        ["ACGT", "TTTT"], [[3, 5], [2, 2]], 2, lag=lag, counter_table=table,
+        h=0.5, ar_apply=ar_apply, save_folder=str(tmp_path),
+    )
+    assert gen.shape == (2, 2)
+    assert all(len(s) == 4 + 3 + 5 for s in gen[0])
+    assert all(len(s) == 4 + 2 + 2 for s in gen[1])
+    assert os.path.exists(tmp_path / "seqs.fa")
+    assert os.path.exists(tmp_path / "entropy.png")
+
+    gen_map, _ = assemble_no_ends(
+        ["ACGT"], [[0, 8]], 3, lag=lag, counter_table=table,
+        h=0.5, ar_apply=ar_apply, get_map=True,
+    )
+    # MAP mode: all replicas may still differ via Gumbel sampling of the same
+    # MAP distribution, but sequences are valid ACGT strings of right length.
+    assert all(len(s) == 12 and set(s) <= set("ACGT") for s in gen_map[0])

@@ -1,0 +1,232 @@
+"""Scoring oracles, mirroring reference tests/test_var_prob.py: exact counter
+parity on the toy sequences, variant scores vs analytic Beta moments
+(digamma closed form), MAP vs exact quotients, whole-seq scores incl. the
+correlated-transition marginal case — on both the counter path and the
+dataset path."""
+
+import numpy as np
+import pytest
+from scipy import stats as st
+from scipy.special import digamma, logsumexp
+
+from bear_tpu.counting import TransitionCounter, chunk_reads
+from bear_tpu.counting import fastx
+from bear_tpu.inference import (
+    DatasetCounter,
+    TableCounter,
+    get_bear_probs,
+    get_bear_probs_seqs,
+    get_pdf,
+    parse_var,
+)
+
+TOY_SEQS = ["TTTAT", "TTCTT", "TTTTT", "TTTTT"]
+LAG = 3
+A_SIZE = 4
+
+
+def make_counter(reverse=False):
+    tc = TransitionCounter(lags=[LAG], n_groups=1, reverse=reverse)
+    enc = [(fastx.encode_seq(s), 0) for s in TOY_SEQS]
+    for chunk in chunk_reads(iter(enc), LAG):
+        tc.add_chunk(chunk)
+    return TableCounter(tc, LAG)
+
+
+def make_dataset():
+    tc = TransitionCounter(lags=[LAG], n_groups=1)
+    enc = [(fastx.encode_seq(s), 0) for s in TOY_SEQS]
+    for chunk in chunk_reads(iter(enc), LAG):
+        tc.add_chunk(chunk)
+    return tc.to_dataset(LAG)
+
+
+def test_counter_exact_counts():
+    # Reference test_var_prob.py:8-18 (same toy data, same expectations).
+    counter = make_counter(reverse=False)
+    got = counter(np.array(["TTT", "TTA", "[[T"]))
+    np.testing.assert_array_equal(
+        got, [[1, 0, 0, 4, 2], [0, 0, 0, 1, 0], [0, 0, 0, 4, 0]]
+    )
+    counter_rev = make_counter(reverse=True)
+    got = counter_rev(np.array(["TTT", "[AT", "AAA"]))
+    np.testing.assert_array_equal(
+        got, [[1, 0, 0, 4, 2], [1, 0, 0, 0, 0], [4, 0, 0, 0, 3]]
+    )
+
+
+def _true_var_scores_mc(vans):
+    def dir_mean(seen, all_, van):
+        return digamma(seen + van) - digamma(all_ + (A_SIZE + 1) * van)
+
+    true = np.empty((2, len(vans)))
+    for i, van in enumerate(vans):
+        true[0, i] = (2 * dir_mean(4, 7, van) + dir_mean(2, 7, van)) - (
+            dir_mean(1, 7, van) + 2 * dir_mean(1, 1, van)
+        )
+        true[1, i] = (
+            dir_mean(1, 4, van) + dir_mean(0, 1, van) + 2 * dir_mean(0, 0, van)
+        ) - (dir_mean(3, 4, van) + dir_mean(1, 7, van) + 2 * dir_mean(1, 1, van))
+    return true
+
+
+def _true_var_scores_map(vans):
+    def q(seen, all_, van):
+        return np.log((seen + van) / (all_ + (A_SIZE + 1) * van))
+
+    true = np.empty((2, len(vans)))
+    for i, van in enumerate(vans):
+        true[0, i] = (2 * q(4, 7, van) + q(2, 7, van)) - (q(1, 7, van) + 2 * q(1, 1, van))
+        true[1, i] = (q(1, 4, van) + q(0, 1, van) + 2 * q(0, 0, van)) - (
+            q(3, 4, van) + q(1, 7, van) + 2 * q(1, 1, van)
+        )
+    return true
+
+
+@pytest.mark.parametrize("branch", ["counter", "data"])
+def test_variant_mc_and_map(branch):
+    # Reference test_var_prob.py:20-78.
+    wt_seq = "TTTAT"
+    vars_ = np.array(["A3T", "T2C"])
+    vans = np.array([0.1, 1, 10])
+    kwargs = dict(lag=LAG, alphabet_name="dna")
+    if branch == "counter":
+        kwargs["counter"] = make_counter()
+    else:
+        kwargs["data"] = make_dataset()
+
+    scores = get_bear_probs(
+        None, wt_seq, vars_, 0, mc_samples=300000, vans=vans, **kwargs
+    )
+    true = _true_var_scores_mc(vans)
+    frac_err = (scores.mean(-1) - true) / true
+    assert np.all(np.abs(frac_err) < 0.02), frac_err
+
+    scores_map = get_bear_probs(None, wt_seq, vars_, 0, get_map=True, vans=vans, **kwargs)
+    np.testing.assert_allclose(scores_map, _true_var_scores_map(vans), rtol=1e-9)
+
+
+@pytest.mark.parametrize("branch", ["counter", "data"])
+def test_seqs_mc_map_marg(branch):
+    # Reference test_var_prob.py:81-173.
+    seqs = ["TTTAT", "TTCAT", "TTTTTTTTTT"]
+    vans = np.array([0.1, 1, 10])
+    kwargs = dict(lag=LAG, alphabet_name="dna")
+    if branch == "counter":
+        kwargs["counter"] = make_counter()
+    else:
+        kwargs["data"] = make_dataset()
+
+    def dir_mean(seen, all_, van):
+        return digamma(seen + van) - digamma(all_ + (A_SIZE + 1) * van)
+
+    # Mean scores (expectation is linear; correlations don't matter).
+    true_mean = np.empty((3, len(vans)))
+    for i, van in enumerate(vans):
+        true_mean[0, i] = (
+            2 * dir_mean(4, 4, van) + dir_mean(3, 4, van) + dir_mean(1, 7, van)
+            + 2 * dir_mean(1, 1, van)
+        )
+        true_mean[1, i] = (
+            2 * dir_mean(4, 4, van) + dir_mean(1, 4, van) + dir_mean(0, 1, van)
+            + 2 * dir_mean(0, 0, van)
+        )
+        true_mean[2, i] = (
+            2 * dir_mean(4, 4, van) + dir_mean(3, 4, van)
+            + 7 * (dir_mean(4, 7, van))
+            + 7 * 0  # placeholder; correlated terms handled below
+        )
+    # Sequence 3: [[[TTTTTTTTTT] = 2 starts + [TT->T + 7x TTT->T + TTT->$.
+    for i, van in enumerate(vans):
+        true_mean[2, i] = (
+            2 * dir_mean(4, 4, van) + dir_mean(3, 4, van)
+            + 7 * dir_mean(4, 7, van) + dir_mean(2, 7, van)
+        )
+
+    scores = get_bear_probs_seqs(None, seqs, 0, mc_samples=40000, vans=vans, **kwargs)
+    frac_err = (scores.mean(-1) - true_mean) / true_mean
+    assert np.all(np.abs(frac_err) < 0.01), frac_err
+
+    # MAP exact.
+    def q(seen, all_, van):
+        return np.log((seen + van) / (all_ + (A_SIZE + 1) * van))
+
+    true_map = np.empty((3, len(vans)))
+    for i, van in enumerate(vans):
+        true_map[0, i] = 2 * q(4, 4, van) + q(3, 4, van) + q(1, 7, van) + 2 * q(1, 1, van)
+        true_map[1, i] = 2 * q(4, 4, van) + q(1, 4, van) + q(0, 1, van) + 2 * q(0, 0, van)
+        true_map[2, i] = 2 * q(4, 4, van) + q(3, 4, van) + 7 * q(4, 7, van) + q(2, 7, van)
+    scores_map = get_bear_probs_seqs(None, seqs, 0, get_map=True, vans=vans, **kwargs)
+    np.testing.assert_allclose(scores_map, true_map, rtol=1e-9)
+
+    # Exact marginal vs a correlated Monte-Carlo oracle
+    # (reference test_var_prob.py:104-144): sampled Beta draws with the
+    # TTT->T / TTT->$ correlation for sequence 3.
+    rng = np.random.default_rng(0)
+    N = 50000
+    margs = get_bear_probs_seqs(None, seqs, 0, get_marg=True, vans=vans, **kwargs)
+
+    def log_dir_draws(seen, all_, van):
+        return np.log(rng.beta(seen + van, all_ - seen + A_SIZE * van, size=N))
+
+    true_marg = np.empty((3, len(vans), N))
+    for i, van in enumerate(vans):
+        true_marg[0, i] = (
+            log_dir_draws(4, 4, van) + log_dir_draws(4, 4, van)
+            + log_dir_draws(3, 4, van) + log_dir_draws(1, 7, van)
+            + log_dir_draws(1, 1, van) + log_dir_draws(1, 1, van)
+        )
+        true_marg[1, i] = (
+            log_dir_draws(4, 4, van) + log_dir_draws(4, 4, van)
+            + log_dir_draws(1, 4, van) + log_dir_draws(0, 1, van)
+            + log_dir_draws(0, 0, van) + log_dir_draws(0, 0, van)
+        )
+        ttt_t = np.log(rng.beta(4 + van, 2 + van, size=N))
+        ttt_mod = np.log(rng.beta(6 + 2 * van, 1 + 3 * van, size=N))
+        true_marg[2, i] = (
+            log_dir_draws(4, 4, van) + log_dir_draws(4, 4, van)
+            + log_dir_draws(3, 4, van)
+            + 7 * (ttt_t + ttt_mod)
+            + (np.log1p(-np.exp(ttt_t)) + ttt_mod)
+        )
+    true_lse = logsumexp(true_marg, axis=-1) - np.log(N)
+    frac_err = (margs - true_lse) / true_lse
+    assert np.all(np.abs(frac_err) < 0.01), frac_err
+
+
+def test_parse_var():
+    assert parse_var("AAG23CC") == ("AAG", "CC", 23)
+    assert parse_var("A0T") == ("A", "T", 0)
+    assert parse_var("C45G") == ("C", "G", 45)
+
+
+def test_bear_model_stacking_and_h_vector():
+    # With an AR model and vector h, model order is [h models..., vans...];
+    # MAP prepends the raw AR model (reference get_var_probs.py:136-153).
+    ds = make_dataset()
+    kmers = ds.kmers
+    counts = ds.counts
+
+    def ar_apply(oh):
+        return np.full((oh.shape[0], 5), 0.2)
+
+    hs = np.array([0.5, 2.0])
+    vans = [1.0]
+    pdf = get_pdf(kmers, counts, hs, ar_apply, 5, vans, 0, "dna", get_map=True)
+    assert pdf.log_probs.shape == (len(kmers), 5, 1 + len(hs) + len(vans), 1)
+    # Raw AR row is log of uniform 0.2.
+    np.testing.assert_allclose(pdf.log_probs[:, :, 0, 0], np.log(0.2), rtol=1e-12)
+    # BEAR rows: conc = 0.2/h + counts.
+    row = int(np.argmax(kmers == "TTT"))
+    conc = 0.2 / 0.5 + counts[row, 0]
+    np.testing.assert_allclose(
+        pdf.log_probs[row, :, 1, 0], np.log(conc / conc.sum()), rtol=1e-12
+    )
+
+
+def test_variant_mismatch_raises():
+    with pytest.raises(AssertionError, match="does not match wild-type"):
+        get_bear_probs(
+            None, "TTTAT", np.array(["G3T"]), 0, vans=[1.0],
+            lag=LAG, alphabet_name="dna", counter=make_counter(),
+        )
