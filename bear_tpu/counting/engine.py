@@ -37,7 +37,7 @@ per flush window and the host accumulator is int64.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Sequence
 
 import jax
@@ -100,9 +100,11 @@ class ReadChunk:
     groups: np.ndarray
 
 
-def _count_chunk_kernel(codes, lengths, skip, stopped, groups, lags, n_groups):
-    """Jitted device kernel: scatter-add one chunk's transitions into dense
-    per-lag tables. Returns {lag: int32 [n_groups * rows(lag), 5]}."""
+def _count_chunk_kernel(tables, codes, lengths, skip, stopped, groups, lags, n_groups):
+    """Jitted device kernel: scatter-add one chunk's transitions into the
+    persistent dense per-lag tables (donated, updated in place).
+
+    tables: {lag: FLAT int32 [n_groups * rows(lag) * 5]} device state."""
     B, L = codes.shape
     P = L + 1  # transition positions 0..L (stop can land at j == length <= L)
     j = jnp.arange(P, dtype=jnp.int32)[None, :]  # [1, P]
@@ -141,20 +143,30 @@ def _count_chunk_kernel(codes, lengths, skip, stopped, groups, lags, n_groups):
         flat = (groups32 * table_rows(l) + row) * 5 + nxt
         flat = jnp.where(mask, flat, 0)
         upd = mask.astype(jnp.int32)  # masked positions add 0 at index 0
-        tbl = jnp.zeros((n_groups * table_rows(l) * 5,), dtype=jnp.int32)
-        tbl = tbl.at[flat.reshape(-1)].add(upd.reshape(-1), mode="drop")
-        out[l] = tbl.reshape(n_groups * table_rows(l), 5)
+        # Stay FLAT on device: a [rows, 5] layout would tile the minor dim to
+        # 128 on TPU (25x padded HBM); the reshape happens host-side.
+        out[l] = tables[l].at[flat.reshape(-1)].add(upd.reshape(-1), mode="drop")
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("lags", "n_groups"))
-def _count_chunk_jit(codes, lengths, skip, stopped, groups, lags, n_groups):
-    return _count_chunk_kernel(codes, lengths, skip, stopped, groups, lags, n_groups)
+@functools.partial(
+    jax.jit, static_argnames=("lags", "n_groups"), donate_argnums=(0,)
+)
+def _count_chunk_jit(tables, codes, lengths, skip, stopped, groups, lags, n_groups):
+    return _count_chunk_kernel(
+        tables, codes, lengths, skip, stopped, groups, lags, n_groups
+    )
 
 
-@dataclass
 class TransitionCounter:
     """Accumulates transition counts over streamed read chunks.
+
+    The per-lag tables live ON DEVICE as flat int32 buffers, updated in place
+    (buffer donation) — no per-chunk zeroing, no per-chunk device->host
+    traffic. A flush into the host-side int64 accumulator happens only when
+    the transitions since the last flush approach int32 range (so counts can
+    exceed 2^32 without clamping, fixing KMC's documented 4-billion cutoff),
+    on merge, and on output access.
 
     lags : which lags to count (the reference counts 1..max_lag;
         pass a single lag for training-only use).
@@ -164,19 +176,39 @@ class TransitionCounter:
         table set, test_summarize.py:100-114).
     """
 
-    lags: Sequence[int]
-    n_groups: int = 1
-    reverse: bool = False
-    tables: Dict[int, np.ndarray] = field(default_factory=dict)
+    FLUSH_EVERY = (1 << 31) - (1 << 24)  # transitions between int32 flushes
 
-    def __post_init__(self):
-        self.lags = tuple(sorted(set(int(l) for l in self.lags)))
-        for l in self.lags:
-            self.tables[l] = np.zeros((self.n_groups, table_rows(l), 5), dtype=np.int64)
+    def __init__(self, lags: Sequence[int], n_groups: int = 1, reverse: bool = False):
+        self.lags = tuple(sorted(set(int(l) for l in lags)))
+        self.n_groups = n_groups
+        self.reverse = reverse
+        self._host: Dict[int, np.ndarray] = {
+            l: np.zeros(n_groups * table_rows(l) * 5, dtype=np.int64) for l in self.lags
+        }
+        self._dev = None  # lazy: {lag: flat int32 device array}
+        self._since_flush = 0
 
     @property
     def max_lag(self) -> int:
         return max(self.lags)
+
+    def _ensure_dev(self):
+        if self._dev is None:
+            self._dev = {
+                l: jnp.zeros(self.n_groups * table_rows(l) * 5, dtype=jnp.int32)
+                for l in self.lags
+            }
+
+    def flush(self):
+        """Fold the device int32 partials into the host int64 accumulator."""
+        if self._dev is not None and self._since_flush > 0:
+            for l in self.lags:
+                self._host[l] += np.asarray(self._dev[l]).astype(np.int64)
+            self._dev = {
+                l: jnp.zeros(self.n_groups * table_rows(l) * 5, dtype=jnp.int32)
+                for l in self.lags
+            }
+            self._since_flush = 0
 
     def add_chunk(self, chunk: ReadChunk):
         self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped, chunk.groups)
@@ -190,7 +222,12 @@ class TransitionCounter:
             self._add(rc, rlen, chunk.skip, chunk.stopped, chunk.groups)
 
     def _add(self, codes, lengths, skip, stopped, groups):
-        out = _count_chunk_jit(
+        new_transitions = codes.shape[0] * (codes.shape[1] + 1)
+        if self._since_flush + new_transitions > self.FLUSH_EVERY:
+            self.flush()
+        self._ensure_dev()
+        self._dev = _count_chunk_jit(
+            self._dev,
             jnp.asarray(codes),
             jnp.asarray(lengths),
             jnp.asarray(skip),
@@ -199,15 +236,23 @@ class TransitionCounter:
             self.lags,
             self.n_groups,
         )
-        for l in self.lags:
-            self.tables[l] += np.asarray(out[l]).astype(np.int64).reshape(
-                self.n_groups, table_rows(l), 5
-            )
+        self._since_flush += new_transitions
+
+    @property
+    def tables(self) -> Dict[int, np.ndarray]:
+        """Host int64 tables {lag: [n_groups, rows(lag), 5]} (flushes first)."""
+        self.flush()
+        return {
+            l: self._host[l].reshape(self.n_groups, table_rows(l), 5)
+            for l in self.lags
+        }
 
     def merge_from(self, other: "TransitionCounter"):
         """Merge partial counts (cross-host/process reduction point)."""
+        self.flush()
+        other.flush()
         for l in self.lags:
-            self.tables[l] += other.tables[l]
+            self._host[l] += other._host[l]
 
     # -- output ------------------------------------------------------------
 

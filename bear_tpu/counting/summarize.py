@@ -102,5 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-if __name__ == "__main__":
+def cli():
     main(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    cli()

@@ -154,7 +154,7 @@ def main(config: configparser.ConfigParser, mesh=None):
     return 1
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser()
     parser.add_argument("configPath")
     args = parser.parse_args()
@@ -165,3 +165,7 @@ if __name__ == "__main__":
         config["results"] = {}
 
     main(config)
+
+
+if __name__ == "__main__":
+    cli()

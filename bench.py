@@ -1,0 +1,190 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline: the reference's own documented training benchmark — the YSD1 lag-5
+protocol (10000 epochs, batch 1500, Adam; docs/usage.rst:236 calls it "a few
+minutes to run", i.e. ~55 optimizer steps/s at 180 s) — measured as optimizer
+steps/s on this chip. vs_baseline = ours / 55.
+
+Extras: lag-13 ELBO steps/s (CNN embedded AR, batch 2^15 synthetic k-mers),
+counting throughput (transitions/s into the lag-13 table), log-gamma sampler
+throughput (reference: ~1e6 samples/s CPU, log_gamma.py:31), and BMM
+perplexity parity on the bundled YSD1 data (published 3.79).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REFERENCE_STEPS_PER_SEC = 10000.0 / 180.0  # "a few minutes" for 10000 steps
+
+
+def bench_ysd1_train():
+    from bear_tpu.data import load_dense
+    from bear_tpu.models import bear_net, get_ar_func
+    from bear_tpu.utils.config import bundled_ysd1_path
+
+    path = bundled_ysd1_path()
+    if not os.path.exists(path):
+        return None
+    ds = load_dense(path, "dna", 3, dtype=np.float32)
+    ar = get_ar_func("linear", 5, 4, dtype=jnp.float32)
+    kwargs = dict(
+        num_kmers=ds.num_kmers, ar_func=ar, batch_size=1500,
+        learning_rate=0.01, train_ar=False, seed=10, dtype=jnp.float32,
+    )
+    # Warm-up/compile with a short run, then time the full protocol.
+    bear_net.train(ds.codes, ds.counts[:, 0], epochs=2, **kwargs)
+    t0 = time.perf_counter()
+    res = bear_net.train(ds.codes, ds.counts[:, 0], epochs=10000, **kwargs)
+    dt = time.perf_counter() - t0
+    # One optimizer step per epoch at this batch size.
+    steps_per_sec = len(res.losses) / dt
+    # Parity: evaluate BMM heldout perplexity (exact; published 3.79).
+    out = bear_net.evaluation(
+        ds.codes, ds.counts, 0, 1, "dna", res.h, ar,
+        [jnp.asarray(p) for p in res.params["ar"]],
+        np.array([1.0]), dtype=jnp.float32,
+    )
+    return dict(
+        steps_per_sec=steps_per_sec,
+        train_seconds=dt,
+        h=res.h,
+        bmm_heldout_perplexity=float(np.asarray(out[5])[0]),
+        bear_heldout_perplexity=float(np.asarray(out[3])),
+    )
+
+
+def bench_lag13_elbo():
+    from bear_tpu.models import bear_net, get_ar_func
+    from bear_tpu.ops import alphabets
+    import optax
+
+    lag, A1, B = 13, 5, 1 << 15
+    ar = get_ar_func("cnn", lag, 4, {"filter_width": 8, "num_filters": 96,
+                                     "kmer_layer1_width": 64}, dtype=jnp.float32)
+    params = {"h_signed": jnp.zeros((), jnp.float32), "ar": ar.init(jax.random.key(0))}
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, (B, lag)).astype(np.int8))
+    counts = jnp.asarray(rng.poisson(3.0, (B, A1)).astype(np.float32))
+
+    def loss_fn(p):
+        oh = alphabets.one_hot(codes, A1, jnp.float32)
+        probs = ar.apply(p["ar"], oh)
+        return -jnp.sum(bear_net.bear_log_prob(counts, probs, jnp.exp(p["h_signed"])))
+
+    @jax.jit
+    def step(p, o):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    params, opt_state, _ = step(params, opt_state)  # compile
+    jax.block_until_ready(params)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return dict(steps_per_sec=n / dt, kmers_per_sec=n * B / dt)
+
+
+def bench_counting():
+    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+
+    B, L = 2048, 1024  # ~2M transitions per chunk
+    lag = 13
+    rng = np.random.default_rng(0)
+    chunk = ReadChunk(
+        codes=rng.integers(0, 4, (B, L)).astype(np.int8),
+        lengths=np.full(B, L, np.int32),
+        skip=np.zeros(B, np.int32),
+        stopped=np.ones(B, bool),
+        groups=np.zeros(B, np.int32),
+    )
+    tc = TransitionCounter(lags=[lag], n_groups=1)
+    tc.add_chunk(chunk)  # compile
+    jax.block_until_ready(tc._dev[lag])
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        tc.add_chunk(chunk)
+    jax.block_until_ready(tc._dev[lag])
+    dt = time.perf_counter() - t0
+    transitions = n * B * (L + 1)
+    assert tc.tables[lag].sum() == (n + 1) * B * (L + 1)
+    return dict(transitions_per_sec=transitions / dt)
+
+
+def bench_loggamma():
+    from bear_tpu.ops.loggamma import log_gamma
+
+    concs = jnp.full((1 << 22,), 0.05, jnp.float32)
+    key = jax.random.key(0)
+    f = jax.jit(log_gamma)
+    out = f(key, concs)
+    jax.block_until_ready(out)
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = f(jax.random.fold_in(key, i), concs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return dict(samples_per_sec=n * concs.size / dt)
+
+
+def main():
+    results = {}
+    t_start = time.time()
+    try:
+        results["lag13"] = bench_lag13_elbo()
+    except Exception as e:  # keep the bench robust: report what ran
+        results["lag13_error"] = repr(e)
+    try:
+        results["counting"] = bench_counting()
+    except Exception as e:
+        results["counting_error"] = repr(e)
+    try:
+        results["loggamma"] = bench_loggamma()
+    except Exception as e:
+        results["loggamma_error"] = repr(e)
+    try:
+        results["ysd1"] = bench_ysd1_train()
+    except Exception as e:
+        results["ysd1_error"] = repr(e)
+
+    ysd1 = results.get("ysd1") or {}
+    steps = ysd1.get("steps_per_sec", 0.0)
+    line = {
+        "metric": "ysd1_lag5_train_steps_per_sec",
+        "value": round(steps, 2),
+        "unit": "optimizer steps/s (10000-epoch YSD1 lag-5 protocol)",
+        "vs_baseline": round(steps / REFERENCE_STEPS_PER_SEC, 2) if steps else 0.0,
+        "lag13_elbo_steps_per_sec": round((results.get("lag13") or {}).get("steps_per_sec", 0.0), 2),
+        "lag13_train_kmers_per_sec": round((results.get("lag13") or {}).get("kmers_per_sec", 0.0)),
+        "counting_transitions_per_sec": round((results.get("counting") or {}).get("transitions_per_sec", 0.0)),
+        "loggamma_samples_per_sec": round((results.get("loggamma") or {}).get("samples_per_sec", 0.0)),
+        "bmm_heldout_perplexity": ysd1.get("bmm_heldout_perplexity"),
+        "bear_heldout_perplexity": ysd1.get("bear_heldout_perplexity"),
+        "learned_h": ysd1.get("h"),
+        "bench_seconds": round(time.time() - t_start, 1),
+        "device": str(jax.devices()[0]),
+    }
+    for k in ("lag13_error", "counting_error", "loggamma_error", "ysd1_error"):
+        if k in results:
+            line[k] = results[k]
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

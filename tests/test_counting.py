@@ -191,6 +191,37 @@ def test_summarize_cli_end_to_end(tmp_path):
             np.testing.assert_array_equal(mat, oracle_rev[li][kmer])
 
 
+def test_check_summarize_cli(tmp_path):
+    # The standalone oracle checker passes on real output and fails on
+    # corrupted output.
+    from bear_tpu.counting import check_summarize
+
+    rng = np.random.default_rng(9)
+    seqs = random_seqs(rng, 3)
+    fa = tmp_path / "in.fa"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    csv_path = tmp_path / "infiles.csv"
+    csv_path.write_text(f"{fa},0,fa\n")
+    out_prefix = str(tmp_path / "out")
+    args = build_parser().parse_args([str(csv_path), out_prefix, "-l", "3", "-r"])
+    summarize_main(args)
+    args = build_parser().parse_args([str(csv_path), out_prefix, "-l", "3", "-r"])
+    assert check_summarize.main(args) == 0
+
+    # Corrupt one count and expect the checker to catch it.
+    path = f"{out_prefix}_lag_1_file_0.tsv"
+    lines = open(path).read().splitlines()
+    kmer, mat = lines[0].split("\t")
+    import json as _json
+
+    m = _json.loads(mat)
+    m[0][0] += 1
+    lines[0] = kmer + "\t" + _json.dumps(m, separators=(",", ":"))
+    open(path, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(AssertionError):
+        check_summarize.main(args)
+
+
 def test_native_parser_matches_python(tmp_path):
     from bear_tpu.counting import _native_build
 

@@ -1,0 +1,47 @@
+"""Sharded counting: N-device result == 1-device result, exactly."""
+
+import jax
+import numpy as np
+import pytest
+
+from bear_tpu.counting import TransitionCounter, chunk_reads
+from bear_tpu.counting import fastx
+from bear_tpu.parallel import data_parallel_mesh
+from bear_tpu.parallel.counting import ShardedTransitionCounter
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_sharded_matches_single_device():
+    rng = np.random.default_rng(0)
+    seqs = ["".join(rng.choice(list("ACGT"), rng.integers(20, 60))) for _ in range(37)]
+    groups = [int(g) for g in rng.integers(0, 2, len(seqs))]
+    lags = [1, 2, 4]
+
+    single = TransitionCounter(lags=lags, n_groups=2)
+    mesh = data_parallel_mesh(8)
+    sharded = ShardedTransitionCounter(mesh, lags=lags, n_groups=2)
+    for tc in (single, sharded):
+        enc = ((fastx.encode_seq(s), g) for s, g in zip(seqs, groups))
+        for chunk in chunk_reads(enc, max(lags), batch_size=16):
+            tc.add_chunk(chunk)
+
+    t1, t8 = single.tables, sharded.tables
+    for l in lags:
+        np.testing.assert_array_equal(t1[l], t8[l])
+
+
+@needs_8
+def test_sharded_reverse_and_small_batches():
+    # Batches smaller than the device count must pad and still count exactly.
+    seqs = ["ACGTACG", "TT"]
+    single = TransitionCounter(lags=[3], n_groups=1, reverse=True)
+    sharded = ShardedTransitionCounter(
+        data_parallel_mesh(8), lags=[3], n_groups=1, reverse=True
+    )
+    for tc in (single, sharded):
+        enc = ((fastx.encode_seq(s), 0) for s in seqs)
+        for chunk in chunk_reads(enc, 3, batch_size=4):
+            tc.add_chunk(chunk)
+    np.testing.assert_array_equal(single.tables[3], sharded.tables[3])
