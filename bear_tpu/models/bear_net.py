@@ -124,6 +124,8 @@ def make_optimizer(optimizer_name: str, learning_rate: float):
 class TrainResult:
     params: dict
     losses: np.ndarray  # ELBO estimate at each optimizer apply (loss_save)
+    opt_state: object = None  # final optimizer state (the reference loses
+    # this across restarts; pass back as opt_state_restart to resume exactly)
 
     @property
     def h(self) -> float:
@@ -175,6 +177,7 @@ def train(
     mesh=None,
     writer=None,
     ref_counts=None,
+    opt_state_restart=None,
 ) -> TrainResult:
     """Train a BEAR (empirical-Bayes h) or AR (max-likelihood) model.
 
@@ -200,9 +203,21 @@ def train(
         params = params_from_list(params_restart, dtype=dtype)
     else:
         params = init_params(key, ar_func, dtype=dtype)
+    # Normalize every parameter to the training dtype (an AR function built
+    # with a different dtype would otherwise leak it into the optimizer state
+    # and break restart dtype stability).
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params)
 
     optimizer = make_optimizer(optimizer_name, learning_rate)
-    opt_state = optimizer.init(params)
+    if opt_state_restart is not None:
+        opt_state = jax.tree.map(
+            lambda x: jnp.asarray(
+                x, dtype=dtype if np.issubdtype(np.asarray(x).dtype, np.floating) else None
+            ),
+            opt_state_restart,
+        )
+    else:
+        opt_state = optimizer.init(params)
 
     n_dev = 1
     if mesh is not None:
@@ -296,7 +311,11 @@ def train(
     if writer is not None:
         for i, e in enumerate(elbos):
             writer.scalar("elbo", float(e), step=(i + 1) * acc_steps)
-    return TrainResult(params=jax.tree.map(lambda x: np.asarray(x), params), losses=-elbos)
+    return TrainResult(
+        params=jax.tree.map(lambda x: np.asarray(x), params),
+        losses=-elbos,
+        opt_state=jax.tree.map(lambda x: np.asarray(x), opt_state),
+    )
 
 
 # --- evaluation -----------------------------------------------------------

@@ -51,7 +51,14 @@ def main(config: configparser.ConfigParser, mesh=None):
     net_factory = AR_FUNCS[run.ar_func_name]
     ar_func = bear_ref.make_ref_ar_func(run.lag, A, net_factory, run.af_kwargs, dtype=dtype)
 
-    params_restart = load_params_list(run.restart_path) if run.restart else None
+    params_restart = None
+    opt_state_restart = None
+    if run.restart:
+        from bear_tpu.utils.checkpoint import load_results
+
+        results_prev = load_results(run.restart_path)
+        params_restart = [np.asarray(p) for p in results_prev["params"]]
+        opt_state_restart = results_prev.get("opt_state")
 
     if run.train:
         result = bear_ref.train(
@@ -71,15 +78,18 @@ def main(config: configparser.ConfigParser, mesh=None):
             train_ar=run.train_ar,
             acc_steps=run.accumulation_steps,
             params_restart=params_restart,
+            opt_state_restart=opt_state_restart,
             seed=run.seed,
             mesh=mesh,
             writer=writer,
         )
         params = result.params
+        opt_state = result.opt_state
         save_loss_curve(result.losses, out_folder)
     else:
         assert run.restart, "train=False requires restart=True"
         params = bear_net.params_from_list(params_restart, dtype=dtype)
+        opt_state = opt_state_restart
 
     h = float(np.exp(np.asarray(params["h_signed"])))
     config["results"]["h"] = str(h)
@@ -88,7 +98,9 @@ def main(config: configparser.ConfigParser, mesh=None):
     with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
         config.write(cw)
 
-    save_results(out_folder, bear_net.params_to_list(params))
+    save_results(
+        out_folder, bear_net.params_to_list(params), extra={"opt_state": opt_state}
+    )
 
     van_reg = np.array(run.van_reg)
 

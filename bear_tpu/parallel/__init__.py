@@ -2,7 +2,10 @@
 
 from bear_tpu.parallel.mesh import (
     data_parallel_mesh,
+    grid_mesh,
     local_device_count,
     replicate,
     shard_along,
 )
+from bear_tpu.parallel.counting import ShardedTransitionCounter
+from bear_tpu.parallel import multihost

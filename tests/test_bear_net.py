@@ -117,6 +117,27 @@ def test_restart_roundtrip():
     assert np.isfinite(res2.losses).all()
 
 
+def test_opt_state_resume_continues_trajectory():
+    # Two 5-epoch runs with carried optimizer state == one 10-epoch run.
+    codes, counts = _toy_data(n=64)
+    ar = make_ar_func_linear(3, 4)
+    kwargs = dict(
+        num_kmers=64, ar_func=ar, batch_size=64, learning_rate=0.05,
+        train_ar=False, seed=5, dtype=jnp.float64,
+    )
+    full = bear_net.train(codes, counts[:, 0], epochs=10, **kwargs)
+    first = bear_net.train(codes, counts[:, 0], epochs=5, **kwargs)
+    second = bear_net.train(
+        codes, counts[:, 0], epochs=5,
+        params_restart=first.params_list, opt_state_restart=first.opt_state,
+        **kwargs,
+    )
+    np.testing.assert_allclose(
+        second.params["ar"][0], full.params["ar"][0], rtol=1e-12
+    )
+    np.testing.assert_allclose(second.losses, full.losses[5:], rtol=1e-12)
+
+
 def _numpy_eval(codes, counts, ds_train, ds_test, probs, h, van_reg):
     c_test = counts[:, ds_test].astype(np.float64)
     use_train = ds_train >= 0
