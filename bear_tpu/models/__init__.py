@@ -9,3 +9,4 @@ from bear_tpu.models.ar_funcs import (
     make_ar_func_stop,
 )
 from bear_tpu.models import bear_net
+from bear_tpu.models.vbear import VBearResult, train_variational_h

@@ -11,24 +11,39 @@ from bear_tpu.models.vbear import train_variational_h
 from tests.conftest import reference_data_available
 
 
-def test_vbear_matches_point_h_toy():
+def _uniform_ar(lag, A1):
+    from bear_tpu.models.ar_funcs import ARFunc
+
+    return ARFunc(
+        init=lambda key: [],
+        apply=lambda params, oh: jnp.full(oh.shape[:-2] + (A1,), 1.0 / A1, oh.dtype),
+        name="uniform",
+    )
+
+
+def test_vbear_matches_point_h_identifiable():
+    # Generate counts from the model itself: v_k ~ Dirichlet(f/h_true) with
+    # f uniform, so h is identifiable and the variational posterior must
+    # concentrate at the empirical-Bayes point estimate.
     rng = np.random.default_rng(0)
-    n = 256
+    n, A1 = 512, 5
+    h_true = 0.5
+    p = rng.dirichlet(np.full(A1, (1.0 / A1) / h_true), size=n)
+    counts = np.stack([rng.multinomial(40, pi) for pi in p]).astype(np.float64)
     codes = rng.integers(0, 4, (n, 3)).astype(np.int8)
-    counts = rng.poisson(8.0, (n, 5)).astype(np.float64)
+    ar = _uniform_ar(3, A1)
 
     point = bear_net.train(
-        codes, counts, num_kmers=n, ar_func=make_ar_func_stop(3, 4),
-        batch_size=n, epochs=400, learning_rate=0.05, train_ar=False,
+        codes, counts, num_kmers=n, ar_func=ar,
+        batch_size=n, epochs=600, learning_rate=0.05, train_ar=False,
         dtype=jnp.float64,
     )
     vb = train_variational_h(
-        codes, counts, num_kmers=n, ar_func=make_ar_func_stop(3, 4),
-        batch_size=n, epochs=400, learning_rate=0.05, dtype=jnp.float64,
+        codes, counts, num_kmers=n, ar_func=ar,
+        batch_size=n, epochs=600, learning_rate=0.05, dtype=jnp.float64,
     )
     mu, sigma = vb.h_posterior
-    # Posterior mode close to the EB point estimate; tight posterior with
-    # this much data.
+    assert abs(np.log(point.h) - np.log(h_true)) < 0.2  # EB recovers h_true
     assert abs(mu - np.log(point.h)) < 3 * sigma + 0.05
     assert sigma < 0.2
     assert np.isfinite(vb.losses).all()
