@@ -69,15 +69,26 @@ def context_to_row(context: str, lag: int) -> int:
 
 def row_to_context(row: int, lag: int) -> str:
     """Host-side inverse of context_to_row."""
-    m = 0
-    while (4 ** (m + 1) - 1) // 3 <= row:
-        m += 1
-    code = row - (4**m - 1) // 3
-    letters = []
-    for _ in range(m):
-        letters.append("ACGT"[code % 4])
-        code //= 4
-    return "[" * (lag - m) + "".join(reversed(letters))
+    return rows_to_contexts(np.array([row]), lag)[0]
+
+
+def rows_to_contexts(rows, lag: int) -> np.ndarray:
+    """Vectorized inverse of context_to_row: row indices -> context strings
+    (millions of rows in NumPy, no per-row Python)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    bounds = np.array([(4**k - 1) // 3 for k in range(lag + 2)], dtype=np.int64)
+    m = np.searchsorted(bounds, rows, side="right") - 1  # suffix length
+    code = rows - (4**m - 1) // 3
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    chars = np.full((len(rows), lag), ord("["), dtype=np.uint8)
+    rem = code.copy()
+    for i in range(lag):  # digit i is the (i+1)-th letter from the right
+        pos = lag - 1 - i
+        digit = (rem % 4).astype(np.int64)
+        rem //= 4
+        valid = i < m
+        chars[valid, pos] = letters[digit[valid]]
+    return np.char.decode(chars.view(f"S{lag}").reshape(-1), "ascii")
 
 
 @dataclass
@@ -200,10 +211,31 @@ class TransitionCounter:
             }
 
     def flush(self):
-        """Fold the device int32 partials into the host int64 accumulator."""
+        """Fold the device int32 partials into the host int64 accumulator.
+
+        When the table is sparse (distinct k-mers << 4^lag — the typical
+        genome case) only the nonzero entries move off-device: a ~100x
+        device->host traffic reduction that matters doubly over a tunneled
+        interconnect."""
+        CHUNK = 1 << 26  # bound device temps for the nonzero extraction
         if self._dev is not None and self._since_flush > 0:
             for l in self.lags:
-                self._host[l] += np.asarray(self._dev[l]).astype(np.int64)
+                dev = self._dev[l]
+                nnz = int(jnp.count_nonzero(dev))
+                if nnz * 3 < dev.size:
+                    host = self._host[l]
+                    for start in range(0, dev.size, CHUNK):
+                        part = dev[start : start + CHUNK]
+                        idx = jnp.nonzero(part)[0]
+                        if idx.size == 0:
+                            continue
+                        vals = part[idx]
+                        # nonzero indices are unique: direct fancy-index add.
+                        host[np.asarray(idx) + start] += np.asarray(vals).astype(
+                            np.int64
+                        )
+                else:
+                    self._host[l] += np.asarray(dev).astype(np.int64)
             self._dev = {
                 l: jnp.zeros(self.n_groups * table_rows(l) * 5, dtype=jnp.int32)
                 for l in self.lags
@@ -266,7 +298,7 @@ class TransitionCounter:
         from bear_tpu.ops import alphabets
 
         rows = self.nonzero_rows(lag)
-        kmers = np.array([row_to_context(int(r), lag) for r in rows])
+        kmers = rows_to_contexts(rows, lag)
         counts = self.tables[lag][:, rows, :].transpose(1, 0, 2).astype(np.float64)
         codes = alphabets.encode_kmers(kmers, alphabet) if len(kmers) else np.zeros((0, lag), np.int8)
         return CountDataset(kmers=kmers, codes=codes, counts=counts, alphabet=alphabet)
@@ -282,9 +314,9 @@ class TransitionCounter:
         paths = [f"{out_prefix}_lag_{lag}_file_{b}.tsv" for b in range(n_bins)]
         handles = [open(p, "w") for p in paths]
         tab = self.tables[lag]
+        kmers = rows_to_contexts(rows, lag)
         try:
-            for r, b in zip(rows, bins):
-                kmer = row_to_context(int(r), lag)
+            for kmer, r, b in zip(kmers, rows, bins):
                 mat = "[[" + "],[".join(
                     ",".join(str(int(c)) for c in tab[g, r]) for g in range(self.n_groups)
                 ) + "]]"
@@ -326,7 +358,10 @@ def chunk_reads(
             return None
         maxlen = max(len(c) for c, *_ in rows)
         maxlen = -(-maxlen // PAD_LEN_ALIGN) * PAD_LEN_ALIGN
-        B = len(rows)
+        # Pad the row count to the full batch size: zero-length rows count
+        # nothing, and a CONSTANT chunk shape means one kernel compilation
+        # (a trailing odd-shaped chunk would otherwise recompile).
+        B = batch_size
         codes = np.zeros((B, maxlen), dtype=np.int8)
         lengths = np.zeros(B, dtype=np.int32)
         skip = np.zeros(B, dtype=np.int32)
