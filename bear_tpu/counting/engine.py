@@ -111,11 +111,23 @@ class ReadChunk:
     groups: np.ndarray
 
 
-def _count_chunk_kernel(tables, codes, lengths, skip, stopped, groups, lags, n_groups):
-    """Jitted device kernel: scatter-add one chunk's transitions into the
-    persistent dense per-lag tables (donated, updated in place).
+def lag_offsets(lags, n_groups):
+    """Offsets of each lag's flat table inside the single concatenated device
+    buffer, and the total size. One buffer + ONE scatter per chunk covers all
+    lags (13 separate scatters would pay 13x the scatter fixed costs)."""
+    offsets = {}
+    total = 0
+    for l in sorted(lags):
+        offsets[l] = total
+        total += n_groups * table_rows(l) * 5
+    return offsets, total
 
-    tables: {lag: FLAT int32 [n_groups * rows(lag) * 5]} device state."""
+
+def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags, n_groups):
+    """Jitted device kernel: scatter-add one chunk's transitions into the
+    persistent concatenated dense table (donated, updated in place).
+
+    table: FLAT int32 [sum over lags of n_groups * rows(lag) * 5]."""
     B, L = codes.shape
     P = L + 1  # transition positions 0..L (stop can land at j == length <= L)
     j = jnp.arange(P, dtype=jnp.int32)[None, :]  # [1, P]
@@ -131,7 +143,7 @@ def _count_chunk_kernel(tables, codes, lengths, skip, stopped, groups, lags, n_g
         (j < lengths) | ((j == lengths) & stopped.astype(bool)[:, None])
     )
 
-    out = {}
+    offsets, _ = lag_offsets(lags, n_groups)
     max_lag = max(lags)
     # shifted[i][b, j] = codes[b, j - i - 1] (0 when out of range): the
     # (i+1)-th previous base of transition position j.
@@ -139,8 +151,10 @@ def _count_chunk_kernel(tables, codes, lengths, skip, stopped, groups, lags, n_g
     for i in range(1, max_lag + 1):
         shifted.append(jnp.pad(codes32, ((0, 0), (i, 0)))[:, :P])
 
+    all_flat = []
     code_acc = jnp.zeros((B, P), dtype=jnp.int32)
     pow4 = 1
+    upd_one = mask.astype(jnp.int32)  # masked positions add 0 at index 0
     for l in range(1, max_lag + 1):
         # rolling base-4 suffix code: digits beyond the read start read the
         # zero padding, which is exactly the truncated-prefix code.
@@ -151,21 +165,21 @@ def _count_chunk_kernel(tables, codes, lengths, skip, stopped, groups, lags, n_g
         n_pad = jnp.maximum(0, l - j)  # [1, P] broadcasting over rows
         offset = (4 ** (l - n_pad) - 1) // 3
         row = offset + code_acc
-        flat = (groups32 * table_rows(l) + row) * 5 + nxt
-        flat = jnp.where(mask, flat, 0)
-        upd = mask.astype(jnp.int32)  # masked positions add 0 at index 0
+        flat = offsets[l] + (groups32 * table_rows(l) + row) * 5 + nxt
         # Stay FLAT on device: a [rows, 5] layout would tile the minor dim to
         # 128 on TPU (25x padded HBM); the reshape happens host-side.
-        out[l] = tables[l].at[flat.reshape(-1)].add(upd.reshape(-1), mode="drop")
-    return out
+        all_flat.append(jnp.where(mask, flat, 0).reshape(-1))
+    flat_cat = jnp.concatenate(all_flat)
+    upd_cat = jnp.tile(upd_one.reshape(-1), len(all_flat))
+    return table.at[flat_cat].add(upd_cat, mode="drop")
 
 
 @functools.partial(
     jax.jit, static_argnames=("lags", "n_groups"), donate_argnums=(0,)
 )
-def _count_chunk_jit(tables, codes, lengths, skip, stopped, groups, lags, n_groups):
+def _count_chunk_jit(table, codes, lengths, skip, stopped, groups, lags, n_groups):
     return _count_chunk_kernel(
-        tables, codes, lengths, skip, stopped, groups, lags, n_groups
+        table, codes, lengths, skip, stopped, groups, lags, n_groups
     )
 
 
@@ -193,10 +207,11 @@ class TransitionCounter:
         self.lags = tuple(sorted(set(int(l) for l in lags)))
         self.n_groups = n_groups
         self.reverse = reverse
+        self._offsets, self._total_size = lag_offsets(self.lags, n_groups)
         self._host: Dict[int, np.ndarray] = {
             l: np.zeros(n_groups * table_rows(l) * 5, dtype=np.int64) for l in self.lags
         }
-        self._dev = None  # lazy: {lag: flat int32 device array}
+        self._dev = None  # lazy: ONE concatenated flat int32 device buffer
         self._since_flush = 0
 
     @property
@@ -205,10 +220,7 @@ class TransitionCounter:
 
     def _ensure_dev(self):
         if self._dev is None:
-            self._dev = {
-                l: jnp.zeros(self.n_groups * table_rows(l) * 5, dtype=jnp.int32)
-                for l in self.lags
-            }
+            self._dev = jnp.zeros(self._total_size, dtype=jnp.int32)
 
     def flush(self):
         """Fold the device int32 partials into the host int64 accumulator.
@@ -219,28 +231,31 @@ class TransitionCounter:
         interconnect."""
         CHUNK = 1 << 26  # bound device temps for the nonzero extraction
         if self._dev is not None and self._since_flush > 0:
-            for l in self.lags:
-                dev = self._dev[l]
-                nnz = int(jnp.count_nonzero(dev))
-                if nnz * 3 < dev.size:
-                    host = self._host[l]
-                    for start in range(0, dev.size, CHUNK):
-                        part = dev[start : start + CHUNK]
-                        idx = jnp.nonzero(part)[0]
-                        if idx.size == 0:
-                            continue
-                        vals = part[idx]
-                        # nonzero indices are unique: direct fancy-index add.
-                        host[np.asarray(idx) + start] += np.asarray(vals).astype(
-                            np.int64
-                        )
-                else:
-                    self._host[l] += np.asarray(dev).astype(np.int64)
-            self._dev = {
-                l: jnp.zeros(self.n_groups * table_rows(l) * 5, dtype=jnp.int32)
-                for l in self.lags
-            }
+            dev = self._dev
+            nnz = int(jnp.count_nonzero(dev))
+            if nnz * 3 < dev.size:
+                for start in range(0, dev.size, CHUNK):
+                    part = dev[start : start + CHUNK]
+                    idx = np.asarray(jnp.nonzero(part)[0])
+                    if idx.size == 0:
+                        continue
+                    vals = np.asarray(part[jnp.asarray(idx)]).astype(np.int64)
+                    self._scatter_host(idx + start, vals)
+            else:
+                dense = np.asarray(dev).astype(np.int64)
+                for l in self.lags:
+                    off = self._offsets[l]
+                    self._host[l] += dense[off : off + self._host[l].size]
+            self._dev = jnp.zeros(self._total_size, dtype=jnp.int32)
             self._since_flush = 0
+
+    def _scatter_host(self, idx: np.ndarray, vals: np.ndarray):
+        """Route concatenated-buffer indices into the per-lag host tables."""
+        bounds = [self._offsets[l] for l in self.lags] + [self._total_size]
+        for i, l in enumerate(self.lags):
+            sel = (idx >= bounds[i]) & (idx < bounds[i + 1])
+            if sel.any():
+                self._host[l][idx[sel] - bounds[i]] += vals[sel]
 
     def add_chunk(self, chunk: ReadChunk):
         self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped, chunk.groups)
@@ -285,6 +300,50 @@ class TransitionCounter:
         other.flush()
         for l in self.lags:
             self._host[l] += other._host[l]
+
+    # -- durability / invariants ------------------------------------------
+
+    def save_state(self, path: str):
+        """Checkpoint accumulated counts (for long counting jobs — the
+        reference can only restart whole summarize stages, summarize.py
+        -s12/-s3; here any chunk boundary is a resume point)."""
+        self.flush()
+        np.savez_compressed(
+            path,
+            lags=np.array(self.lags),
+            n_groups=np.array(self.n_groups),
+            reverse=np.array(self.reverse),
+            **{f"table_{l}": self._host[l] for l in self.lags},
+        )
+
+    @classmethod
+    def load_state(cls, path: str) -> "TransitionCounter":
+        data = np.load(path)
+        tc = cls(
+            lags=[int(l) for l in data["lags"]],
+            n_groups=int(data["n_groups"]),
+            reverse=bool(data["reverse"]),
+        )
+        for l in tc.lags:
+            tc._host[l] = data[f"table_{l}"].astype(np.int64)
+        return tc
+
+    def validate(self, expected_transitions: Optional[int] = None):
+        """Count-conservation invariant: every table must hold exactly the
+        same grand total (= number of transitions counted, x2 if reverse).
+        Returns the per-lag totals."""
+        totals = {l: int(t.sum()) for l, t in self.tables.items()}
+        values = set(totals.values())
+        if len(values) > 1:
+            raise AssertionError(f"count tables disagree on total transitions: {totals}")
+        if expected_transitions is not None:
+            want = expected_transitions * (2 if self.reverse else 1)
+            got = next(iter(values)) if values else 0
+            if got != want:
+                raise AssertionError(
+                    f"count conservation violated: counted {got}, expected {want}"
+                )
+        return totals
 
     # -- output ------------------------------------------------------------
 

@@ -21,34 +21,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bear_tpu.counting.engine import (
     ReadChunk,
     _count_chunk_kernel,
+    lag_offsets,
     reverse_complement_codes,
     table_rows,
 )
 
 
 def _make_sharded_count(mesh: Mesh, axis: str, lags, n_groups):
-    """Build the jitted shard_map counting step for a mesh: tables
-    {lag: [D, n_groups*rows*5] int32} sharded on axis 0, batch arrays sharded
-    on axis 0 as [D, B_local, ...]. Each device scatter-adds into its own
-    table slice — no communication on the hot path."""
+    """Build the jitted shard_map counting step for a mesh: the concatenated
+    table [D, total] int32 sharded on axis 0, batch arrays sharded on axis 0
+    as [D, B_local, ...]. Each device scatter-adds into its own table slice —
+    no communication on the hot path."""
     from jax import shard_map
 
-    def per_device(tbl_slices, codes_l, lengths_l, skip_l, stopped_l, groups_l):
-        flat_tables = {l: tbl_slices[l][0] for l in lags}
+    def per_device(tbl_slice, codes_l, lengths_l, skip_l, stopped_l, groups_l):
         out = _count_chunk_kernel(
-            flat_tables, codes_l[0], lengths_l[0], skip_l[0], stopped_l[0],
+            tbl_slice[0], codes_l[0], lengths_l[0], skip_l[0], stopped_l[0],
             groups_l[0], lags, n_groups,
         )
-        return {l: out[l][None] for l in lags}
+        return out[None]
 
     mapped = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(
-            {l: P(axis, None) for l in lags},
+            P(axis, None),
             P(axis), P(axis), P(axis), P(axis), P(axis),
         ),
-        out_specs={l: P(axis, None) for l in lags},
+        out_specs=P(axis, None),
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -70,6 +70,7 @@ class ShardedTransitionCounter:
         self.lags = tuple(sorted(set(int(l) for l in lags)))
         self.n_groups = n_groups
         self.reverse = reverse
+        self._offsets, self._total_size = lag_offsets(self.lags, n_groups)
         self._host: Dict[int, np.ndarray] = {
             l: np.zeros(n_groups * table_rows(l) * 5, dtype=np.int64) for l in self.lags
         }
@@ -89,20 +90,18 @@ class ShardedTransitionCounter:
 
     def _ensure_dev(self):
         if self._dev is None:
-            self._dev = {
-                l: jax.device_put(
-                    jnp.zeros((self.n_dev, self.n_groups * table_rows(l) * 5), jnp.int32),
-                    self._table_sharding(),
-                )
-                for l in self.lags
-            }
+            self._dev = jax.device_put(
+                jnp.zeros((self.n_dev, self._total_size), jnp.int32),
+                self._table_sharding(),
+            )
 
     def flush(self):
         if self._dev is not None and self._since_flush > 0:
+            # The one cross-device reduction: sum partial tables.
+            merged = np.asarray(jnp.sum(self._dev.astype(jnp.int64), axis=0))
             for l in self.lags:
-                # The one cross-device reduction: sum partial tables.
-                merged = jnp.sum(self._dev[l].astype(jnp.int64), axis=0)
-                self._host[l] += np.asarray(merged)
+                off = self._offsets[l]
+                self._host[l] += merged[off : off + self._host[l].size]
             self._dev = None
             self._since_flush = 0
 

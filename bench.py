@@ -114,12 +114,12 @@ def bench_counting():
     )
     tc = TransitionCounter(lags=[lag], n_groups=1)
     tc.add_chunk(chunk)  # compile
-    jax.block_until_ready(tc._dev[lag])
+    jax.block_until_ready(tc._dev)
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):
         tc.add_chunk(chunk)
-    jax.block_until_ready(tc._dev[lag])
+    jax.block_until_ready(tc._dev)
     dt = time.perf_counter() - t0
     transitions = n * B * (L + 1)
     assert tc.tables[lag].sum() == (n + 1) * B * (L + 1)

@@ -191,6 +191,55 @@ def test_summarize_cli_end_to_end(tmp_path):
             np.testing.assert_array_equal(mat, oracle_rev[li][kmer])
 
 
+def test_state_checkpoint_and_validate(tmp_path):
+    rng = np.random.default_rng(5)
+    seqs = random_seqs(rng, 6)
+    tc = TransitionCounter(lags=[1, 3], n_groups=1)
+    enc = [(fastx.encode_seq(s), 0) for s in seqs]
+    for chunk in chunk_reads(iter(enc), 3, batch_size=4):
+        tc.add_chunk(chunk)
+    n_transitions = sum(len(s) + 1 for s in seqs)
+    totals = tc.validate(expected_transitions=n_transitions)
+    assert set(totals.values()) == {n_transitions}
+
+    path = str(tmp_path / "counts.npz")
+    tc.save_state(path)
+    tc2 = TransitionCounter.load_state(path)
+    for l in (1, 3):
+        np.testing.assert_array_equal(tc.tables[l], tc2.tables[l])
+    # resume: counting more after load accumulates correctly
+    for chunk in chunk_reads(iter([(fastx.encode_seq("ACGT"), 0)]), 3, batch_size=4):
+        tc2.add_chunk(chunk)
+    tc2.validate(expected_transitions=n_transitions + 5)
+
+    with pytest.raises(AssertionError, match="count conservation"):
+        tc.validate(expected_transitions=n_transitions + 1)
+
+
+def test_tsv_roundtrip_to_training(tmp_path):
+    # summarize TSV output loads through the dense dataloader and matches the
+    # in-memory dataset handoff exactly (the full data-contract loop).
+    from bear_tpu.data import load_dense
+
+    rng = np.random.default_rng(6)
+    seqs = random_seqs(rng, 8)
+    groups = [int(g) for g in rng.integers(0, 2, len(seqs))]
+    tc = TransitionCounter(lags=[4], n_groups=2)
+    enc = [(fastx.encode_seq(s), g) for s, g in zip(seqs, groups)]
+    for chunk in chunk_reads(iter(enc), 4, batch_size=4):
+        tc.add_chunk(chunk)
+    paths = tc.export_tsv(str(tmp_path / "out"), 4, n_bin_bits=1)
+    ds_mem = tc.to_dataset(4)
+    parts = [load_dense(p, "dna", 2) for p in paths if os.path.getsize(p)]
+    ds_tsv = parts[0]
+    for p in parts[1:]:
+        ds_tsv = ds_tsv.concat(p)
+    assert set(ds_tsv.kmers) == set(ds_mem.kmers)
+    idx_mem = {k: i for i, k in enumerate(ds_mem.kmers)}
+    for i, k in enumerate(ds_tsv.kmers):
+        np.testing.assert_array_equal(ds_tsv.counts[i], ds_mem.counts[idx_mem[k]])
+
+
 def test_check_summarize_cli(tmp_path):
     # The standalone oracle checker passes on real output and fails on
     # corrupted output.
