@@ -10,3 +10,4 @@ from bear_tpu.models.ar_funcs import (
 )
 from bear_tpu.models import bear_net
 from bear_tpu.models.vbear import VBearResult, train_variational_h
+from bear_tpu.models.lag_selection import LagSelection, select_lag

@@ -1,0 +1,57 @@
+"""Lag (truncation-level) selection by maximum BMM marginal likelihood.
+
+The reference documents choosing the lag by maximizing the vanilla-BEAR
+marginal likelihood across lags (docs/usage.rst:269-271: "lag 13 for YSD1
+chosen by max marginal likelihood") but ships no utility for it — the user
+re-runs training per lag. Here the counting engine produces every lag in one
+pass, so selection is a single sweep over the tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Sequence
+
+import numpy as np
+
+from bear_tpu.data.likelihood import bmm_likelihood
+
+
+@dataclass
+class LagSelection:
+    lags: tuple
+    log_marginals: np.ndarray  # [num_lags, num_alpha]
+    alphas: np.ndarray
+
+    @property
+    def best(self) -> int:
+        """Lag maximizing the marginal likelihood (at the best alpha)."""
+        return int(self.lags[int(np.argmax(self.log_marginals.max(axis=-1)))])
+
+    def best_alpha(self, lag: int) -> float:
+        i = self.lags.index(lag)
+        return float(self.alphas[int(np.argmax(self.log_marginals[i]))])
+
+
+def select_lag(
+    counter,
+    alphas: Sequence[float] = (0.01, 0.1, 1.0),
+    group: int = 0,
+    batch_size: int = 1 << 16,
+) -> LagSelection:
+    """Score every counted lag by exact BMM marginal likelihood.
+
+    counter : a TransitionCounter (or anything with .lags and .tables).
+    alphas : symmetric Dirichlet prior concentrations to scan.
+
+    Only k-mers with nonzero counts contribute (zero-count rows have marginal
+    term exactly 0), so the sweep touches num-distinct-kmers rows, not 4^lag.
+    """
+    alphas = np.asarray(list(alphas), dtype=np.float64)
+    tables = counter.tables
+    out = np.zeros((len(counter.lags), len(alphas)))
+    for i, lag in enumerate(counter.lags):
+        rows = np.nonzero(tables[lag][group].sum(axis=-1))[0]
+        counts = tables[lag][group][rows].astype(np.float64)[:, None, :]
+        out[i] = np.asarray(bmm_likelihood(counts, alphas, batch_size=batch_size))[0]
+    return LagSelection(lags=tuple(counter.lags), log_marginals=out, alphas=alphas)

@@ -224,6 +224,23 @@ def test_bear_model_stacking_and_h_vector():
     )
 
 
+def test_bear_path_equals_bmm_with_matching_prior():
+    # With a uniform AR function, BEAR at h is exactly BMM with
+    # van = (1/5)/h — the model-stacking paths must agree to the sample.
+    ds = make_dataset()
+    h = 0.4
+    van_equiv = (1.0 / 5.0) / h
+
+    def ar_apply(oh):
+        return np.full((oh.shape[0], 5), 0.2)
+
+    pdf_bear = get_pdf(ds.kmers, ds.counts, np.array([h]), ar_apply, 64, [],
+                       0, "dna", key=__import__("jax").random.key(7))
+    pdf_van = get_pdf(ds.kmers, ds.counts, None, None, 64, [van_equiv],
+                      0, "dna", key=__import__("jax").random.key(7))
+    np.testing.assert_allclose(pdf_bear.log_probs, pdf_van.log_probs, rtol=1e-12)
+
+
 def test_variant_mismatch_raises():
     with pytest.raises(AssertionError, match="does not match wild-type"):
         get_bear_probs(
