@@ -29,14 +29,18 @@ def bmm_likelihood(counts, alpha, batch_size: int = 1 << 16):
     dataloader.bmm_likelihood's output shape).
     """
     counts = np.asarray(counts)
-    alpha = jnp.asarray(alpha)
+    alpha_j = jnp.asarray(alpha)
 
     @jax.jit
-    def step(carry, batch):
-        return carry + bmm_marginal_logpmf(batch, alpha), None
+    def step(batch):
+        return bmm_marginal_logpmf(batch, alpha_j)
 
-    total = jnp.zeros((counts.shape[1], alpha.shape[0]), dtype=alpha.dtype)
-    # Host-side batching keeps memory bounded for genome-scale datasets.
+    # Host-side batching keeps memory bounded for genome-scale datasets; the
+    # cross-batch accumulation is float64 on the host so evidence totals stay
+    # exact even when device compute is float32 (x64 off).
+    total = np.zeros((counts.shape[1], np.shape(alpha)[0]), dtype=np.float64)
     for start in range(0, counts.shape[0], batch_size):
-        total, _ = step(total, jnp.asarray(counts[start : start + batch_size]))
+        total += np.asarray(
+            step(jnp.asarray(counts[start : start + batch_size])), dtype=np.float64
+        )
     return total

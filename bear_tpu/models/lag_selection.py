@@ -10,11 +10,9 @@ pass, so selection is a single sweep over the tables.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Sequence
+from typing import Sequence
 
 import numpy as np
-
-from bear_tpu.data.likelihood import bmm_likelihood
 
 
 @dataclass
@@ -37,21 +35,37 @@ def select_lag(
     counter,
     alphas: Sequence[float] = (0.01, 0.1, 1.0),
     group: int = 0,
-    batch_size: int = 1 << 16,
+    batch_size: int = 1 << 20,
 ) -> LagSelection:
     """Score every counted lag by exact BMM marginal likelihood.
 
     counter : a TransitionCounter (or anything with .lags and .tables).
     alphas : symmetric Dirichlet prior concentrations to scan.
 
-    Only k-mers with nonzero counts contribute (zero-count rows have marginal
-    term exactly 0), so the sweep touches num-distinct-kmers rows, not 4^lag.
+    Computed on the host in float64 unconditionally: evidence gaps between
+    adjacent lags near the optimum can be far below float32 resolution at
+    genome-scale magnitudes, and model selection is a one-off sweep, not a
+    hot path. Only k-mers with nonzero counts contribute (zero-count rows
+    have marginal term exactly 0), so the sweep touches num-distinct-kmers
+    rows, not 4^lag.
     """
+    from scipy.special import gammaln
+
     alphas = np.asarray(list(alphas), dtype=np.float64)
     tables = counter.tables
     out = np.zeros((len(counter.lags), len(alphas)))
     for i, lag in enumerate(counter.lags):
         rows = np.nonzero(tables[lag][group].sum(axis=-1))[0]
-        counts = tables[lag][group][rows].astype(np.float64)[:, None, :]
-        out[i] = np.asarray(bmm_likelihood(counts, alphas, batch_size=batch_size))[0]
+        for start in range(0, len(rows), batch_size):
+            counts = tables[lag][group][rows[start : start + batch_size]].astype(
+                np.float64
+            )
+            c = counts[:, None, :] + alphas[None, :, None]  # [n, A, 5]
+            a = np.broadcast_to(alphas[None, :, None], c.shape)
+            # lbeta(counts + alpha) - lbeta(alpha), summed over rows
+            out[i] += np.sum(
+                (gammaln(c).sum(-1) - gammaln(c.sum(-1)))
+                - (gammaln(a).sum(-1) - gammaln(a.sum(-1))),
+                axis=0,
+            )
     return LagSelection(lags=tuple(counter.lags), log_marginals=out, alphas=alphas)

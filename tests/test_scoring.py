@@ -4,6 +4,7 @@ parity on the toy sequences, variant scores vs analytic Beta moments
 correlated-transition marginal case — on both the counter path and the
 dataset path."""
 
+import jax
 import numpy as np
 import pytest
 from scipy import stats as st
@@ -235,9 +236,9 @@ def test_bear_path_equals_bmm_with_matching_prior():
         return np.full((oh.shape[0], 5), 0.2)
 
     pdf_bear = get_pdf(ds.kmers, ds.counts, np.array([h]), ar_apply, 64, [],
-                       0, "dna", key=__import__("jax").random.key(7))
+                       0, "dna", key=jax.random.key(7))
     pdf_van = get_pdf(ds.kmers, ds.counts, None, None, 64, [van_equiv],
-                      0, "dna", key=__import__("jax").random.key(7))
+                      0, "dna", key=jax.random.key(7))
     np.testing.assert_allclose(pdf_bear.log_probs, pdf_van.log_probs, rtol=1e-12)
 
 
