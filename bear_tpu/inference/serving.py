@@ -1,0 +1,167 @@
+"""Production serving: fully on-device batch sequence scoring.
+
+The analysis-oriented scoring path (bear_tpu.inference.scoring, mirroring the
+reference's get_var_probs) builds per-call Python lookups — right for
+interactive work, wrong for high-throughput serving. ``BearServer``
+precompiles one jitted function that takes a padded batch of integer-coded
+sequences and returns per-sequence log-probabilities with zero host work:
+
+    rolling '['-padded context codes  (same index math as the counting kernel)
+    -> gather transition counts from the device-resident table
+    -> concentrations = ar(context)/h + counts
+    -> MAP log-prob sum, or per-sequence posterior-sampled scores (one
+       Dirichlet draw per (sequence, context row), reused on revisit — the
+       same stateless semantics as assembly).
+
+Scores include the start-pad contexts and the stop transition, matching
+get_bear_probs_seqs' padding semantics (reference get_var_probs.py:573-574).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bear_tpu.counting.engine import table_rows
+from bear_tpu.ops import alphabets
+from bear_tpu.ops.distributions import EPSILON
+
+
+def _context_rows_and_next(codes, lengths, lag):
+    """Vectorized context-row/next-symbol extraction for '['-padded,
+    ']'-terminated sequences: codes [B, L] int32 (0..3), lengths [B].
+
+    Returns rows [B, L+1], nxt [B, L+1], mask [B, L+1] — one entry per
+    transition position j=0..len (j==len is the stop)."""
+    B, L = codes.shape
+    P = L + 1
+    j = jnp.arange(P, dtype=jnp.int32)[None, :]
+    lengths = lengths.astype(jnp.int32)[:, None]
+    codes32 = codes.astype(jnp.int32)
+
+    code_acc = jnp.zeros((B, P), dtype=jnp.int32)
+    pow4 = 1
+    for i in range(1, lag + 1):
+        shifted = jnp.pad(codes32, ((0, 0), (i, 0)))[:, :P]
+        code_acc = code_acc + shifted * pow4
+        pow4 *= 4
+    n_pad = jnp.maximum(0, lag - j)
+    rows = (4 ** (lag - n_pad) - 1) // 3 + code_acc
+
+    codes_ext = jnp.pad(codes32, ((0, 0), (0, 1)))
+    nxt = jnp.where(j < lengths, codes_ext, 4)
+    mask = j <= lengths  # includes the stop transition
+    return rows, nxt, mask
+
+
+def _rows_to_onehot_contexts(rows, lag, dtype):
+    """Device-side inverse of the row index: [..,] rows -> one-hot
+    [.., lag, 5] '['-padded contexts (integer-exact suffix-length decode)."""
+    # suffix length m: number of boundaries (4^k - 1)/3 <= row, k = 1..lag
+    m = jnp.zeros(rows.shape, dtype=jnp.int32)
+    for k in range(1, lag + 1):
+        m = m + (rows >= (4**k - 1) // 3).astype(jnp.int32)
+    code = rows - (4**m - 1) // 3
+    digs = []
+    rem = code
+    for _ in range(lag):
+        digs.append(rem % 4)
+        rem = rem // 4
+    digits = jnp.stack(digs[::-1], axis=-1)  # leftmost..rightmost residues
+    pos = jnp.arange(lag, dtype=jnp.int32)
+    is_pad = pos < (lag - m)[..., None]
+    classes = jnp.where(is_pad, 4, digits)
+    return alphabets.one_hot(classes, 5, dtype)
+
+
+class BearServer:
+    """Precompiled batch scorer over a device-resident count table.
+
+    Parameters
+    ----------
+    table : [table_rows(lag), A+1] transition counts (train column).
+    lag : model lag.
+    h : BEAR concentration (None for BMM-only with ``van``).
+    ar_apply : jitted (one_hot [.., lag, 5] -> probs [.., 5]) closure, e.g.
+        from load_bear; None with ``van`` for vanilla BEAR.
+    van : BMM symmetric prior (used when ar_apply is None).
+    """
+
+    def __init__(self, table, lag: int, *, h: Optional[float] = None,
+                 ar_apply=None, van: Optional[float] = None, dtype=jnp.float32):
+        assert (ar_apply is None) != (van is None), "specify exactly one of ar_apply / van"
+        assert np.shape(table)[0] == table_rows(lag)
+        self._table = jnp.asarray(np.asarray(table), dtype=dtype)
+        self._lag = lag
+
+        def concentrations(rows, counts):
+            if ar_apply is None:
+                return counts + van + EPSILON
+            oh = _rows_to_onehot_contexts(rows, lag, dtype)
+            probs = ar_apply(oh)
+            return probs / h + counts + EPSILON
+
+        def log_prob_map(table_arr, codes, lengths):
+            rows, nxt, mask = _context_rows_and_next(codes, lengths, lag)
+            conc = concentrations(rows, table_arr[rows])
+            logp = jnp.log(conc / jnp.sum(conc, axis=-1, keepdims=True))
+            picked = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
+            return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
+
+        def log_prob_sampled(table_arr, codes, lengths, key):
+            rows, nxt, mask = _context_rows_and_next(codes, lengths, lag)
+            conc = concentrations(rows, table_arr[rows])
+            B = rows.shape[0]
+            seq_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+
+            def draw(seq_key, row, c):
+                k = jax.random.fold_in(seq_key, row)
+                boosted = jax.random.gamma(k, c + 1.0, dtype=c.dtype)
+                log_u = -jax.random.exponential(
+                    jax.random.fold_in(k, 1), (c.shape[-1],), dtype=c.dtype
+                )
+                lg = jnp.log(boosted) + log_u / c
+                return lg - jax.scipy.special.logsumexp(lg)
+
+            logp = jax.vmap(jax.vmap(draw, in_axes=(None, 0, 0)))(seq_keys, rows, conc)
+            picked = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
+            return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
+
+        self._map_fn = jax.jit(log_prob_map)
+        self._sample_fn = jax.jit(log_prob_sampled)
+
+    def log_prob_map(self, codes, lengths):
+        """MAP per-sequence log-probabilities: [B]."""
+        return self._map_fn(self._table, jnp.asarray(codes), jnp.asarray(lengths))
+
+    def log_prob_sampled(self, codes, lengths, key):
+        """Posterior-sampled per-sequence log-probabilities: [B]. Each
+        sequence scores under its own sampled AR model; repeated contexts
+        within a sequence reuse one draw (assembly's stateless semantics)."""
+        return self._sample_fn(
+            self._table, jnp.asarray(codes), jnp.asarray(lengths), key
+        )
+
+    def score(self, seqs, mode: str = "map", key=None, pad_to: Optional[int] = None):
+        """Convenience host API: list of strings -> [B] scores. Pads to
+        ``pad_to`` (or the max length rounded up to 64) so repeated calls
+        reuse the compiled kernel."""
+        codes_list = [alphabets.encode_kmers(np.array([s]), "dna")[0] for s in seqs]
+        maxlen = max(len(c) for c in codes_list)
+        L = pad_to or (-(-maxlen // 64) * 64)
+        B = len(seqs)
+        codes = np.zeros((B, L), np.int8)
+        lengths = np.zeros(B, np.int32)
+        for i, c in enumerate(codes_list):
+            codes[i, : len(c)] = c
+            lengths[i] = len(c)
+        if mode == "map":
+            return np.asarray(self.log_prob_map(codes, lengths))
+        if mode == "sample":
+            return np.asarray(
+                self.log_prob_sampled(codes, lengths, key or jax.random.key(0))
+            )
+        raise ValueError(f"unknown mode {mode!r}")

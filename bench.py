@@ -116,18 +116,40 @@ def bench_counting():
         stopped=jnp.ones((B,), bool),
         groups=jnp.zeros((B,), jnp.int32),
     )
-    tc = TransitionCounter(lags=[lag], n_groups=1)
-    for _ in range(3):  # compile + warm the dispatch path
-        tc.add_chunk(chunk)
-    jax.block_until_ready(tc._dev)
-    n = 30
+    from bear_tpu.counting.engine import _count_chunk_kernel, table_rows
+
+    # Repeat the chunk-update inside ONE jitted scan: a remote-dispatch dev
+    # backend re-ships input values per call, which would otherwise measure
+    # the relay, not the chip. The fetch barrier (not block_until_ready,
+    # which such backends can report early) forces real completion.
+    REPS = 16
+
+    @jax.jit
+    def count_many(table, codes, lengths, skip, stopped, groups):
+        def body(tbl, _):
+            return (
+                _count_chunk_kernel(
+                    tbl, codes, lengths, skip, stopped, groups, (lag,), 1
+                ),
+                None,
+            )
+
+        table, _ = jax.lax.scan(body, table, None, length=REPS)
+        return table
+
+    args = (chunk.codes, chunk.lengths, chunk.skip, chunk.stopped, chunk.groups)
+    table = jnp.zeros(table_rows(lag) * 5, jnp.int32)
+    table = count_many(table, *args)  # compile
+    _ = int(table[0])  # fetch barrier
+    calls = 3
     t0 = time.perf_counter()
-    for _ in range(n):
-        tc.add_chunk(chunk)
-    jax.block_until_ready(tc._dev)
+    for _ in range(calls):
+        table = count_many(table, *args)
+    _ = int(table[0])
     dt = time.perf_counter() - t0
-    transitions = n * B * (L + 1)
-    assert tc.tables[lag].sum() == (n + 3) * B * (L + 1)
+    transitions = calls * REPS * B * (L + 1)
+    total = int(jnp.sum(table))  # < 2^31 by construction
+    assert total == (calls + 1) * REPS * B * (L + 1), total
     return dict(transitions_per_sec=transitions / dt)
 
 

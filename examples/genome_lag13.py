@@ -16,8 +16,8 @@ contexts from 46.3M transitions; BEAR heldout perplexity 1.199 / accuracy
 93.8% vs point-AR 5.27 / 1.2% — the posterior predictive nails the repeat
 structure the AR function alone cannot. Wall-clock on a tunneled chip is
 dominated by per-dispatch relay latency and remote compilation, not device
-compute (the counting itself is ~40 ms of device time at 1.2e9 transitions/s);
-on directly-attached hardware the whole run is ~1-2 minutes.
+compute (the counting itself is ~0.5 s of device time at ~90M transitions/s,
+see PERF.md); on directly-attached hardware the whole run is ~1-2 minutes.
 """
 
 import argparse

@@ -1,0 +1,92 @@
+"""BearServer: on-device batch scoring agrees with the analysis scoring path
+(MAP exact up to the epsilon regularizer) and the sampled mode matches
+analytic Dirichlet means."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import digamma
+
+from bear_tpu.counting import TransitionCounter, chunk_reads
+from bear_tpu.counting import fastx
+from bear_tpu.inference import get_bear_probs_seqs
+from bear_tpu.inference.serving import BearServer
+
+TOY_SEQS = ["TTTAT", "TTCTT", "TTTTT", "TTTTT"]
+LAG = 3
+
+
+def _counter():
+    tc = TransitionCounter(lags=[LAG], n_groups=1)
+    enc = [(fastx.encode_seq(s), 0) for s in TOY_SEQS]
+    for chunk in chunk_reads(iter(enc), LAG):
+        tc.add_chunk(chunk)
+    return tc
+
+
+def test_map_matches_analysis_path():
+    tc = _counter()
+    van = 1.0
+    server = BearServer(tc.tables[LAG][0], LAG, van=van, dtype=jnp.float64)
+    seqs = ["TTTAT", "TTCAT", "TTTTTTTTTT"]
+    got = server.score(seqs, mode="map")
+
+    want = get_bear_probs_seqs(
+        None, seqs, 0, get_map=True, vans=[van], lag=LAG, alphabet_name="dna",
+        data=tc.to_dataset(LAG),
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_map_bear_model_path():
+    tc = _counter()
+    h = 0.5
+
+    def ar_apply(oh):
+        return jnp.full(oh.shape[:-2] + (5,), 0.2, dtype=oh.dtype)
+
+    server = BearServer(tc.tables[LAG][0], LAG, h=h, ar_apply=ar_apply,
+                        dtype=jnp.float64)
+    got = server.score(["TTTAT"], mode="map")
+    # BEAR with uniform AR at h == BMM with van = 0.2/h.
+    server_van = BearServer(tc.tables[LAG][0], LAG, van=0.2 / h, dtype=jnp.float64)
+    want = server_van.score(["TTTAT"], mode="map")
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_sampled_mean_matches_analytic():
+    tc = _counter()
+    van = 1.0
+    server = BearServer(tc.tables[LAG][0], LAG, van=van, dtype=jnp.float64)
+    seq = "TTTAT"
+    # E[log p] per transition: digamma(seen+van) - digamma(total+5van).
+    def dir_mean(seen, all_):
+        return digamma(seen + van) - digamma(all_ + 5 * van)
+
+    want = (
+        2 * dir_mean(4, 4)          # [[[ -> T, [[T -> T
+        + dir_mean(3, 4)            # [TT -> T
+        + dir_mean(1, 7)            # TTT -> A
+        + 2 * dir_mean(1, 1)        # TTA -> T, TAT -> ]
+    )
+    n = 4000
+    scores = []
+    B = 500
+    from bear_tpu.ops import alphabets
+
+    c = alphabets.encode_kmers(np.array([seq]), "dna")[0]
+    codes = np.tile(c, (B, 1)).astype(np.int8)
+    lengths = np.full(B, len(seq), np.int32)
+    for rep in range(n // B):
+        s = server.log_prob_sampled(codes, lengths, jax.random.key(rep))
+        scores.append(np.asarray(s))
+    got = np.concatenate(scores).mean()
+    assert abs(got - want) / abs(want) < 0.02, (got, want)
+
+
+def test_batch_padding_consistency():
+    tc = _counter()
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.5, dtype=jnp.float64)
+    single = server.score(["TTTAT"], mode="map")
+    batch = server.score(["TTTAT", "TTCATTTT", "TTTTT"], mode="map")
+    np.testing.assert_allclose(batch[0], single[0], rtol=1e-12)
