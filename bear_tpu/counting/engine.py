@@ -208,6 +208,15 @@ class TransitionCounter:
         self.n_groups = n_groups
         self.reverse = reverse
         self._offsets, self._total_size = lag_offsets(self.lags, n_groups)
+        if self._total_size > np.iinfo(np.int32).max:
+            # Scatter indices are int32 on TPU (int64 requires jax x64 and
+            # halves throughput); beyond 2^31 entries the flat index would
+            # wrap negative and mode='drop' would SILENTLY lose counts.
+            raise ValueError(
+                f"concatenated count table has {self._total_size:,} entries, "
+                "beyond int32 indexing — split the lags across multiple "
+                "TransitionCounters or reduce n_groups"
+            )
         self._host: Dict[int, np.ndarray] = {
             l: np.zeros(n_groups * table_rows(l) * 5, dtype=np.int64) for l in self.lags
         }
@@ -236,7 +245,7 @@ class TransitionCounter:
             if nnz * 3 < dev.size:
                 for start in range(0, dev.size, CHUNK):
                     part = dev[start : start + CHUNK]
-                    idx = np.asarray(jnp.nonzero(part)[0])
+                    idx = np.asarray(jnp.nonzero(part)[0], dtype=np.int64)
                     if idx.size == 0:
                         continue
                     vals = np.asarray(part[jnp.asarray(idx)]).astype(np.int64)
@@ -402,13 +411,28 @@ def chunk_reads(
     max_lag: int,
     batch_size: int = 1024,
     segment_len: int = 1 << 16,
+    reverse: bool = False,
 ) -> Iterable[ReadChunk]:
     """Batch encoded reads (code_array, group) into padded ReadChunks.
 
     Long sequences (genomes) are split into segments of ``segment_len`` with a
     ``max_lag`` overlap carried as context-only (skip = max_lag), so counting
     streams at constant memory regardless of sequence length.
+
+    reverse=True additionally emits each read's reverse complement as its own
+    read BEFORE segmentation — the correct way to get forward+RC counts for
+    arbitrarily long sequences (a TransitionCounter(reverse=True) can only
+    RC whole-read chunks, never continuation segments, which lack their
+    right-side context).
     """
+    if reverse:
+        def with_rc(stream):
+            for code_arr, group in stream:
+                yield code_arr, group
+                yield (3 - code_arr[::-1]).astype(code_arr.dtype), group
+
+        encoded = with_rc(encoded)
+
     rows: List[tuple[np.ndarray, int, int, bool]] = []  # codes, group, skip, stopped
 
     def emit():

@@ -44,7 +44,7 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, str]]:
     name, parts = None, []
     with open(path, "r") as fh:
         for line in fh:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")  # CRLF-safe: '\r' would encode as 'A'
             if not line:
                 continue
             if line.startswith(">"):
@@ -63,10 +63,12 @@ def iter_fastq(path: str) -> Iterator[Tuple[str, str]]:
             header = fh.readline()
             if not header:
                 return
-            seq = fh.readline().rstrip("\n")
+            if not header.strip():  # tolerate blank lines between records
+                continue
+            seq = fh.readline().rstrip("\r\n")
             fh.readline()  # '+'
             fh.readline()  # quality
-            yield header[1:].rstrip("\n").split(" ")[0], seq
+            yield header[1:].rstrip("\r\n").split(" ")[0], seq
 
 
 def iter_seqs(path: str, file_type: str) -> Iterator[Tuple[str, str]]:

@@ -38,12 +38,17 @@ def run_counting(
     """Count transitions for all requested lags over the input file set."""
     entries = fastx.read_input_csv(input_csv)
     n_groups = max(group for _, group, _ in entries) + 1
-    counter = engine.TransitionCounter(lags=lags, n_groups=n_groups, reverse=reverse)
-    stream = fastx.stream_encoded(
-        (path, group, ftype) for path, group, ftype in entries
-    )
-    tagged = ((codes, group) for codes, group in stream)
-    for chunk in engine.chunk_reads(tagged, counter.max_lag, batch_size, segment_len):
+    # Reverse-complement counting happens in the read stream (each read also
+    # emitted as its RC before segmentation) so arbitrarily long contigs work;
+    # the counter itself stays forward-only.
+    counter = engine.TransitionCounter(lags=lags, n_groups=n_groups)
+    for chunk in engine.chunk_reads(
+        fastx.stream_encoded(entries),
+        counter.max_lag,
+        batch_size,
+        segment_len,
+        reverse=reverse,
+    ):
         counter.add_chunk(chunk)
     return counter
 

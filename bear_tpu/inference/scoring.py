@@ -44,22 +44,32 @@ class TableCounter:
     """
 
     def __init__(self, counter, lag: int, group: int = 0, no_end: bool = False):
-        from bear_tpu.counting.engine import context_to_row
-
         self._table = counter.tables[lag][group]
         self._lag = lag
         self._no_end = no_end
-        self._row = context_to_row
+
+    def rows(self, kmers) -> np.ndarray:
+        """Vectorized context-string -> table-row computation (no per-k-mer
+        Python; same index math as the counting kernel)."""
+        kmers = np.asarray(kmers).astype(str)
+        flat = np.array(
+            ["[" * (self._lag - len(k)) + k if len(k) < self._lag else k for k in kmers.reshape(-1)]
+        )
+        codes = alphabets.encode_kmers(flat, "dna")  # [n, lag]; '[' -> 4
+        is_pad = codes == 4
+        n_pad = is_pad.sum(axis=-1)
+        pow4 = 4 ** np.arange(self._lag - 1, -1, -1, dtype=np.int64)
+        digits = np.where(is_pad, 0, codes.astype(np.int64))
+        # The suffix occupies the LAST (lag - n_pad) positions, so its base-4
+        # value is exactly the dot with descending powers ('[' digits are 0).
+        code = (digits * pow4[None, :]).sum(axis=-1)
+        row = (4 ** (self._lag - n_pad) - 1) // 3 + code
+        return row.reshape(kmers.shape)
 
     def __call__(self, kmers) -> np.ndarray:
         kmers = np.asarray(kmers)
-        flat = kmers.reshape(-1)
-        out = np.zeros((flat.size, self._table.shape[-1]), dtype=np.float64)
-        for i, k in enumerate(flat):
-            k = str(k)
-            if len(k) < self._lag:
-                k = "[" * (self._lag - len(k)) + k
-            out[i] = self._table[self._row(k, self._lag)]
+        rows = self.rows(kmers).reshape(-1)
+        out = self._table[rows].astype(np.float64)
         if self._no_end:
             out[:, -1] = 0.0
         return out.reshape(kmers.shape + (self._table.shape[-1],))
@@ -220,6 +230,16 @@ def get_pdf(
     else:
         if key is None:
             key = jax.random.key(0)
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            import warnings
+
+            warnings.warn(
+                "get_pdf: float64 sampling requested but jax_enable_x64 is "
+                "off — Monte Carlo draws will run in float32. Enable x64 "
+                "(or use precision=float64 in a run config) for the "
+                "reference's float64 sampling precision.",
+                stacklevel=2,
+            )
         draws = sample_dirichlet_log(
             key, jnp.asarray(concs, dtype=dtype), size=(mc_samples,)
         )

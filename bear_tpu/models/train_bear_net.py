@@ -23,7 +23,7 @@ import numpy as np
 from bear_tpu.data import count_kmers, load_files
 from bear_tpu.models import bear_net, get_ar_func
 from bear_tpu.utils import MetricsWriter, RunConfig, save_loss_curve, save_results
-from bear_tpu.utils.checkpoint import load_params_list
+from bear_tpu.utils.cli_common import load_restart, write_config, write_eval_results
 
 
 def main(config: configparser.ConfigParser, mesh=None):
@@ -48,8 +48,7 @@ def main(config: configparser.ConfigParser, mesh=None):
     result_file = os.path.join(out_folder, "results.pickle")
     config["results"]["out_folder"] = out_folder
     config["results"]["file"] = result_file
-    with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
-        config.write(cw)
+    write_config(config, out_folder)
 
     ds_loc = run.train_column
     from bear_tpu.ops import alphabets as _alph
@@ -62,14 +61,7 @@ def main(config: configparser.ConfigParser, mesh=None):
         dtype=dtype,
     )
 
-    params_restart = None
-    opt_state_restart = None
-    if run.restart:
-        from bear_tpu.utils.checkpoint import load_results
-
-        results_prev = load_results(run.restart_path)
-        params_restart = [np.asarray(p) for p in results_prev["params"]]
-        opt_state_restart = results_prev.get("opt_state")
+    params_restart, opt_state_restart = load_restart(run)
 
     if run.train:
         result = bear_net.train(
@@ -100,8 +92,7 @@ def main(config: configparser.ConfigParser, mesh=None):
 
     h = float(np.exp(np.asarray(params["h_signed"])))
     config["results"]["h"] = str(h)
-    with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
-        config.write(cw)
+    write_config(config, out_folder)
 
     save_results(
         out_folder, bear_net.params_to_list(params), extra={"opt_state": opt_state}
@@ -109,19 +100,6 @@ def main(config: configparser.ConfigParser, mesh=None):
 
     van_reg = np.array(run.van_reg)
 
-    def write_eval(prefix, out):
-        (ll_ear, ll_ar, ll_van, perp_ear, perp_ar, perp_van, acc_ear, acc_ar, acc_van) = out
-        config["results"][f"{prefix}perplex_BEAR"] = str(float(perp_ear))
-        config["results"][f"{prefix}perplex_AR"] = str(float(perp_ar))
-        config["results"][f"{prefix}perplex_BMM"] = json.dumps(np.asarray(perp_van).tolist())
-        config["results"][f"{prefix}loglikelihood_BEAR"] = str(float(ll_ear))
-        config["results"][f"{prefix}loglikelihood_AR"] = str(float(ll_ar))
-        config["results"][f"{prefix}loglikelihood_BMM"] = json.dumps(np.asarray(ll_van).tolist())
-        config["results"][f"{prefix}accuracy_BEAR"] = str(float(acc_ear))
-        config["results"][f"{prefix}accuracy_AR"] = str(float(acc_ar))
-        config["results"][f"{prefix}accuracy_BMM"] = json.dumps(np.asarray(acc_van).tolist())
-        with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
-            config.write(cw)
 
     if run.test:
         out = bear_net.evaluation(
@@ -138,7 +116,7 @@ def main(config: configparser.ConfigParser, mesh=None):
             seed=run.seed,
             mesh=mesh,
         )
-        write_eval("heldout_", out)
+        write_eval_results(config, out_folder, "heldout_", out)
 
     if run.train_test:
         # Evaluate the training data under prior-only conditioning
@@ -157,7 +135,7 @@ def main(config: configparser.ConfigParser, mesh=None):
             seed=run.seed,
             mesh=mesh,
         )
-        write_eval("", out)
+        write_eval_results(config, out_folder, "", out)
         ll_van, perp_van = np.asarray(out[2]), np.asarray(out[5])
         return 1, ll_van, perp_van
 

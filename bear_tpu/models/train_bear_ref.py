@@ -21,7 +21,7 @@ from bear_tpu.data import count_kmers, load_files
 from bear_tpu.models import bear_net, bear_ref
 from bear_tpu.models.ar_funcs import AR_FUNCS
 from bear_tpu.utils import MetricsWriter, RunConfig, save_loss_curve, save_results
-from bear_tpu.utils.checkpoint import load_params_list
+from bear_tpu.utils.cli_common import load_restart, write_config, write_eval_results
 
 
 def main(config: configparser.ConfigParser, mesh=None):
@@ -40,8 +40,7 @@ def main(config: configparser.ConfigParser, mesh=None):
     result_file = os.path.join(out_folder, "results.pickle")
     config["results"]["out_folder"] = out_folder
     config["results"]["file"] = result_file
-    with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
-        config.write(cw)
+    write_config(config, out_folder)
 
     ds_loc = run.train_column
     ds_loc_ref = run.reference_column
@@ -51,14 +50,7 @@ def main(config: configparser.ConfigParser, mesh=None):
     net_factory = AR_FUNCS[run.ar_func_name]
     ar_func = bear_ref.make_ref_ar_func(run.lag, A, net_factory, run.af_kwargs, dtype=dtype)
 
-    params_restart = None
-    opt_state_restart = None
-    if run.restart:
-        from bear_tpu.utils.checkpoint import load_results
-
-        results_prev = load_results(run.restart_path)
-        params_restart = [np.asarray(p) for p in results_prev["params"]]
-        opt_state_restart = results_prev.get("opt_state")
+    params_restart, opt_state_restart = load_restart(run)
 
     if run.train:
         result = bear_ref.train(
@@ -95,8 +87,7 @@ def main(config: configparser.ConfigParser, mesh=None):
     config["results"]["h"] = str(h)
     config["results"]["error_rate"] = str(bear_ref.error_rate(params))
     config["results"]["stop_rate"] = str(bear_ref.stop_rate_inverse(params))
-    with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
-        config.write(cw)
+    write_config(config, out_folder)
 
     save_results(
         out_folder, bear_net.params_to_list(params), extra={"opt_state": opt_state}
@@ -104,19 +95,6 @@ def main(config: configparser.ConfigParser, mesh=None):
 
     van_reg = np.array(run.van_reg)
 
-    def write_eval(prefix, out):
-        (ll_ear, ll_ar, ll_van, perp_ear, perp_ar, perp_van, acc_ear, acc_ar, acc_van) = out
-        config["results"][f"{prefix}perplex_BEAR"] = str(float(perp_ear))
-        config["results"][f"{prefix}perplex_AR"] = str(float(perp_ar))
-        config["results"][f"{prefix}perplex_BMM"] = json.dumps(np.asarray(perp_van).tolist())
-        config["results"][f"{prefix}loglikelihood_BEAR"] = str(float(ll_ear))
-        config["results"][f"{prefix}loglikelihood_AR"] = str(float(ll_ar))
-        config["results"][f"{prefix}loglikelihood_BMM"] = json.dumps(np.asarray(ll_van).tolist())
-        config["results"][f"{prefix}accuracy_BEAR"] = str(float(acc_ear))
-        config["results"][f"{prefix}accuracy_AR"] = str(float(acc_ar))
-        config["results"][f"{prefix}accuracy_BMM"] = json.dumps(np.asarray(acc_van).tolist())
-        with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
-            config.write(cw)
 
     common = dict(dtype=dtype, seed=run.seed, mesh=mesh)
     if run.test:
@@ -124,14 +102,14 @@ def main(config: configparser.ConfigParser, mesh=None):
             ds.codes, ds.counts, ds_loc, run.test_column, ds_loc_ref,
             run.alphabet, h, ar_func, params["ar"], van_reg, **common,
         )
-        write_eval("heldout_", out)
+        write_eval_results(config, out_folder, "heldout_", out)
 
     if run.train_test:
         out = bear_ref.evaluation(
             ds.codes, ds.counts, -1, ds_loc, ds_loc_ref,
             run.alphabet, h, ar_func, params["ar"], van_reg, **common,
         )
-        write_eval("", out)
+        write_eval_results(config, out_folder, "", out)
         return 1, np.asarray(out[2]), np.asarray(out[5])
 
     return 1

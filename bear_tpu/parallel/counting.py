@@ -71,6 +71,11 @@ class ShardedTransitionCounter:
         self.n_groups = n_groups
         self.reverse = reverse
         self._offsets, self._total_size = lag_offsets(self.lags, n_groups)
+        if self._total_size > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"concatenated count table has {self._total_size:,} entries, "
+                "beyond int32 indexing — split the lags across counters"
+            )
         self._host: Dict[int, np.ndarray] = {
             l: np.zeros(n_groups * table_rows(l) * 5, dtype=np.int64) for l in self.lags
         }

@@ -94,6 +94,24 @@ def test_counting_reverse_matches_oracle():
     assert_tables_match(counter, oracle, max_lag, n_groups)
 
 
+def test_long_sequence_reverse_via_stream():
+    # Regression: reverse counting of a contig longer than segment_len used
+    # to crash (continuation segments cannot be RC'd chunk-wise). The stream
+    # now emits whole-sequence RCs before segmentation.
+    rng = np.random.default_rng(7)
+    seq = "".join(rng.choice(list("ACGT"), 3000))
+    max_lag = 4
+    counter = TransitionCounter(lags=[max_lag], n_groups=1)
+    for chunk in chunk_reads(
+        [(fastx.encode_seq(seq), 0)], max_lag, segment_len=512, reverse=True
+    ):
+        counter.add_chunk(chunk)
+    oracle = brute_force_counts([(seq, 0)], max_lag, 1, reverse=True)
+    for kmer, mat in oracle[max_lag - 1].items():
+        row = context_to_row(kmer, max_lag)
+        np.testing.assert_array_equal(counter.tables[max_lag][:, row, :], mat)
+
+
 def test_long_sequence_segmentation():
     # A genome-scale sequence split into segments must count identically to
     # the unsegmented oracle (constant-memory streaming).
