@@ -34,10 +34,11 @@ class TableCounter:
     the TPU-native replacement of make_kmc_genome_counter
     (reference get_var_probs.py:210-289).
 
-    For reverse-strand inclusion (the KMC counter's ``reverse=True``), build
-    the TransitionCounter with ``reverse=True``: a table counted over
-    {s} ∪ {revcomp(s)} reproduces the KMC forward+RC query results exactly
-    (full (k+1)-mer windows, prefix-db and suffix-db conventions included).
+    For reverse-strand inclusion (the KMC counter's ``reverse=True``), count
+    over {s} ∪ {revcomp(s)} — TransitionCounter(reverse=True) for read-scale
+    data, or chunk_reads(reverse=True) for long contigs — which reproduces
+    the KMC forward+RC query results exactly (full (k+1)-mer windows,
+    prefix-db and suffix-db conventions included).
 
     no_end=True zeroes the stop column (assembly mode; ends of assemblies are
     unreliable, get_var_probs.py:212-213).

@@ -33,6 +33,21 @@ def test_sharded_matches_single_device():
 
 
 @needs_8
+def test_sharded_long_contig_reverse_stream():
+    # Long-contig reverse counting via the stream path, sharded == single.
+    rng = np.random.default_rng(3)
+    seq = "".join(rng.choice(list("ACGT"), 2000))
+    single = TransitionCounter(lags=[3], n_groups=1)
+    sharded = ShardedTransitionCounter(data_parallel_mesh(8), lags=[3], n_groups=1)
+    for tc in (single, sharded):
+        for chunk in chunk_reads(
+            [(fastx.encode_seq(seq), 0)], 3, segment_len=256, reverse=True
+        ):
+            tc.add_chunk(chunk)
+    np.testing.assert_array_equal(single.tables[3], sharded.tables[3])
+
+
+@needs_8
 def test_sharded_reverse_and_small_batches():
     # Batches smaller than the device count must pad and still count exactly.
     seqs = ["ACGTACG", "TT"]
