@@ -1,0 +1,94 @@
+"""Scoring CLI: posterior-predictive variant and sequence scores from a
+trained model directory.
+
+The reference exposes scoring only as a library (get_var_probs.py); this CLI
+makes the common cases one command:
+
+``python -m bear_tpu.inference.score_cli variants MODEL_DIR WT_SEQ A12T C45G``
+``python -m bear_tpu.inference.score_cli seqs MODEL_DIR seq1 seq2 ...``
+``python -m bear_tpu.inference.score_cli seqs MODEL_DIR --fasta seqs.fa``
+
+Outputs TSV to stdout: one row per variant/sequence with per-model scores
+(BEAR at the fitted h, then each --van BMM prior; means over --mc-samples,
+or exact values with --map / --marg).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Score variants or sequences under a trained BEAR model.")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("model_dir", help="Trained model directory (config.cfg + results.pickle).")
+        sp.add_argument("--train-col", type=int, default=0)
+        sp.add_argument("--mc-samples", type=int, default=41)
+        sp.add_argument("--van", type=float, action="append", default=None,
+                        help="BMM prior(s) to score alongside BEAR (repeatable).")
+        sp.add_argument("--map", action="store_true", help="Exact MAP scores instead of sampling.")
+        sp.add_argument("--seed", type=int, default=0)
+
+    v = sub.add_parser("variants", help="Δ log-prob of variants vs a wild-type sequence.")
+    common(v)
+    v.add_argument("wt_seq", help="Wild-type sequence (no padding symbols).")
+    v.add_argument("vars", nargs="+", help="Variants like A12T, CG45T (wt, position, mutant).")
+
+    s = sub.add_parser("seqs", help="Log-probabilities of whole sequences.")
+    common(s)
+    s.add_argument("seqs", nargs="*", help="Sequences to score.")
+    s.add_argument("--fasta", help="Score the sequences in this FASTA file instead.")
+    s.add_argument("--marg", action="store_true", help="Exact marginal likelihoods.")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from bear_tpu.inference import get_bear_probs, get_bear_probs_seqs
+
+    vans = args.van if args.van is not None else []
+    kwargs = dict(
+        train_col=args.train_col, mc_samples=args.mc_samples, vans=vans,
+        get_map=args.map, seed=args.seed,
+    )
+
+    if args.command == "variants":
+        scores = get_bear_probs(args.model_dir, args.wt_seq, np.array(args.vars), **kwargs)
+        labels = args.vars
+    else:
+        seqs = list(args.seqs)
+        if args.fasta:
+            from bear_tpu.counting import fastx
+
+            seqs += [seq for _, seq in fastx.iter_fasta(args.fasta)]
+        if not seqs:
+            print("no sequences given (positional or --fasta)", file=sys.stderr)
+            return 2
+        if args.marg:
+            kwargs["get_marg"] = True
+            kwargs["get_map"] = False
+        scores = get_bear_probs_seqs(args.model_dir, seqs, **kwargs)
+        labels = seqs
+
+    # Model stacking order (get_var_probs.py:136-153): raw AR first when
+    # get_map, then BEAR at the fitted h, then each BMM prior.
+    model_names = (["AR"] if args.map else []) + ["BEAR"] + [f"BMM(van={v})" for v in vans]
+    if scores.ndim == 3:
+        scores = scores.mean(-1)  # mean over mc samples
+    print("target\t" + "\t".join(model_names))
+    for label, row in zip(labels, scores):
+        print(label + "\t" + "\t".join(f"{x:.6f}" for x in np.atleast_1d(row)))
+    return 0
+
+
+def cli():
+    sys.exit(main())
+
+
+if __name__ == "__main__":
+    cli()

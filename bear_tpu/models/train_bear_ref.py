@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 import configparser
-import json
 import os
 
 import numpy as np
