@@ -161,10 +161,70 @@ def make_ar_func_stop(lag, alphabet_size, dtype=jnp.float32) -> ARFunc:
     return ARFunc(init=init, apply=apply, name="stop")
 
 
+def make_ar_func_attention(
+    lag,
+    alphabet_size,
+    d_model=64,
+    num_heads=4,
+    mlp_width=128,
+    dtype=jnp.float32,
+) -> ARFunc:
+    """Single-block self-attention AR function (bear_tpu extension — the
+    reference ships linear/cnn/stop only). Embeds the one-hot context with a
+    learned positional encoding, runs one multi-head self-attention + MLP
+    block, and reads out transition logits from the final position. All
+    matmuls are MXU-shaped (d_model x d_model), making this the
+    throughput-friendly choice at large lag."""
+    A1 = alphabet_size + 1
+    assert d_model % num_heads == 0
+    d_head = d_model // num_heads
+
+    def init(key):
+        ks = jax.random.split(key, 7)
+        scale = float(1.0 / np.sqrt(d_model))  # weak type: no x64 promotion
+        embed = 0.05 * _l2_normalize(jax.random.normal(ks[0], (A1, d_model), dtype=dtype), axis=0)
+        pos = jnp.zeros((lag, d_model), dtype=dtype)
+        wqkv = scale * jax.random.normal(ks[1], (3, d_model, d_model), dtype=dtype)
+        wo = scale * jax.random.normal(ks[2], (d_model, d_model), dtype=dtype)
+        w1 = scale * jax.random.normal(ks[3], (d_model, mlp_width), dtype=dtype)
+        b1 = jnp.zeros((mlp_width,), dtype=dtype)
+        w2 = 0.05 * _l2_normalize(jax.random.normal(ks[4], (mlp_width, d_model), dtype=dtype), axis=0)
+        b2 = jnp.zeros((d_model,), dtype=dtype)
+        w_out = 0.05 * _l2_normalize(jax.random.normal(ks[5], (d_model, A1), dtype=dtype), axis=0)
+        b_out = jnp.zeros((A1,), dtype=dtype)
+        return [embed, pos, wqkv, wo, w1, b1, w2, b2, w_out, b_out]
+
+    def apply(params, kmers_oh):
+        embed, pos, wqkv, wo, w1, b1, w2, b2, w_out, b_out = params
+        lead = kmers_oh.shape[:-2]
+        x = kmers_oh.reshape((-1, lag, A1)) @ embed + pos  # [N, lag, D]
+        h = _normalize_layer(x)
+        q, k, v = (jnp.einsum("nld,de->nle", h, wqkv[i]) for i in range(3))
+
+        def split(t):
+            return t.reshape(t.shape[0], lag, num_heads, d_head).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        att = jax.nn.softmax(
+            jnp.einsum("nhqd,nhkd->nhqk", qh, kh) * float(1.0 / np.sqrt(d_head)),
+            axis=-1,
+        )
+        ctx = jnp.einsum("nhqk,nhkd->nhqd", att, vh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(-1, lag, d_model)
+        x = x + ctx @ wo
+        y = _normalize_layer(x)
+        x = x + jax.nn.gelu(y @ w1 + b1) @ w2 + b2
+        logits = x[:, -1, :] @ w_out + b_out
+        return jax.nn.softmax(logits).reshape(lead + (A1,))
+
+    return ARFunc(init=init, apply=apply, name="attention")
+
+
 AR_FUNCS = {
     "linear": make_ar_func_linear,
     "cnn": make_ar_func_cnn,
     "stop": make_ar_func_stop,
+    "attention": make_ar_func_attention,
 }
 
 

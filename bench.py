@@ -82,20 +82,27 @@ def bench_lag13_elbo():
         probs = ar.apply(p["ar"], oh)
         return -jnp.sum(bear_net.bear_log_prob(counts, probs, jnp.exp(p["h_signed"])))
 
-    @jax.jit
-    def step(p, o):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, o = opt.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, loss
-
-    params, opt_state, loss = step(params, opt_state)  # compile
-    _ = float(loss)  # fetch barrier (block_until_ready can report early
-    # through remote-dispatch backends)
     n = 30
+
+    @jax.jit
+    def run_steps(p, o):
+        # Steps folded into one scan: per-dispatch overhead (large on
+        # tunneled dev setups) must not contaminate the step time, and the
+        # production train() compiles its whole run the same way.
+        def body(carry, _):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = opt.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (p, o), losses = jax.lax.scan(body, (p, o), None, length=n)
+        return p, o, losses[-1]
+
+    params, opt_state, loss = run_steps(params, opt_state)  # compile
+    _ = float(loss)  # fetch barrier
     t0 = time.perf_counter()
-    for _ in range(n):
-        params, opt_state, loss = step(params, opt_state)
-    _ = float(loss)  # the final loss depends on the whole parameter chain
+    params, opt_state, loss = run_steps(params, opt_state)
+    _ = float(loss)  # depends on the whole parameter chain
     dt = time.perf_counter() - t0
     return dict(steps_per_sec=n / dt, kmers_per_sec=n * B / dt)
 

@@ -70,6 +70,44 @@ def test_stop():
     np.testing.assert_array_equal(np.asarray(probs)[:, :-1], 0.0)
 
 
+def test_attention_shapes_and_training():
+    from bear_tpu.models.ar_funcs import make_ar_func_attention
+    from bear_tpu.models import bear_net
+
+    ar = make_ar_func_attention(6, 4, d_model=32, num_heads=2, mlp_width=64)
+    params = ar.init(jax.random.key(0))
+    assert len(params) == 10
+    probs = ar.apply(params, _onehot_batch(n=9, lag=6))
+    assert probs.shape == (9, 5)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, (64, 6)).astype(np.int8)
+    counts = rng.poisson(5.0, (64, 5)).astype(np.float64)
+    res = bear_net.train(
+        codes, counts, num_kmers=64, ar_func=ar, batch_size=32, epochs=20,
+        learning_rate=0.01, train_ar=True,
+    )
+    assert res.losses[-1] < res.losses[0]
+    assert np.isfinite(res.losses).all()
+
+
+def test_attention_position_sensitivity():
+    # The attention AR must distinguish contexts that differ only in position
+    # (unlike a bag-of-letters model).
+    from bear_tpu.models.ar_funcs import make_ar_func_attention
+
+    ar = make_ar_func_attention(4, 4, d_model=32, num_heads=2)
+    params = ar.init(jax.random.key(1))
+    from bear_tpu.ops import alphabets
+
+    a = alphabets.one_hot_kmers(np.array(["ACGT"]), "dna", jnp.float32)
+    b = alphabets.one_hot_kmers(np.array(["TGCA"]), "dna", jnp.float32)
+    pa = np.asarray(ar.apply(params, a))
+    pb = np.asarray(ar.apply(params, b))
+    assert not np.allclose(pa, pb)
+
+
 def test_apply_is_jittable_and_differentiable():
     ar = make_ar_func_linear(3, 4)
     params = ar.init(jax.random.key(0))

@@ -1,0 +1,65 @@
+"""Real multi-process test of the multi-host helpers: two jax.distributed
+processes shard reads, count locally, and all-reduce to identical exact
+global tables."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    from bear_tpu.parallel import multihost
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    multihost.initialize(coordinator_address=f"127.0.0.1:{{port}}",
+                         num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    from bear_tpu.counting import TransitionCounter, chunk_reads, fastx
+    seqs_all = ["ACGTACGT", "TTTTCGCA", "GGGCATAT", "ACACACAC"]
+    mine = multihost.host_shard(seqs_all)
+    assert 0 < len(mine) < len(seqs_all)  # really sharded
+    tc = TransitionCounter(lags=[2], n_groups=1)
+    for chunk in chunk_reads(((fastx.encode_seq(s), 0) for s in mine), 2):
+        tc.add_chunk(chunk)
+    multihost.allreduce_tables(tc)
+    total = int(tc.tables[2].sum())
+    expected = sum(len(s) + 1 for s in seqs_all)
+    assert total == expected, (total, expected)
+    print(f"proc {{pid}} OK")
+    """
+).format(repo=REPO)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+def test_two_process_allreduce(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=120)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "OK" in out, out
