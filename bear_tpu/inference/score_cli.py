@@ -10,7 +10,8 @@ makes the common cases one command:
 
 Outputs TSV to stdout: one row per variant/sequence with per-model scores
 (BEAR at the fitted h, then each --van BMM prior; means over --mc-samples,
-or exact values with --map / --marg).
+or exact values with --map, and for the seqs mode also exact marginals with
+--marg).
 """
 
 from __future__ import annotations
@@ -47,8 +48,15 @@ def build_parser():
     return p
 
 
+def _validate(args, parser):
+    if getattr(args, "marg", False) and args.map:
+        parser.error("--map and --marg are mutually exclusive")
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    _validate(args, parser)
     from bear_tpu.inference import get_bear_probs, get_bear_probs_seqs
 
     vans = args.van if args.van is not None else []
@@ -62,10 +70,13 @@ def main(argv=None) -> int:
         labels = args.vars
     else:
         seqs = list(args.seqs)
+        labels = list(args.seqs)
         if args.fasta:
             from bear_tpu.counting import fastx
 
-            seqs += [seq for _, seq in fastx.iter_fasta(args.fasta)]
+            for name, seq in fastx.iter_fasta(args.fasta):
+                seqs.append(seq)
+                labels.append(name)
         if not seqs:
             print("no sequences given (positional or --fasta)", file=sys.stderr)
             return 2
@@ -73,7 +84,6 @@ def main(argv=None) -> int:
             kwargs["get_marg"] = True
             kwargs["get_map"] = False
         scores = get_bear_probs_seqs(args.model_dir, seqs, **kwargs)
-        labels = seqs
 
     # Model stacking order (get_var_probs.py:136-153): raw AR first when
     # get_map, then BEAR at the fitted h, then each BMM prior.

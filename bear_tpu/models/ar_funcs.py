@@ -180,7 +180,7 @@ def make_ar_func_attention(
     d_head = d_model // num_heads
 
     def init(key):
-        ks = jax.random.split(key, 7)
+        ks = jax.random.split(key, 6)
         scale = float(1.0 / np.sqrt(d_model))  # weak type: no x64 promotion
         embed = 0.05 * _l2_normalize(jax.random.normal(ks[0], (A1, d_model), dtype=dtype), axis=0)
         pos = jnp.zeros((lag, d_model), dtype=dtype)

@@ -93,19 +93,28 @@ def test_attention_shapes_and_training():
 
 
 def test_attention_position_sensitivity():
-    # The attention AR must distinguish contexts that differ only in position
-    # (unlike a bag-of-letters model).
+    # The attention AR must distinguish contexts with the SAME letter multiset
+    # and the SAME final token once positional embeddings are nonzero (they
+    # init to zeros and train; perturb them here to test the architecture's
+    # capacity rather than the init).
     from bear_tpu.models.ar_funcs import make_ar_func_attention
 
     ar = make_ar_func_attention(4, 4, d_model=32, num_heads=2)
     params = ar.init(jax.random.key(1))
+    params[1] = 0.5 * jax.random.normal(jax.random.key(2), params[1].shape)
     from bear_tpu.ops import alphabets
 
     a = alphabets.one_hot_kmers(np.array(["ACGT"]), "dna", jnp.float32)
-    b = alphabets.one_hot_kmers(np.array(["TGCA"]), "dna", jnp.float32)
+    b = alphabets.one_hot_kmers(np.array(["CAGT"]), "dna", jnp.float32)
     pa = np.asarray(ar.apply(params, a))
     pb = np.asarray(ar.apply(params, b))
     assert not np.allclose(pa, pb)
+    # And at zero pos init the model is indeed multiset-invariant given the
+    # last token (documents the init-time symmetry).
+    params0 = ar.init(jax.random.key(1))
+    np.testing.assert_allclose(
+        np.asarray(ar.apply(params0, a)), np.asarray(ar.apply(params0, b)), rtol=1e-5
+    )
 
 
 def test_apply_is_jittable_and_differentiable():

@@ -59,7 +59,12 @@ def test_two_process_allreduce(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=120)[0].decode() for p in procs]
+    try:
+        outs = [p.communicate(timeout=120)[0].decode() for p in procs]
+    finally:
+        for p in procs:  # no orphaned workers on timeout/port races
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "OK" in out, out
