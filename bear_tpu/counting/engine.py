@@ -371,13 +371,26 @@ class TransitionCounter:
         codes = alphabets.encode_kmers(kmers, alphabet) if len(kmers) else np.zeros((0, lag), np.int8)
         return CountDataset(kmers=kmers, codes=codes, counts=counts, alphabet=alphabet)
 
-    def export_tsv(self, out_prefix: str, lag: int, n_bin_bits: int = 0, seed: int = 0):
+    def export_tsv(
+        self,
+        out_prefix: str,
+        lag: int,
+        n_bin_bits: int = 0,
+        seed: int = 0,
+        shuffle: bool = False,
+    ):
         """Write reference-format TSVs: ``{out_prefix}_lag_{l}_file_{b}.tsv``
         rows ``kmer\\t[[g0 counts],[g1 counts],...]`` sharded uniformly at
-        random into 2^n_bin_bits files (summarize.py:429-449)."""
+        random into 2^n_bin_bits files (summarize.py:429-449).
+
+        shuffle=True randomizes the row order inside each shard — absorbing
+        the tutorial's external ``shuf`` step (docs/usage.rst:192-196), which
+        non-vanilla training requires."""
         rng = np.random.default_rng(seed)
         n_bins = 2**n_bin_bits
         rows = self.nonzero_rows(lag)
+        if shuffle:
+            rows = rng.permutation(rows)
         bins = rng.integers(0, n_bins, size=len(rows)) if n_bins > 1 else np.zeros(len(rows), int)
         paths = [f"{out_prefix}_lag_{lag}_file_{b}.tsv" for b in range(n_bins)]
         handles = [open(p, "w") for p in paths]

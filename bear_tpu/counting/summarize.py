@@ -67,7 +67,7 @@ def run(args) -> int:
     total_rows = sum(len(counter.nonzero_rows(l)) for l in counter.lags)
     n_bin_bits = compute_n_bin_bits(total_rows, counter.n_groups, args.mf)
     for l in counter.lags:
-        counter.export_tsv(args.out_prefix, l, n_bin_bits)
+        counter.export_tsv(args.out_prefix, l, n_bin_bits, shuffle=args.shuffle)
     print("Finished.", datetime.datetime.now())
     return 2**n_bin_bits
 
@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-t", default="tmp/", help="(compat; unused — no temp files)")
     parser.add_argument("-s12", action="store_true", default=False, help="(compat; unused)")
     parser.add_argument("-s3", action="store_true", default=False, help="(compat; unused)")
+    parser.add_argument(
+        "--shuffle", action="store_true", default=False,
+        help="Shuffle output rows (replaces the tutorial's external shuf step).",
+    )
     return parser
 
 

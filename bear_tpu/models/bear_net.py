@@ -178,6 +178,7 @@ def train(
     writer=None,
     ref_counts=None,
     opt_state_restart=None,
+    shuffle: bool = False,
 ) -> TrainResult:
     """Train a BEAR (empirical-Bayes h) or AR (max-likelihood) model.
 
@@ -196,6 +197,9 @@ def train(
     ref_counts : optional [N, alphabet_size+1] per-k-mer reference transition
         counts, passed as a second argument to ar_func.apply — the
         reference-guided BEAR variant (see bear_tpu.models.bear_ref).
+    shuffle : permute the k-mer order once before batching (seeded by
+        ``seed``) — replaces the reference workflow's external ``shuf`` step
+        on unshuffled summarize output (docs/usage.rst:192-196).
     """
     A1 = alphabets.alphabet_size(alphabet) + 1
     key = jax.random.key(seed)
@@ -219,20 +223,23 @@ def train(
     else:
         opt_state = optimizer.init(params)
 
+    codes = np.asarray(codes)
+    counts = np.asarray(counts, dtype=np.dtype(dtype))
+    if ref_counts is not None:
+        ref_counts = np.asarray(ref_counts, dtype=np.dtype(dtype))
+    if shuffle:
+        perm = np.random.default_rng(seed).permutation(len(codes))
+        codes, counts = codes[perm], counts[perm]
+        if ref_counts is not None:
+            ref_counts = ref_counts[perm]
+
     n_dev = 1
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
-    codes_s, counts_s, sizes = _stack_batches(
-        np.asarray(codes), np.asarray(counts, dtype=np.dtype(dtype)), batch_size, n_dev
-    )
+    codes_s, counts_s, sizes = _stack_batches(codes, counts, batch_size, n_dev)
     ref_s = None
     if ref_counts is not None:
-        _, ref_s, _ = _stack_batches(
-            np.asarray(codes),
-            np.asarray(ref_counts, dtype=np.dtype(dtype)),
-            batch_size,
-            n_dev,
-        )
+        _, ref_s, _ = _stack_batches(codes, ref_counts, batch_size, n_dev)
     steps_per_epoch = codes_s.shape[0]
     total_steps = steps_per_epoch * int(epochs)
     n_apply = total_steps // int(acc_steps)

@@ -209,6 +209,41 @@ def test_summarize_cli_end_to_end(tmp_path):
             np.testing.assert_array_equal(mat, oracle_rev[li][kmer])
 
 
+def test_export_shuffle_preserves_counts(tmp_path):
+    import csv as csvmod
+    import json
+
+    rng = np.random.default_rng(8)
+    seqs = random_seqs(rng, 6)
+    tc = TransitionCounter(lags=[3], n_groups=1)
+    for chunk in chunk_reads(((fastx.encode_seq(s), 0) for s in seqs), 3):
+        tc.add_chunk(chunk)
+    p_plain = tc.export_tsv(str(tmp_path / "a"), 3)[0]
+    p_shuf = tc.export_tsv(str(tmp_path / "b"), 3, shuffle=True)[0]
+
+    def rows(p):
+        with open(p, newline="") as fh:
+            return [(k, tuple(map(tuple, json.loads(m)))) for k, m in csvmod.reader(fh, delimiter="\t")]
+
+    a, b = rows(p_plain), rows(p_shuf)
+    assert a != b  # order differs
+    assert sorted(a) == sorted(b)  # contents identical
+
+
+def test_train_shuffle_option():
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, (64, 3)).astype(np.int8)
+    counts = rng.poisson(5.0, (64, 5)).astype(np.float64)
+    from bear_tpu.models import bear_net
+    from bear_tpu.models.ar_funcs import make_ar_func_linear
+
+    res = bear_net.train(
+        codes, counts, num_kmers=64, ar_func=make_ar_func_linear(3, 4),
+        batch_size=16, epochs=5, shuffle=True, seed=4,
+    )
+    assert np.isfinite(res.losses).all()
+
+
 def test_state_checkpoint_and_validate(tmp_path):
     rng = np.random.default_rng(5)
     seqs = random_seqs(rng, 6)
