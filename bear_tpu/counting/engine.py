@@ -419,6 +419,85 @@ def reverse_complement_codes(codes: np.ndarray, lengths: np.ndarray):
     return rc.astype(codes.dtype), lengths.copy()
 
 
+def chunks_from_packed(
+    codes_flat: np.ndarray,
+    offsets: np.ndarray,
+    groups,
+    max_lag: int,
+    batch_size: int = 1024,
+    segment_len: int = 1 << 16,
+    reverse: bool = False,
+) -> Iterable[ReadChunk]:
+    """Vectorized chunk construction from a packed read buffer — the
+    production host path: the C++ parser (fastx) emits (codes_flat, offsets)
+    for a whole file, and this packer builds padded ReadChunks with NumPy
+    gathers only (no per-read Python loop; the generator path chunk_reads
+    serves heterogeneous/streamed input).
+
+    groups: scalar or [n_reads] per-read group ids.
+    Long reads are split into ``segment_len`` segments with a max_lag overlap
+    (skip rule), exactly like chunk_reads. reverse=True also packs each
+    read's reverse complement.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lengths_all = np.diff(offsets)
+    n_reads = len(lengths_all)
+    groups = np.broadcast_to(np.asarray(groups, dtype=np.int32), (n_reads,))
+
+    # Expand reads into (start, seg_len, skip, stopped, group, rc) segment rows.
+    n_segs = np.maximum(1, -(-(lengths_all) // segment_len)).astype(np.int64)
+    seg_read = np.repeat(np.arange(n_reads), n_segs)
+    seg_ord = np.arange(len(seg_read)) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_segs)[:-1]]), n_segs
+    )
+    seg_begin = seg_ord * segment_len  # position within the read
+    read_len = lengths_all[seg_read]
+    seg_end = np.minimum(seg_begin + segment_len, read_len)
+    first = seg_ord == 0
+    start_in_read = np.where(first, seg_begin, seg_begin - max_lag)
+    seg_lengths = seg_end - start_in_read
+    skip = np.where(first, 0, max_lag).astype(np.int32)
+    stopped = seg_end == read_len
+    seg_groups = groups[seg_read]
+
+    variants = [(False,)] + ([(True,)] if reverse else [])
+    order = np.arange(len(seg_read))
+    for (rc,) in variants:
+        for s in range(0, len(order), batch_size):
+            sel = order[s : s + batch_size]
+            B = batch_size
+            L = int(seg_lengths[sel].max()) if len(sel) else 0
+            L = -(-L // PAD_LEN_ALIGN) * PAD_LEN_ALIGN
+            out = np.zeros((B, L), dtype=np.int8)
+            lens = np.zeros(B, dtype=np.int32)
+            lens[: len(sel)] = seg_lengths[sel]
+            # gather: out[i, j] = codes_flat[abs_start[i] + j] for j < len
+            j = np.arange(L)[None, :]
+            if rc:
+                # The RC read has the same length, so its segmentation reuses
+                # the same (start_in_read, seg_lengths, skip, stopped) rows;
+                # RC-read position p reads the complement of original
+                # position (read_len - 1 - p).
+                rl = read_len[sel]
+                src = offsets[seg_read[sel]][:, None] + (
+                    rl[:, None] - 1 - (start_in_read[sel][:, None] + j)
+                )
+                valid = j < seg_lengths[sel][:, None]
+                vals = 3 - codes_flat[np.clip(src, 0, len(codes_flat) - 1)]
+            else:
+                src = offsets[seg_read[sel]][:, None] + start_in_read[sel][:, None] + j
+                valid = j < seg_lengths[sel][:, None]
+                vals = codes_flat[np.clip(src, 0, len(codes_flat) - 1)]
+            out[: len(sel)] = np.where(valid, vals, 0)
+            sk = np.zeros(B, dtype=np.int32)
+            st = np.zeros(B, dtype=bool)
+            gr = np.zeros(B, dtype=np.int32)
+            sk[: len(sel)] = skip[sel]
+            st[: len(sel)] = stopped[sel]
+            gr[: len(sel)] = seg_groups[sel]
+            yield ReadChunk(out, lens, sk, st, gr)
+
+
 def chunk_reads(
     encoded: Iterable[tuple[np.ndarray, int]],
     max_lag: int,

@@ -42,14 +42,26 @@ def run_counting(
     # emitted as its RC before segmentation) so arbitrarily long contigs work;
     # the counter itself stays forward-only.
     counter = engine.TransitionCounter(lags=lags, n_groups=n_groups)
-    for chunk in engine.chunk_reads(
-        fastx.stream_encoded(entries),
-        counter.max_lag,
-        batch_size,
-        segment_len,
-        reverse=reverse,
-    ):
-        counter.add_chunk(chunk)
+    native = fastx._native()
+    if native is not None:
+        # Production path: C++ parse+encode per file, then fully vectorized
+        # chunk packing — no per-read Python anywhere.
+        for path, group, ftype in entries:
+            codes_flat, offsets = native.parse(path, ftype)
+            for chunk in engine.chunks_from_packed(
+                codes_flat, offsets, group, counter.max_lag,
+                batch_size, segment_len, reverse=reverse,
+            ):
+                counter.add_chunk(chunk)
+    else:
+        for chunk in engine.chunk_reads(
+            fastx.stream_encoded(entries),
+            counter.max_lag,
+            batch_size,
+            segment_len,
+            reverse=reverse,
+        ):
+            counter.add_chunk(chunk)
     return counter
 
 

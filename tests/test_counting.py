@@ -209,6 +209,38 @@ def test_summarize_cli_end_to_end(tmp_path):
             np.testing.assert_array_equal(mat, oracle_rev[li][kmer])
 
 
+def test_chunks_from_packed_matches_chunk_reads():
+    # The vectorized packed-buffer path must count identically to the
+    # generator path, including long-read segmentation and reverse.
+    from bear_tpu.counting.engine import chunks_from_packed
+
+    rng = np.random.default_rng(12)
+    seqs = random_seqs(rng, 10, lo=5, hi=40) + ["".join(rng.choice(list("ACGT"), 700))]
+    groups = [int(g) for g in rng.integers(0, 2, len(seqs))]
+    max_lag = 4
+    codes_list = [fastx.encode_seq(s) for s in seqs]
+    codes_flat = np.concatenate(codes_list)
+    offsets = np.concatenate([[0], np.cumsum([len(c) for c in codes_list])])
+
+    for reverse in (False, True):
+        via_gen = TransitionCounter(lags=[max_lag], n_groups=2)
+        for chunk in chunk_reads(
+            iter(zip(codes_list, groups)), max_lag, batch_size=4,
+            segment_len=128, reverse=reverse,
+        ):
+            via_gen.add_chunk(chunk)
+        via_packed = TransitionCounter(lags=[max_lag], n_groups=2)
+        for chunk in chunks_from_packed(
+            codes_flat, offsets, np.array(groups), max_lag, batch_size=4,
+            segment_len=128, reverse=reverse,
+        ):
+            via_packed.add_chunk(chunk)
+        np.testing.assert_array_equal(
+            via_gen.tables[max_lag], via_packed.tables[max_lag],
+            err_msg=f"reverse={reverse}",
+        )
+
+
 def test_export_shuffle_preserves_counts(tmp_path):
     import csv as csvmod
     import json
