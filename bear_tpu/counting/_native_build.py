@@ -41,9 +41,12 @@ class NativeFastx:
         try:
             n = self.lib.bear_fastx_num_seqs(handle)
             total = self.lib.bear_fastx_total_bases(handle)
-            codes = np.ctypeslib.as_array(
-                self.lib.bear_fastx_codes(handle), shape=(max(total, 1),)
-            )[:total].copy()
+            if total == 0:  # empty/header-only file: data ptr may be NULL
+                codes = np.zeros(0, dtype=np.int8)
+            else:
+                codes = np.ctypeslib.as_array(
+                    self.lib.bear_fastx_codes(handle), shape=(total,)
+                ).copy()
             offsets = np.ctypeslib.as_array(
                 self.lib.bear_fastx_offsets(handle), shape=(n + 1,)
             ).copy()

@@ -439,9 +439,16 @@ def chunks_from_packed(
     (skip rule), exactly like chunk_reads. reverse=True also packs each
     read's reverse complement.
     """
+    if segment_len < max_lag:
+        raise ValueError(
+            f"segment_len ({segment_len}) must be >= max_lag ({max_lag}): "
+            "continuation segments carry a max_lag context overlap"
+        )
     offsets = np.asarray(offsets, dtype=np.int64)
     lengths_all = np.diff(offsets)
     n_reads = len(lengths_all)
+    if n_reads == 0:
+        return
     groups = np.broadcast_to(np.asarray(groups, dtype=np.int32), (n_reads,))
 
     # Expand reads into (start, seg_len, skip, stopped, group, rc) segment rows.
@@ -551,6 +558,11 @@ def chunk_reads(
         rows = []
         return ReadChunk(codes, lengths, skip, stopped, groups)
 
+    if segment_len < max_lag:
+        raise ValueError(
+            f"segment_len ({segment_len}) must be >= max_lag ({max_lag}): "
+            "continuation segments carry a max_lag context overlap"
+        )
     for code_arr, group in encoded:
         n = len(code_arr)
         if n <= segment_len:

@@ -117,6 +117,23 @@ def test_restart_roundtrip():
     assert np.isfinite(res2.losses).all()
 
 
+def test_train_shuffle_permutes_batches():
+    # shuffle=True must actually permute the batch composition (different
+    # first-step loss) while leaving the full-batch objective unchanged.
+    codes, counts = _toy_data(n=64)
+    kwargs = dict(
+        num_kmers=64, ar_func=make_ar_func_linear(3, 4), epochs=1,
+        learning_rate=0.01, dtype=jnp.float64, seed=4,
+    )
+    plain = bear_net.train(codes, counts[:, 0], batch_size=16, **kwargs)
+    shuf = bear_net.train(codes, counts[:, 0], batch_size=16, shuffle=True, **kwargs)
+    assert not np.allclose(plain.losses, shuf.losses)
+    # With one full-dataset batch the permutation cannot change the loss.
+    plain_full = bear_net.train(codes, counts[:, 0], batch_size=64, **kwargs)
+    shuf_full = bear_net.train(codes, counts[:, 0], batch_size=64, shuffle=True, **kwargs)
+    np.testing.assert_allclose(plain_full.losses, shuf_full.losses, rtol=1e-12)
+
+
 def test_opt_state_resume_continues_trajectory():
     # Two 5-epoch runs with carried optimizer state == one 10-epoch run.
     codes, counts = _toy_data(n=64)

@@ -262,18 +262,16 @@ def test_export_shuffle_preserves_counts(tmp_path):
     assert sorted(a) == sorted(b)  # contents identical
 
 
-def test_train_shuffle_option():
-    rng = np.random.default_rng(9)
-    codes = rng.integers(0, 4, (64, 3)).astype(np.int8)
-    counts = rng.poisson(5.0, (64, 5)).astype(np.float64)
-    from bear_tpu.models import bear_net
-    from bear_tpu.models.ar_funcs import make_ar_func_linear
+def test_packed_empty_and_degenerate_inputs():
+    from bear_tpu.counting.engine import chunks_from_packed
 
-    res = bear_net.train(
-        codes, counts, num_kmers=64, ar_func=make_ar_func_linear(3, 4),
-        batch_size=16, epochs=5, shuffle=True, seed=4,
-    )
-    assert np.isfinite(res.losses).all()
+    # zero reads: yields nothing (matches the generator path)
+    assert list(chunks_from_packed(np.zeros(0, np.int8), np.array([0]), 0, 3)) == []
+    # segment_len < max_lag would read the previous read's tail as context
+    with pytest.raises(ValueError, match="segment_len"):
+        list(chunks_from_packed(np.zeros(9, np.int8), np.array([0, 9]), 0, 5, segment_len=3))
+    with pytest.raises(ValueError, match="segment_len"):
+        list(chunk_reads([(np.zeros(9, np.int8), 0)], 5, segment_len=3))
 
 
 def test_state_checkpoint_and_validate(tmp_path):
