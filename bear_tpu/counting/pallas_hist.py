@@ -1,0 +1,181 @@
+"""Pallas TPU kernel: sorted-key histogram accumulation into a dense table.
+
+This replaces the counting engine's scatter-add — the throughput limiter of
+the whole preprocessing pipeline (XLA lowers scatter-add on TPU to a ~10 ns
+per-element serial apply loop; measured on v5e). The reference's equivalent
+stage is the KMC count/sort/dump + Python heap-merge (summarize.py:317-338,
+512-591), i.e. it ALSO solves counting by sorting — this kernel is that idea
+expressed for the MXU.
+
+Pipeline (all on device):
+
+  1. ``jnp.sort`` the chunk's flat table indices (2.6 ns/key measured — 4x
+     cheaper than scatter; invalid/masked positions carry a sentinel that
+     sorts to the end).
+  2. ``searchsorted`` the 64Ki-entry window boundaries -> per-window key
+     ranges (the scalar-prefetch operand).
+  3. This kernel walks the table in (window/256, 256)-entry windows. For
+     each window it streams the window's sorted keys in groups of G and
+     accumulates the window histogram ON THE MXU via the rank-1 one-hot
+     factorization of the 16-bit within-window offset:
+
+         local = key - window_base          in [0, window)
+         hist[hi, lo] += sum_g 1[hi_g = hi] * 1[lo_g = lo]
+                       = one_hot(hi)^T  @  one_hot(lo)    (bf16 matmul)
+
+     Keys past the window's range (they belong to later windows, or are
+     sentinels) give hi >= 256, a zero one-hot row — masking is free.
+  4. The window block is read, incremented, and written back through VMEM
+     (input/output aliased), so the table is updated in place in one
+     streamed pass.
+
+A group of G keys costs one (window/256, G) x (G, 256) bf16 matmul on the
+MXU instead of G serial scatter applies; per-key MAC cost = window size, so
+smaller windows mean less arithmetic but more per-window fixed cost (the
+defaults balance the two for genome-scale tables). Per-group partial counts
+are <= G < 2^24, exact in f32; the running window histogram is int32, so
+totals are exact up to 2^31 per flush window (the engine's host accumulator
+is int64 beyond that).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WINDOW = 32768  # table entries per grid step = (WINDOW // 256) x 256
+GROUP = 2048    # keys per MXU matmul
+# Defaults tuned on v5e (lag-13 table, 16.8M keys/pass): 237 Mkeys/s vs 88
+# Mkeys/s for XLA scatter-add; jnp.sort (2.6 ns/key) is ~60% of the total,
+# so further window/group tuning moves single-digit percents.
+
+# Tests flip this to run the kernel in interpreter mode on CPU. Read at trace
+# time: set it before the first sorted-path call in the process.
+INTERPRET = False
+
+
+def padded_size(total: int, window: int = WINDOW) -> int:
+    """Table size padded up to a whole number of windows."""
+    return -(-total // window) * window
+
+
+def _hist_kernel(bounds_ref, keys_ref, tbl_ref, out_ref, keys_vmem, hist, sem,
+                 *, group: int, window: int):
+    w = pl.program_id(0)
+    # DMA offsets into HBM must be 128-lane aligned: align the window's key
+    # range DOWN to 128. The <=127 extra leading keys belong to earlier
+    # windows, so local < 0 and the arithmetic-shift hi never matches the
+    # row iota — masked for free, like the trailing foreign keys.
+    start = pl.multiple_of((bounds_ref[w] >> 7) << 7, 128)
+    n = bounds_ref[w + 1] - start
+    base = w * window
+    rows256 = window // 256
+    nchunks = pl.cdiv(n, jnp.int32(group))
+    hist[...] = jnp.zeros_like(hist)
+
+    def get_dma(i):
+        i = jnp.asarray(i, jnp.int32)  # fori_loop index is int64 under x64
+        slot = jax.lax.rem(i, jnp.int32(2))
+        return pltpu.make_async_copy(
+            keys_ref.at[:, pl.ds(start + i * jnp.int32(group), group)],
+            keys_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0).start()
+
+    def body(i, carry):
+        # Double-buffered: the next group streams in while this one matmuls.
+        @pl.when(i + 1 < nchunks)
+        def _():
+            get_dma(i + 1).start()
+
+        get_dma(i).wait()
+        slot = jax.lax.rem(jnp.asarray(i, jnp.int32), jnp.int32(2))
+        local = keys_vmem[slot] - base  # (1, G); <0 or >= window if foreign
+        hi = local >> 8
+        lo = local & 255
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows256, group), 0) == hi
+        ).astype(jnp.bfloat16)  # zero column if hi out of [0, rows256)
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (256, group), 0) == lo
+        ).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            oh_hi, oh_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),  # contract the G axis
+            preferred_element_type=jnp.float32,
+        )
+        hist[...] += part.astype(jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[...] = tbl_ref[...] + hist[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "window"), donate_argnums=(0,)
+)
+def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
+                         window: int = WINDOW):
+    """Add one count at each index of ``flat_idx`` into ``table_flat``.
+
+    table_flat : (n_windows * WINDOW,) int32 — dense table, padded to whole
+        windows (see padded_size).
+    flat_idx : (N,) int32 — table indices; entries >= table_flat.size are
+        sentinels and are not counted. Any duplication, any order.
+    Returns the updated table (same shape; buffer donated).
+    """
+    total_padded = table_flat.size
+    assert window % 256 == 0 and window >= 4096, "window = 256 * sublanes"
+    assert total_padded % window == 0, "pad the table with padded_size()"
+    n_windows = total_padded // window
+    rows256 = window // 256
+
+    s = jnp.sort(flat_idx.astype(jnp.int32))
+    # Tail pad so the kernel's fixed-size group loads never run off the end
+    # (the last aligned-down load can reach group + 128 past the final key).
+    s = jnp.concatenate([s, jnp.full((group + 128,), total_padded, jnp.int32)])
+    bounds = jnp.searchsorted(
+        s, jnp.arange(n_windows + 1, dtype=jnp.int32) * window
+    ).astype(jnp.int32)
+
+    tbl2d = table_flat.reshape(n_windows * rows256, 256)
+    keys2d = s.reshape(1, -1)
+    n_keys = flat_idx.size
+
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel, group=group, window=window),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # bounds
+            grid=(n_windows,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # keys stay in HBM
+                pl.BlockSpec((rows256, 256), lambda w, bounds: (w, 0)),
+            ],
+            out_specs=pl.BlockSpec((rows256, 256), lambda w, bounds: (w, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, group), jnp.int32),  # double-buffered keys
+                pltpu.VMEM((rows256, 256), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_windows * rows256, 256), jnp.int32),
+        input_output_aliases={2: 0},  # bounds, keys, TABLE -> out
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * window * (n_keys + n_windows * group),
+            bytes_accessed=2 * 4 * total_padded + 4 * n_keys,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(bounds, keys2d, tbl2d)
+    return out.reshape(-1)

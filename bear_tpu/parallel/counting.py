@@ -27,17 +27,18 @@ from bear_tpu.counting.engine import (
 )
 
 
-def _make_sharded_count(mesh: Mesh, axis: str, lags, n_groups):
+def _make_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method):
     """Build the jitted shard_map counting step for a mesh: the concatenated
     table [D, total] int32 sharded on axis 0, batch arrays sharded on axis 0
-    as [D, B_local, ...]. Each device scatter-adds into its own table slice —
-    no communication on the hot path."""
+    as [D, B_local, ...]. Each device adds into its own partial table (by
+    scatter or the pallas_hist sorted method) — no communication on the hot
+    path."""
     from jax import shard_map
 
     def per_device(tbl_slice, codes_l, lengths_l, skip_l, stopped_l, groups_l):
         out = _count_chunk_kernel(
             tbl_slice[0], codes_l[0], lengths_l[0], skip_l[0], stopped_l[0],
-            groups_l[0], lags, n_groups,
+            groups_l[0], lags, n_groups, method,
         )
         return out[None]
 
@@ -63,15 +64,22 @@ class ShardedTransitionCounter:
     FLUSH_EVERY = (1 << 31) - (1 << 24)
 
     def __init__(self, mesh: Mesh, lags: Sequence[int], n_groups: int = 1,
-                 reverse: bool = False, axis: str = "data"):
+                 reverse: bool = False, axis: str = "data",
+                 method: str = "auto"):
+        from bear_tpu.counting.pallas_hist import padded_size
+
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.shape[axis]
         self.lags = tuple(sorted(set(int(l) for l in lags)))
         self.n_groups = n_groups
         self.reverse = reverse
+        if method == "auto":
+            method = "scatter" if jax.default_backend() == "cpu" else "sorted"
+        self.method = method
         self._offsets, self._total_size = lag_offsets(self.lags, n_groups)
-        if self._total_size > np.iinfo(np.int32).max:
+        self._buf_size = padded_size(self._total_size)
+        if self._buf_size > np.iinfo(np.int32).max:
             raise ValueError(
                 f"concatenated count table has {self._total_size:,} entries, "
                 "beyond int32 indexing — split the lags across counters"
@@ -81,7 +89,8 @@ class ShardedTransitionCounter:
         }
         self._dev = None
         self._since_flush = 0
-        self._count = _make_sharded_count(mesh, axis, self.lags, n_groups)
+        self._count = _make_sharded_count(mesh, axis, self.lags, n_groups,
+                                          self.method)
 
     @property
     def max_lag(self) -> int:
@@ -96,14 +105,16 @@ class ShardedTransitionCounter:
     def _ensure_dev(self):
         if self._dev is None:
             self._dev = jax.device_put(
-                jnp.zeros((self.n_dev, self._total_size), jnp.int32),
+                jnp.zeros((self.n_dev, self._buf_size), jnp.int32),
                 self._table_sharding(),
             )
 
     def flush(self):
         if self._dev is not None and self._since_flush > 0:
             # The one cross-device reduction: sum partial tables.
-            merged = np.asarray(jnp.sum(self._dev.astype(jnp.int64), axis=0))
+            merged = np.asarray(
+                jnp.sum(self._dev.astype(jnp.int64), axis=0)
+            )[: self._total_size]
             for l in self.lags:
                 off = self._offsets[l]
                 self._host[l] += merged[off : off + self._host[l].size]

@@ -110,7 +110,7 @@ def bench_lag13_elbo():
 def bench_counting():
     from bear_tpu.counting.engine import ReadChunk, TransitionCounter
 
-    B, L = 2048, 1024  # ~2.1M transitions per chunk
+    B, L = 8192, 2048  # ~16.8M transitions per chunk
     lag = 13
     rng = np.random.default_rng(0)
     # Stage the chunk on device and use large chunks: this measures the
@@ -125,6 +125,12 @@ def bench_counting():
         groups=jnp.zeros((B,), jnp.int32),
     )
     from bear_tpu.counting.engine import _count_chunk_kernel, table_rows
+    from bear_tpu.counting.pallas_hist import padded_size
+
+    # The production method on TPU is 'sorted' (sort + MXU window
+    # histograms, pallas_hist.py); 'scatter' is the XLA fallback and the
+    # old bound (~10 ns/transition serial scatter apply).
+    method = "scatter" if jax.default_backend() == "cpu" else "sorted"
 
     # Repeat the chunk-update inside ONE jitted scan: a remote-dispatch dev
     # backend re-ships input values per call, which would otherwise measure
@@ -137,7 +143,8 @@ def bench_counting():
         def body(tbl, _):
             return (
                 _count_chunk_kernel(
-                    tbl, codes, lengths, skip, stopped, groups, (lag,), 1
+                    tbl, codes, lengths, skip, stopped, groups, (lag,), 1,
+                    method,
                 ),
                 None,
             )
@@ -146,7 +153,7 @@ def bench_counting():
         return table
 
     args = (chunk.codes, chunk.lengths, chunk.skip, chunk.stopped, chunk.groups)
-    table = jnp.zeros(table_rows(lag) * 5, jnp.int32)
+    table = jnp.zeros(padded_size(table_rows(lag) * 5), jnp.int32)
     table = count_many(table, *args)  # compile
     _ = int(table[0])  # fetch barrier
     calls = 2
@@ -158,7 +165,7 @@ def bench_counting():
     transitions = calls * REPS * B * (L + 1)
     total = int(jnp.sum(table))  # < 2^31 by construction
     assert total == (calls + 1) * REPS * B * (L + 1), total
-    return dict(transitions_per_sec=transitions / dt)
+    return dict(transitions_per_sec=transitions / dt, method=method)
 
 
 def bench_loggamma():

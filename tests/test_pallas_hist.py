@@ -1,0 +1,111 @@
+"""Tests for the sorted-window histogram kernel (counting/pallas_hist.py).
+
+Runs the Pallas kernel in interpreter mode on CPU; the oracle is
+``np.add.at`` (and the scatter counting method for the engine-level tests).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bear_tpu.counting import pallas_hist as ph
+from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+
+
+@pytest.fixture
+def interpret():
+    old = ph.INTERPRET
+    ph.INTERPRET = True
+    yield
+    ph.INTERPRET = old
+
+
+def test_kernel_matches_add_at(interpret):
+    rng = np.random.default_rng(0)
+    total = 3 * ph.WINDOW - 1234  # unpadded logical size, non-window-aligned
+    padded = ph.padded_size(total)
+    N = 5000
+    idx = rng.integers(0, total, size=N).astype(np.int32)
+    idx[:100] = idx[0]                 # heavy duplication
+    idx[100:110] = ph.WINDOW           # window-boundary keys
+    idx[110:120] = ph.WINDOW - 1
+    masked = rng.random(N) < 0.1       # sentinel (dropped) entries
+    flat = np.where(masked, padded, idx).astype(np.int32)
+
+    out = np.asarray(
+        ph.sorted_window_update(jnp.zeros(padded, jnp.int32), jnp.asarray(flat),
+                                group=256)
+    )
+    oracle = np.zeros(padded, np.int64)
+    np.add.at(oracle, idx[~masked], 1)
+    np.testing.assert_array_equal(out, oracle)
+    assert out[total:].sum() == 0  # pad tail untouched
+
+
+def test_kernel_accumulates_into_existing(interpret):
+    rng = np.random.default_rng(1)
+    padded = ph.padded_size(2 * ph.WINDOW)
+    base = rng.integers(0, 5, size=padded).astype(np.int32)
+    idx = rng.integers(0, padded, size=1000).astype(np.int32)
+    out = np.asarray(
+        ph.sorted_window_update(jnp.asarray(base), jnp.asarray(idx), group=256)
+    )
+    oracle = base.astype(np.int64)
+    np.add.at(oracle, idx, 1)
+    np.testing.assert_array_equal(out, oracle)
+
+
+def test_kernel_empty_and_all_sentinel(interpret):
+    padded = ph.padded_size(ph.WINDOW)
+    flat = np.full(512, padded, np.int32)  # all sentinels
+    out = np.asarray(
+        ph.sorted_window_update(jnp.zeros(padded, jnp.int32), jnp.asarray(flat),
+                                group=256)
+    )
+    assert out.sum() == 0
+
+
+def _random_chunk(rng, B=32, L=40):
+    lens = rng.integers(1, L + 1, size=B).astype(np.int32)
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    return ReadChunk(
+        codes=codes,
+        lengths=lens,
+        skip=np.zeros(B, np.int32),
+        stopped=np.ones(B, bool),
+        groups=rng.integers(0, 2, size=B).astype(np.int32),
+    )
+
+
+def test_sorted_method_matches_scatter(interpret):
+    rng = np.random.default_rng(2)
+    chunks = [_random_chunk(rng) for _ in range(3)]
+    a = TransitionCounter(lags=(1, 2, 5), n_groups=2, method="scatter")
+    b = TransitionCounter(lags=(1, 2, 5), n_groups=2, method="sorted")
+    for c in chunks:
+        a.add_chunk(c)
+        b.add_chunk(c)
+    for l in a.lags:
+        np.testing.assert_array_equal(a.tables[l], b.tables[l])
+    a.validate()
+    b.validate()
+
+
+def test_sorted_method_reverse(interpret):
+    rng = np.random.default_rng(3)
+    chunk = _random_chunk(rng, B=16, L=20)
+    a = TransitionCounter(lags=(3,), reverse=True, method="scatter")
+    b = TransitionCounter(lags=(3,), reverse=True, method="sorted")
+    a.add_chunk(chunk)
+    b.add_chunk(chunk)
+    np.testing.assert_array_equal(a.tables[3], b.tables[3])
+
+
+def test_auto_method_is_scatter_on_cpu():
+    tc = TransitionCounter(lags=(3,), method="auto")
+    assert tc._resolve_method(1 << 30) == "scatter"  # cpu backend in tests
+
+
+def test_bad_method_rejected():
+    with pytest.raises(ValueError, match="method"):
+        TransitionCounter(lags=(3,), method="nope")
