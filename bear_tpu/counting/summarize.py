@@ -34,14 +34,19 @@ def run_counting(
     reverse: bool = False,
     batch_size: int = 1024,
     segment_len: int = 1 << 16,
+    method: str = "auto",
 ) -> engine.TransitionCounter:
-    """Count transitions for all requested lags over the input file set."""
+    """Count transitions for all requested lags over the input file set.
+
+    method: counting kernel — 'auto' (sorted MXU histograms on TPU, XLA
+    scatter elsewhere), 'sorted', or 'scatter' (engine.TransitionCounter).
+    """
     entries = fastx.read_input_csv(input_csv)
     n_groups = max(group for _, group, _ in entries) + 1
     # Reverse-complement counting happens in the read stream (each read also
     # emitted as its RC before segmentation) so arbitrarily long contigs work;
     # the counter itself stays forward-only.
-    counter = engine.TransitionCounter(lags=lags, n_groups=n_groups)
+    counter = engine.TransitionCounter(lags=lags, n_groups=n_groups, method=method)
     native = fastx._native()
     if native is not None:
         # Production path: C++ parse+encode per file, then fully vectorized
@@ -74,7 +79,8 @@ def compute_n_bin_bits(total_rows: int, n_groups: int, mf_gb: float) -> int:
 
 def run(args) -> int:
     print("Counting...", datetime.datetime.now())
-    counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r)
+    counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r,
+                           method=args.method)
     print("Writing...", datetime.datetime.now())
     total_rows = sum(len(counter.nonzero_rows(l)) for l in counter.lags)
     n_bin_bits = compute_n_bin_bits(total_rows, counter.n_groups, args.mf)
@@ -119,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--shuffle", action="store_true", default=False,
         help="Shuffle output rows (replaces the tutorial's external shuf step).",
+    )
+    parser.add_argument(
+        "--method", default="auto", choices=("auto", "sorted", "scatter"),
+        help="Counting kernel: sorted MXU histograms (TPU) or XLA scatter.",
     )
     return parser
 
