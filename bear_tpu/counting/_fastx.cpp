@@ -123,4 +123,26 @@ const int64_t* bear_fastx_offsets(void* handle) {
 
 void bear_fastx_free(void* handle) { delete (Parsed*)handle; }
 
+// Fill a padded [B, L] chunk of base codes from a packed code buffer: one
+// memcpy (or reverse-complement copy) per row. This is the hot host-side
+// gather of the chunk packer (engine.chunks_from_packed) — the NumPy
+// fancy-index equivalent builds multi-hundred-MB index temporaries and runs
+// ~10x slower. starts[b] is the source position of row b's FIRST emitted
+// base: for rc rows that is the LAST base of the forward-strand range (the
+// copy walks backward emitting 3 - code). out must be zero-initialized.
+void bear_fill_chunks(const int8_t* codes, const int64_t* starts,
+                      const int32_t* lens, const uint8_t* rc, int64_t n_rows,
+                      int64_t row_stride, int8_t* out) {
+  for (int64_t b = 0; b < n_rows; ++b) {
+    int8_t* dst = out + b * row_stride;
+    const int32_t n = lens[b];
+    if (!rc[b]) {
+      memcpy(dst, codes + starts[b], (size_t)n);
+    } else {
+      const int8_t* p = codes + starts[b];
+      for (int32_t i = 0; i < n; ++i) dst[i] = (int8_t)(3 - p[-i]);
+    }
+  }
+}
+
 }  // extern "C"

@@ -31,6 +31,18 @@ class NativeFastx:
         lib.bear_fastx_offsets.restype = ctypes.POINTER(ctypes.c_int64)
         lib.bear_fastx_offsets.argtypes = [ctypes.c_void_p]
         lib.bear_fastx_free.argtypes = [ctypes.c_void_p]
+        self._has_fill = hasattr(lib, "bear_fill_chunks")
+        if self._has_fill:
+            lib.bear_fill_chunks.restype = None
+            lib.bear_fill_chunks.argtypes = [
+                ctypes.POINTER(ctypes.c_int8),   # codes
+                ctypes.POINTER(ctypes.c_int64),  # starts
+                ctypes.POINTER(ctypes.c_int32),  # lens
+                ctypes.POINTER(ctypes.c_uint8),  # rc flags
+                ctypes.c_int64,                  # n_rows
+                ctypes.c_int64,                  # row_stride (L)
+                ctypes.POINTER(ctypes.c_int8),   # out [B, L] zeroed
+            ]
 
     def parse(self, path: str, file_type: str):
         """Parse a whole file -> (codes int8 [total], offsets int64 [n+1])."""
@@ -53,6 +65,27 @@ class NativeFastx:
         finally:
             self.lib.bear_fastx_free(handle)
         return codes, offsets
+
+    def fill_chunks(self, codes: np.ndarray, starts: np.ndarray,
+                    lens: np.ndarray, rc: np.ndarray, out: np.ndarray):
+        """out[b, :lens[b]] = codes[starts[b] ...] (rc rows walk backward
+        emitting complements). out must be a zeroed C-contiguous int8 [B, L];
+        only the first len(starts) rows are filled."""
+        if not self._has_fill:
+            raise AttributeError("native library predates bear_fill_chunks")
+        assert out.dtype == np.int8 and out.flags.c_contiguous
+        self.lib.bear_fill_chunks(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            np.ascontiguousarray(starts, np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)),
+            np.ascontiguousarray(lens, np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            np.ascontiguousarray(rc, np.uint8).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            len(starts),
+            out.shape[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        )
 
     def stream_encoded(self, path: str, file_type: str, group: int):
         codes, offsets = self.parse(path, file_type)

@@ -468,29 +468,40 @@ def chunks_from_packed(
     batch_size: int = 1024,
     segment_len: int = 1 << 16,
     reverse: bool = False,
+    max_chunk_elems: int = 1 << 25,
 ) -> Iterable[ReadChunk]:
     """Vectorized chunk construction from a packed read buffer — the
     production host path: the C++ parser (fastx) emits (codes_flat, offsets)
-    for a whole file, and this packer builds padded ReadChunks with NumPy
-    gathers only (no per-read Python loop; the generator path chunk_reads
-    serves heterogeneous/streamed input).
+    for a whole file, and this packer fills padded ReadChunks with one native
+    memcpy/RC-copy per row (bear_fill_chunks; NumPy-gather fallback). No
+    per-read Python loop; the generator path chunk_reads serves
+    heterogeneous/streamed input.
 
     groups: scalar or [n_reads] per-read group ids.
     Long reads are split into ``segment_len`` segments with a max_lag overlap
     (skip rule), exactly like chunk_reads. reverse=True also packs each
-    read's reverse complement.
+    read's reverse complement. Chunks are capped at ``max_chunk_elems``
+    padded elements, so long-contig segments shrink the row count instead of
+    inflating the chunk (and its device-transfer size) by ~100x.
     """
     if segment_len < max_lag:
         raise ValueError(
             f"segment_len ({segment_len}) must be >= max_lag ({max_lag}): "
             "continuation segments carry a max_lag context overlap"
         )
+    codes_flat = np.ascontiguousarray(codes_flat, dtype=np.int8)
     offsets = np.asarray(offsets, dtype=np.int64)
     lengths_all = np.diff(offsets)
     n_reads = len(lengths_all)
     if n_reads == 0:
         return
     groups = np.broadcast_to(np.asarray(groups, dtype=np.int32), (n_reads,))
+
+    from bear_tpu.counting import fastx as _fastx
+
+    native = _fastx._native()
+    if native is not None and not getattr(native, "_has_fill", False):
+        native = None  # stale .so without bear_fill_chunks
 
     # Expand reads into (start, seg_len, skip, stopped, group, rc) segment rows.
     n_segs = np.maximum(1, -(-(lengths_all) // segment_len)).astype(np.int64)
@@ -511,32 +522,44 @@ def chunks_from_packed(
     variants = [(False,)] + ([(True,)] if reverse else [])
     order = np.arange(len(seg_read))
     for (rc,) in variants:
-        for s in range(0, len(order), batch_size):
-            sel = order[s : s + batch_size]
-            B = batch_size
-            L = int(seg_lengths[sel].max()) if len(sel) else 0
+        s = 0
+        while s < len(order):
+            look = order[s : s + batch_size]
+            L = int(seg_lengths[look].max())
             L = -(-L // PAD_LEN_ALIGN) * PAD_LEN_ALIGN
+            # Cap padded chunk size: long segments take fewer rows per chunk.
+            B = max(1, min(batch_size, max_chunk_elems // max(L, 1)))
+            sel = look[:B]
+            s += len(sel)
             out = np.zeros((B, L), dtype=np.int8)
             lens = np.zeros(B, dtype=np.int32)
             lens[: len(sel)] = seg_lengths[sel]
-            # gather: out[i, j] = codes_flat[abs_start[i] + j] for j < len
-            j = np.arange(L)[None, :]
+            # The RC read has the same length, so its segmentation reuses
+            # the same (start_in_read, seg_lengths, skip, stopped) rows;
+            # RC-read position p reads the complement of original position
+            # (read_len - 1 - p), i.e. the copy starts at the range's last
+            # forward-strand base and walks backward.
             if rc:
-                # The RC read has the same length, so its segmentation reuses
-                # the same (start_in_read, seg_lengths, skip, stopped) rows;
-                # RC-read position p reads the complement of original
-                # position (read_len - 1 - p).
-                rl = read_len[sel]
-                src = offsets[seg_read[sel]][:, None] + (
-                    rl[:, None] - 1 - (start_in_read[sel][:, None] + j)
+                starts_abs = (
+                    offsets[seg_read[sel]]
+                    + read_len[sel] - 1 - start_in_read[sel]
                 )
-                valid = j < seg_lengths[sel][:, None]
-                vals = 3 - codes_flat[np.clip(src, 0, len(codes_flat) - 1)]
             else:
-                src = offsets[seg_read[sel]][:, None] + start_in_read[sel][:, None] + j
+                starts_abs = offsets[seg_read[sel]] + start_in_read[sel]
+            if native is not None:
+                native.fill_chunks(
+                    codes_flat, starts_abs, seg_lengths[sel],
+                    np.full(len(sel), rc, np.uint8), out,
+                )
+            else:
+                j = np.arange(L)[None, :]
+                sgn = -1 if rc else 1
+                src = starts_abs[:, None] + sgn * j
                 valid = j < seg_lengths[sel][:, None]
                 vals = codes_flat[np.clip(src, 0, len(codes_flat) - 1)]
-            out[: len(sel)] = np.where(valid, vals, 0)
+                if rc:
+                    vals = 3 - vals
+                out[: len(sel)] = np.where(valid, vals, 0)
             sk = np.zeros(B, dtype=np.int32)
             st = np.zeros(B, dtype=bool)
             gr = np.zeros(B, dtype=np.int32)
@@ -552,12 +575,15 @@ def chunk_reads(
     batch_size: int = 1024,
     segment_len: int = 1 << 16,
     reverse: bool = False,
+    max_chunk_elems: int = 1 << 25,
 ) -> Iterable[ReadChunk]:
     """Batch encoded reads (code_array, group) into padded ReadChunks.
 
     Long sequences (genomes) are split into segments of ``segment_len`` with a
     ``max_lag`` overlap carried as context-only (skip = max_lag), so counting
-    streams at constant memory regardless of sequence length.
+    streams at constant memory regardless of sequence length. Chunks cap at
+    ``max_chunk_elems`` padded elements: wide (long-segment) chunks carry
+    fewer rows instead of ballooning.
 
     reverse=True additionally emits each read's reverse complement as its own
     read BEFORE segmentation — the correct way to get forward+RC counts for
@@ -574,17 +600,18 @@ def chunk_reads(
         encoded = with_rc(encoded)
 
     rows: List[tuple[np.ndarray, int, int, bool]] = []  # codes, group, skip, stopped
+    run_maxlen = 0  # padded length of the widest pending row
 
     def emit():
-        nonlocal rows
+        nonlocal rows, run_maxlen
         if not rows:
             return None
-        maxlen = max(len(c) for c, *_ in rows)
-        maxlen = -(-maxlen // PAD_LEN_ALIGN) * PAD_LEN_ALIGN
-        # Pad the row count to the full batch size: zero-length rows count
-        # nothing, and a CONSTANT chunk shape means one kernel compilation
-        # (a trailing odd-shaped chunk would otherwise recompile).
-        B = batch_size
+        maxlen = run_maxlen
+        # Pad the row count to the batch size (element-budget-capped): zero-
+        # length rows count nothing, and a CONSTANT chunk shape means one
+        # kernel compilation (a trailing odd-shaped chunk would otherwise
+        # recompile).
+        B = max(len(rows), min(batch_size, max(1, max_chunk_elems // maxlen)))
         codes = np.zeros((B, maxlen), dtype=np.int8)
         lengths = np.zeros(B, dtype=np.int32)
         skip = np.zeros(B, dtype=np.int32)
@@ -597,7 +624,21 @@ def chunk_reads(
             stopped[i] = st
             groups[i] = g
         rows = []
+        run_maxlen = 0
         return ReadChunk(codes, lengths, skip, stopped, groups)
+
+    def push(row):
+        """Append a row; returns a chunk to yield first if adding the row
+        would push the pending batch past the element budget (a wide row
+        must not retroactively inflate many narrow padded rows)."""
+        nonlocal run_maxlen
+        padded = -(-len(row[0]) // PAD_LEN_ALIGN) * PAD_LEN_ALIGN
+        flushed = None
+        if rows and (len(rows) + 1) * max(run_maxlen, padded) > max_chunk_elems:
+            flushed = emit()
+        rows.append(row)
+        run_maxlen = max(run_maxlen, padded)
+        return flushed
 
     if segment_len < max_lag:
         raise ValueError(
@@ -607,14 +648,20 @@ def chunk_reads(
     for code_arr, group in encoded:
         n = len(code_arr)
         if n <= segment_len:
-            rows.append((code_arr, group, 0, True))
+            pre = push((code_arr, group, 0, True))
+            if pre is not None:
+                yield pre
         else:
             start = 0
             first = True
             while start < n:
                 end = min(start + segment_len, n)
                 seg_start = start if first else start - max_lag
-                rows.append((code_arr[seg_start:end], group, 0 if first else max_lag, end == n))
+                pre = push(
+                    (code_arr[seg_start:end], group, 0 if first else max_lag, end == n)
+                )
+                if pre is not None:
+                    yield pre
                 if len(rows) >= batch_size:
                     yield emit()
                 first = False

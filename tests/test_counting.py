@@ -373,3 +373,32 @@ def test_native_parser_matches_python(tmp_path):
         for (a, ga), (b, gb) in zip(via_native, via_python):
             np.testing.assert_array_equal(a, b)
             assert ga == gb == 7
+
+
+def test_packed_native_fill_matches_numpy_fallback(monkeypatch):
+    # The C++ bear_fill_chunks row copy and the NumPy gather fallback must
+    # produce identical chunks (incl. reverse-complement rows), and wide
+    # segments must shrink the row count under the element budget.
+    from bear_tpu.counting import engine, fastx as fastx_mod
+    from bear_tpu.counting.engine import chunks_from_packed
+
+    rng = np.random.default_rng(21)
+    lens = [7, 300, 33, 900, 12]
+    codes_list = [rng.integers(0, 4, n).astype(np.int8) for n in lens]
+    codes_flat = np.concatenate(codes_list)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+
+    kwargs = dict(groups=0, max_lag=4, batch_size=4, segment_len=128,
+                  reverse=True, max_chunk_elems=512)
+    native_chunks = list(chunks_from_packed(codes_flat, offsets, **kwargs))
+    monkeypatch.setattr(fastx_mod, "_native", lambda: None)
+    numpy_chunks = list(chunks_from_packed(codes_flat, offsets, **kwargs))
+
+    assert len(native_chunks) == len(numpy_chunks)
+    for a, b in zip(native_chunks, numpy_chunks):
+        np.testing.assert_array_equal(a.codes, b.codes)
+        np.testing.assert_array_equal(a.lengths, b.lengths)
+        np.testing.assert_array_equal(a.skip, b.skip)
+        np.testing.assert_array_equal(a.stopped, b.stopped)
+        # budget: 128-wide (padded) segments allow at most 4 rows of 128
+        assert a.codes.size <= 512
