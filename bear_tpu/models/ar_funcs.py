@@ -23,11 +23,31 @@ import numpy as np
 
 @dataclass(frozen=True)
 class ARFunc:
-    """A pure AR function: params list + apply(params, one_hot) -> probs."""
+    """A pure AR function: params list + apply(params, one_hot) -> probs.
+
+    apply_codes, when set, computes the same probabilities directly from
+    integer-coded k-mers [..., lag]. On TPU this is the fast path: it builds
+    a FLAT [..., lag*(A+1)] one-hot (65 -> 128 lane pad, ~2x waste) instead
+    of the [..., lag, A+1] layout whose 5-wide minor dim tiles to 128 (25x
+    padded HBM traffic). Measured on v5e at lag 13, B=32K: linear BEAR step
+    637 -> 1044 steps/s. Bit-compatible contract: apply_codes(params, codes)
+    must equal apply(params, one_hot(codes)) up to float reassociation."""
 
     init: Callable[[jax.Array], List[jax.Array]]
     apply: Callable[[List[jax.Array], jax.Array], jax.Array]
     name: str
+    apply_codes: Callable[[List[jax.Array], jax.Array], jax.Array] | None = None
+
+
+def flat_one_hot(codes, alphabet_size_1, dtype):
+    """[..., lag] int codes -> flat [..., lag * A1] one-hot where slot
+    k = position * A1 + letter. Lane-efficient on TPU (single minor dim)."""
+    lag = codes.shape[-1]
+    A1 = alphabet_size_1
+    pos_of_k = jnp.asarray(np.repeat(np.arange(lag), A1).astype(np.int32))
+    letter_of_k = jnp.asarray(np.tile(np.arange(A1), lag).astype(np.int32))
+    g = jnp.take(codes.astype(jnp.int32), pos_of_k, axis=-1)
+    return (g == letter_of_k).astype(dtype)
 
 
 def _l2_normalize(x, axis):
@@ -56,7 +76,12 @@ def make_ar_func_linear(lag, alphabet_size, dtype=jnp.float32) -> ARFunc:
         logits = jnp.einsum("...jk,jkl->...l", kmers_oh, mat)
         return jax.nn.softmax(logits)
 
-    return ARFunc(init=init, apply=apply, name="linear")
+    def apply_codes(params, codes):
+        (mat,) = params
+        oh = flat_one_hot(codes, A1, mat.dtype)
+        return jax.nn.softmax(oh @ mat.reshape(lag * A1, A1))
+
+    return ARFunc(init=init, apply=apply, name="linear", apply_codes=apply_codes)
 
 
 def make_ar_func_cnn(
@@ -109,28 +134,9 @@ def make_ar_func_cnn(
             scale1,
         ]
 
-    def apply(params, kmers_oh):
-        (
-            filters,
-            intercept0,
-            weights1,
-            intercept1,
-            weights2,
-            intercept2,
-            scale0,
-            scale1,
-        ) = params
-        lead = kmers_oh.shape[:-2]
-        x = kmers_oh.reshape((-1, lag, A1))
-        # VALID conv over the lag axis ('NWC' x 'WIO' -> 'NWC'); batched over
-        # k-mers — XLA maps this onto the MXU as a batched matmul.
-        conv = jax.lax.conv_general_dilated(
-            x,
-            filters,
-            window_strides=(1,),
-            padding="VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+    def _head(params, conv, lead):
+        (_, intercept0, weights1, intercept1, weights2, intercept2,
+         scale0, scale1) = params
         nn0 = scale0 * _normalize_layer(conv) + intercept0
         nn1 = (
             scale1
@@ -142,7 +148,41 @@ def make_ar_func_cnn(
         nn2 = jnp.tensordot(jax.nn.elu(nn1), weights2, axes=[[-1], [0]]) + intercept2
         return jax.nn.softmax(nn2).reshape(lead + (A1,))
 
-    return ARFunc(init=init, apply=apply, name="cnn")
+    def apply(params, kmers_oh):
+        filters = params[0]
+        lead = kmers_oh.shape[:-2]
+        x = kmers_oh.reshape((-1, lag, A1))
+        # VALID conv over the lag axis ('NWC' x 'WIO' -> 'NWC'); batched over
+        # k-mers — XLA maps this onto the MXU as a batched matmul.
+        conv = jax.lax.conv_general_dilated(
+            x,
+            filters,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return _head(params, conv, lead)
+
+    def apply_codes(params, codes):
+        filters = params[0]
+        lead = codes.shape[:-1]
+        oh = flat_one_hot(codes.reshape((-1, lag)), A1, filters.dtype)
+        # The VALID conv as ONE flat matmul: band the filters into
+        # [lag*A1, conv_len*nf] (conv output j reads one-hot slots
+        # j*A1 .. (j+fw)*A1). pad/stack keeps the construction scatter-free
+        # and differentiable.
+        f2 = filters.reshape(filter_width * A1, num_filters)
+        wconv = jnp.stack(
+            [
+                jnp.pad(f2, ((j * A1, (lag - filter_width - j) * A1), (0, 0)))
+                for j in range(conv_len)
+            ],
+            axis=1,
+        ).reshape(lag * A1, conv_len * num_filters)
+        conv = (oh @ wconv).reshape(-1, conv_len, num_filters)
+        return _head(params, conv, lead)
+
+    return ARFunc(init=init, apply=apply, name="cnn", apply_codes=apply_codes)
 
 
 def make_ar_func_stop(lag, alphabet_size, dtype=jnp.float32) -> ARFunc:
@@ -158,7 +198,10 @@ def make_ar_func_stop(lag, alphabet_size, dtype=jnp.float32) -> ARFunc:
     def apply(params, kmers_oh):
         return jnp.broadcast_to(stop_const, kmers_oh.shape[:-2] + stop_const.shape)
 
-    return ARFunc(init=init, apply=apply, name="stop")
+    def apply_codes(params, codes):
+        return jnp.broadcast_to(stop_const, codes.shape[:-1] + stop_const.shape)
+
+    return ARFunc(init=init, apply=apply, name="stop", apply_codes=apply_codes)
 
 
 def make_ar_func_attention(

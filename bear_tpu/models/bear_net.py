@@ -249,10 +249,15 @@ def train(
     num_kmers = jnp.asarray(num_kmers, dtype=dtype)
 
     def loss_fn(p, codes_b, counts_b, ref_b, actual_size):
-        oh = alphabets.one_hot(codes_b, A1, dtype)
         if ref_b is not None:
+            oh = alphabets.one_hot(codes_b, A1, dtype)
             ar_probs = ar_func.apply(p["ar"], oh, ref_b)
+        elif ar_func.apply_codes is not None:
+            # Flat-one-hot fast path: avoids the [.., lag, A1] layout whose
+            # 5-wide minor dim tiles to 128 lanes (see ARFunc.apply_codes).
+            ar_probs = ar_func.apply_codes(p["ar"], codes_b)
         else:
+            oh = alphabets.one_hot(codes_b, A1, dtype)
             ar_probs = ar_func.apply(p["ar"], oh)
         if train_ar:
             ll = ar_log_prob(counts_b, ar_probs)
@@ -454,11 +459,14 @@ def evaluation(
             if use_train
             else None
         )
-        oh = alphabets.one_hot(codes_b, A1, dtype)
         if ref_s is not None:
+            oh = alphabets.one_hot(codes_b, A1, dtype)
             ref_b = jax.lax.dynamic_index_in_dim(ref_s, step, keepdims=False)
             ar_probs = ar_func.apply(ar_params, oh, ref_b)
+        elif ar_func.apply_codes is not None:
+            ar_probs = ar_func.apply_codes(ar_params, codes_b)
         else:
+            oh = alphabets.one_hot(codes_b, A1, dtype)
             ar_probs = ar_func.apply(ar_params, oh)
         return _evaluation_step(
             ct_b,

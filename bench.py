@@ -64,7 +64,6 @@ def bench_ysd1_train():
 
 def bench_lag13_elbo():
     from bear_tpu.models import bear_net, get_ar_func
-    from bear_tpu.ops import alphabets
     import optax
 
     lag, A1, B = 13, 5, 1 << 15
@@ -78,8 +77,8 @@ def bench_lag13_elbo():
     counts = jnp.asarray(rng.poisson(3.0, (B, A1)).astype(np.float32))
 
     def loss_fn(p):
-        oh = alphabets.one_hot(codes, A1, jnp.float32)
-        probs = ar.apply(p["ar"], oh)
+        # Flat-one-hot fast path (ARFunc.apply_codes) — same as train().
+        probs = ar.apply_codes(p["ar"], codes)
         return -jnp.sum(bear_net.bear_log_prob(counts, probs, jnp.exp(p["h_signed"])))
 
     n = 30

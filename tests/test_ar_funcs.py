@@ -129,3 +129,46 @@ def test_apply_is_jittable_and_differentiable():
     g = jax.grad(loss)(params)
     assert g[0].shape == (3, 5, 5)
     assert np.all(np.isfinite(np.asarray(g[0])))
+
+
+def test_apply_codes_matches_apply():
+    # The flat-one-hot fast path must agree with the one-hot apply for every
+    # AR function that provides it (bit-compatible up to reassociation).
+    import jax
+    import jax.numpy as jnp
+    from bear_tpu.models.ar_funcs import AR_FUNCS
+    from bear_tpu.ops import alphabets
+
+    rng = np.random.default_rng(5)
+    lag, A = 7, 4
+    codes = jnp.asarray(rng.integers(0, A, (64, lag)).astype(np.int8))
+    for name in ("linear", "cnn", "stop"):
+        for dtype, tol in ((jnp.float32, 1e-6), (jnp.float64, 1e-12)):
+            kwargs = {"filter_width": 3, "num_filters": 8} if name == "cnn" else {}
+            ar = AR_FUNCS[name](lag, A, **kwargs, dtype=dtype)
+            if ar.apply_codes is None:
+                continue
+            params = ar.init(jax.random.key(1))
+            oh = alphabets.one_hot(codes, A + 1, dtype)
+            a = np.asarray(jax.jit(ar.apply)(params, oh))
+            b = np.asarray(jax.jit(ar.apply_codes)(params, codes))
+            np.testing.assert_allclose(a, b, rtol=tol, atol=tol, err_msg=name)
+            assert b.shape == (64, A + 1)
+
+
+def test_apply_codes_leading_dims():
+    # apply_codes must handle extra leading dims like apply does.
+    import jax
+    import jax.numpy as jnp
+    from bear_tpu.models.ar_funcs import make_ar_func_cnn
+
+    rng = np.random.default_rng(6)
+    codes = jnp.asarray(rng.integers(0, 4, (3, 16, 6)).astype(np.int8))
+    ar = make_ar_func_cnn(6, 4, filter_width=3, num_filters=8)
+    params = ar.init(jax.random.key(0))
+    out = jax.jit(ar.apply_codes)(params, codes)
+    assert out.shape == (3, 16, 5)
+    from bear_tpu.ops import alphabets
+    oh = alphabets.one_hot(codes, 5, jnp.float32)
+    np.testing.assert_allclose(np.asarray(ar.apply(params, oh)),
+                               np.asarray(out), rtol=1e-6, atol=1e-6)

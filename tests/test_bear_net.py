@@ -211,10 +211,12 @@ def test_evaluation_matches_numpy():
         want_ear, want_arm, want_van, total = _numpy_eval(
             codes, counts, ds_train, 1, probs, h, van_reg
         )
-        np.testing.assert_allclose(ll_ear, want_ear, rtol=1e-8)
-        np.testing.assert_allclose(ll_arm, want_arm, rtol=1e-8)
-        np.testing.assert_allclose(ll_van, want_van, rtol=1e-8)
-        np.testing.assert_allclose(perp_ear, np.exp(-want_ear / total), rtol=1e-8)
+        # rtol 1e-7: the flat-one-hot fast path reassociates the AR matmul
+        # relative to the numpy oracle's einsum order.
+        np.testing.assert_allclose(ll_ear, want_ear, rtol=1e-7)
+        np.testing.assert_allclose(ll_arm, want_arm, rtol=1e-7)
+        np.testing.assert_allclose(ll_van, want_van, rtol=1e-7)
+        np.testing.assert_allclose(perp_ear, np.exp(-want_ear / total), rtol=1e-7)
         assert 0.0 <= float(acc_ear) <= 1.0
         assert acc_van.shape == (3,)
 
