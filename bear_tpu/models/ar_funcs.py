@@ -237,10 +237,8 @@ def make_ar_func_attention(
         b_out = jnp.zeros((A1,), dtype=dtype)
         return [embed, pos, wqkv, wo, w1, b1, w2, b2, w_out, b_out]
 
-    def apply(params, kmers_oh):
+    def _block(params, x, lead):
         embed, pos, wqkv, wo, w1, b1, w2, b2, w_out, b_out = params
-        lead = kmers_oh.shape[:-2]
-        x = kmers_oh.reshape((-1, lag, A1)) @ embed + pos  # [N, lag, D]
         h = _normalize_layer(x)
         q, k, v = (jnp.einsum("nld,de->nle", h, wqkv[i]) for i in range(3))
 
@@ -260,7 +258,24 @@ def make_ar_func_attention(
         logits = x[:, -1, :] @ w_out + b_out
         return jax.nn.softmax(logits).reshape(lead + (A1,))
 
-    return ARFunc(init=init, apply=apply, name="attention")
+    def apply(params, kmers_oh):
+        embed, pos = params[0], params[1]
+        lead = kmers_oh.shape[:-2]
+        x = kmers_oh.reshape((-1, lag, A1)) @ embed + pos  # [N, lag, D]
+        return _block(params, x, lead)
+
+    def apply_codes(params, codes):
+        embed, pos = params[0], params[1]
+        lead = codes.shape[:-1]
+        oh = flat_one_hot(codes.reshape((-1, lag)), A1, embed.dtype)
+        # Per-position embedding as ONE flat matmul: block-diagonal
+        # kron(I_lag, embed) maps slot (j, letter) to output block j.
+        w = jnp.kron(jnp.eye(lag, dtype=embed.dtype), embed)  # [lag*A1, lag*D]
+        x = (oh @ w).reshape(-1, lag, d_model) + pos
+        return _block(params, x, lead)
+
+    return ARFunc(init=init, apply=apply, name="attention",
+                  apply_codes=apply_codes)
 
 
 AR_FUNCS = {

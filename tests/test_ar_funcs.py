@@ -142,9 +142,11 @@ def test_apply_codes_matches_apply():
     rng = np.random.default_rng(5)
     lag, A = 7, 4
     codes = jnp.asarray(rng.integers(0, A, (64, lag)).astype(np.int8))
-    for name in ("linear", "cnn", "stop"):
-        for dtype, tol in ((jnp.float32, 1e-6), (jnp.float64, 1e-12)):
+    for name in ("linear", "cnn", "stop", "attention"):
+        for dtype, tol in ((jnp.float32, 1e-5), (jnp.float64, 1e-12)):
             kwargs = {"filter_width": 3, "num_filters": 8} if name == "cnn" else {}
+            if name == "attention":
+                kwargs = {"d_model": 16, "num_heads": 2, "mlp_width": 32}
             ar = AR_FUNCS[name](lag, A, **kwargs, dtype=dtype)
             if ar.apply_codes is None:
                 continue
