@@ -241,9 +241,9 @@ class TransitionCounter:
             # halves throughput); beyond 2^31 entries the flat index would
             # wrap negative and mode='drop' would SILENTLY lose counts.
             raise ValueError(
-                f"concatenated count table has {self._total_size:,} entries, "
-                "beyond int32 indexing — split the lags across multiple "
-                "TransitionCounters or reduce n_groups"
+                f"concatenated count table has {self._buf_size:,} entries "
+                "(window-padded), beyond int32 indexing — split the lags "
+                "across multiple TransitionCounters or reduce n_groups"
             )
         self._host: Dict[int, np.ndarray] = {
             l: np.zeros(n_groups * table_rows(l) * 5, dtype=np.int64) for l in self.lags
@@ -262,7 +262,8 @@ class TransitionCounter:
     def _resolve_method(self, new_transitions: int) -> str:
         if self.method != "auto":
             return self.method
-        if jax.default_backend() == "cpu":
+        # The sorted kernel is Mosaic/TPU-only: scatter on cpu, gpu, etc.
+        if jax.default_backend() != "tpu":
             return "scatter"
         return (
             "sorted"
@@ -525,12 +526,28 @@ def chunks_from_packed(
         s = 0
         while s < len(order):
             look = order[s : s + batch_size]
-            L = int(seg_lengths[look].max())
-            L = -(-L // PAD_LEN_ALIGN) * PAD_LEN_ALIGN
             # Cap padded chunk size: long segments take fewer rows per chunk.
-            B = max(1, min(batch_size, max_chunk_elems // max(L, 1)))
+            # Fixed point: shrinking B can exclude the wide rows that forced
+            # the shrink, so recompute the width over the kept prefix until
+            # stable — short reads ahead of a long contig then pack at their
+            # own width instead of the contig's.
+            B = len(look)
+            L = 0
+            while True:
+                L = int(seg_lengths[look[:B]].max())
+                L = -(-L // PAD_LEN_ALIGN) * PAD_LEN_ALIGN
+                B_new = max(1, min(len(look), max_chunk_elems // max(L, 1)))
+                if B_new >= B:
+                    break
+                B = B_new
             sel = look[:B]
             s += len(sel)
+            # Pad the row count to the budgeted batch size so trailing
+            # partial chunks keep the same (B, L) shape (one compilation).
+            B = max(
+                len(sel),
+                min(batch_size, max(1, max_chunk_elems // max(L, 1))),
+            )
             out = np.zeros((B, L), dtype=np.int8)
             lens = np.zeros(B, dtype=np.int32)
             lens[: len(sel)] = seg_lengths[sel]
@@ -611,7 +628,12 @@ def chunk_reads(
         # length rows count nothing, and a CONSTANT chunk shape means one
         # kernel compilation (a trailing odd-shaped chunk would otherwise
         # recompile).
-        B = max(len(rows), min(batch_size, max(1, max_chunk_elems // maxlen)))
+        # max(maxlen, 1): a batch of only zero-length rows emits a (B, 0)
+        # chunk rather than dividing by zero.
+        B = max(
+            len(rows),
+            min(batch_size, max(1, max_chunk_elems // max(maxlen, 1))),
+        )
         codes = np.zeros((B, maxlen), dtype=np.int8)
         lengths = np.zeros(B, dtype=np.int32)
         skip = np.zeros(B, dtype=np.int32)

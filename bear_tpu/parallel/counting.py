@@ -74,23 +74,45 @@ class ShardedTransitionCounter:
         self.lags = tuple(sorted(set(int(l) for l in lags)))
         self.n_groups = n_groups
         self.reverse = reverse
-        if method == "auto":
-            method = "scatter" if jax.default_backend() == "cpu" else "sorted"
+        if method not in ("auto", "scatter", "sorted"):
+            raise ValueError(f"unknown counting method {method!r}")
         self.method = method
         self._offsets, self._total_size = lag_offsets(self.lags, n_groups)
         self._buf_size = padded_size(self._total_size)
         if self._buf_size > np.iinfo(np.int32).max:
             raise ValueError(
-                f"concatenated count table has {self._total_size:,} entries, "
-                "beyond int32 indexing — split the lags across counters"
+                f"concatenated count table has {self._buf_size:,} entries "
+                "(window-padded), beyond int32 indexing — split the lags "
+                "across counters"
             )
         self._host: Dict[int, np.ndarray] = {
             l: np.zeros(n_groups * table_rows(l) * 5, dtype=np.int64) for l in self.lags
         }
         self._dev = None
         self._since_flush = 0
-        self._count = _make_sharded_count(mesh, axis, self.lags, n_groups,
-                                          self.method)
+        self._count_fns = {}  # method -> jitted shard_map step
+
+    def _resolve_method(self, new_transitions: int) -> str:
+        # Mirrors TransitionCounter: the sorted kernel is TPU-only and only
+        # pays off for production-size chunks.
+        if self.method != "auto":
+            return self.method
+        if jax.default_backend() != "tpu":
+            return "scatter"
+        from bear_tpu.counting.engine import TransitionCounter
+
+        return (
+            "sorted"
+            if new_transitions >= TransitionCounter.SORTED_MIN_TRANSITIONS
+            else "scatter"
+        )
+
+    def _count_fn(self, method: str):
+        if method not in self._count_fns:
+            self._count_fns[method] = _make_sharded_count(
+                self.mesh, self.axis, self.lags, self.n_groups, method
+            )
+        return self._count_fns[method]
 
     @property
     def max_lag(self) -> int:
@@ -147,7 +169,10 @@ class ShardedTransitionCounter:
 
         bs = self._batch_sharding()
         put = lambda x: jax.device_put(np.asarray(x).reshape((D, Bl) + x.shape[1:]), bs)
-        self._dev = self._count(
+        count = self._count_fn(
+            self._resolve_method(new_transitions * len(self.lags))
+        )
+        self._dev = count(
             self._dev, put(codes), put(lengths), put(skip), put(stopped), put(groups)
         )
         self._since_flush += new_transitions

@@ -129,7 +129,7 @@ def bench_counting():
     # The production method on TPU is 'sorted' (sort + MXU window
     # histograms, pallas_hist.py); 'scatter' is the XLA fallback and the
     # old bound (~10 ns/transition serial scatter apply).
-    method = "scatter" if jax.default_backend() == "cpu" else "sorted"
+    method = "sorted" if jax.default_backend() == "tpu" else "scatter"
 
     # Repeat the chunk-update inside ONE jitted scan: a remote-dispatch dev
     # backend re-ships input values per call, which would otherwise measure

@@ -402,3 +402,32 @@ def test_packed_native_fill_matches_numpy_fallback(monkeypatch):
         np.testing.assert_array_equal(a.stopped, b.stopped)
         # budget: 128-wide (padded) segments allow at most 4 rows of 128
         assert a.codes.size <= 512
+
+
+def test_chunk_reads_all_zero_length_rows():
+    # A pending batch of only empty reads must emit a (B, 0) chunk, not
+    # divide by zero (regression: element-budget emit()).
+    chunks = list(chunk_reads([(np.zeros(0, np.int8), 0)], max_lag=3))
+    assert len(chunks) == 1 and chunks[0].codes.shape[1] == 0
+    tc = TransitionCounter(lags=[3])
+    tc.add_chunk(chunks[0])
+    assert tc.validate(expected_transitions=1)[3] == 1  # one '$' transition
+
+
+def test_packed_mixed_reads_and_contig_padding_bounded():
+    # Short reads queued ahead of a long contig must pack at their own width,
+    # not the contig's (regression: lookahead-width inflation).
+    from bear_tpu.counting.engine import chunks_from_packed
+
+    rng = np.random.default_rng(31)
+    lens = [150] * 1023 + [300_000]
+    codes_flat = rng.integers(0, 4, sum(lens)).astype(np.int8)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    budget = 1 << 25
+    chunks = list(chunks_from_packed(codes_flat, offsets, 0, 13,
+                                     batch_size=1024, segment_len=1 << 16,
+                                     max_chunk_elems=budget))
+    assert chunks[0].codes.shape[1] == 192  # 150 -> 64-aligned pad, not 65536
+    for ch in chunks:
+        assert ch.codes.size <= budget
+    assert sum(int(c.lengths.sum()) for c in chunks) >= sum(lens)  # overlaps add
