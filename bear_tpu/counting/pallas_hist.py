@@ -138,7 +138,14 @@ def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
     n_windows = total_padded // window
     rows256 = window // 256
 
-    s = jnp.sort(flat_idx.astype(jnp.int32))
+    # Keys are non-negative (table indices and the sentinel), so sorting the
+    # uint32 bitcast unstably preserves order and is 2x faster than stable
+    # int32 jnp.sort on TPU (21.8 ms vs 43.0 ms for 16.8M keys, v5e).
+    s = jax.lax.sort(
+        jax.lax.bitcast_convert_type(flat_idx.astype(jnp.int32), jnp.uint32),
+        is_stable=False,
+    )
+    s = jax.lax.bitcast_convert_type(s, jnp.int32)
     # Tail pad so the kernel's fixed-size group loads never run off the end
     # (the last aligned-down load can reach group + 128 past the final key).
     s = jnp.concatenate([s, jnp.full((group + 128,), total_padded, jnp.int32)])
