@@ -83,21 +83,56 @@ class CountDataset:
 def load_dense(
     file: str, alphabet: str, num_ds: int, dtype=np.float64, header: bool = False
 ) -> CountDataset:
-    """Load a dense count TSV (reference dataloader.dataloader's format)."""
+    """Load a dense count TSV (reference dataloader.dataloader's format).
+
+    Vectorized: k-mer contexts are always exactly ``lag`` characters, so
+    rows split at a fixed byte offset and all count fields parse in one
+    ``fromstring`` pass (~2x the per-line fallback, which handles any
+    irregular file)."""
     A1 = alphabets.alphabet_size(alphabet) + 1
+    with open(file, "rb") as fh:
+        data = fh.read()
+    lines = np.array(data.split(b"\n"))
+    if header and len(lines):
+        lines = lines[1:]
+    lines = lines[lines != b""]
+    if len(lines) == 0:
+        kmers = np.array([], dtype=str)
+        counts = np.zeros((0, num_ds, A1), dtype=dtype)
+        return CountDataset(
+            kmers=kmers, codes=np.zeros((0, 0), np.int8), counts=counts,
+            alphabet=alphabet,
+        )
+    try:
+        lag = lines[0].index(b"\t")
+    except ValueError:
+        lag = -1
+    W = lines.dtype.itemsize
+    m8 = lines.view(np.uint8).reshape(len(lines), W)
+    if lag + 1 < W and (m8[:, lag] == ord("\t")).all():
+        kmers_b = lines.astype(f"S{lag}")
+        tail = m8[:, lag + 1 :].copy()
+        # brackets/commas/NUL padding -> spaces; one whitespace-separated parse
+        tail[np.isin(tail, (0, 13, ord("["), ord("]"), ord(",")))] = ord(" ")  # incl. CR
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # np.fromstring text-mode deprecation
+            flat = np.fromstring(tail.tobytes().decode("ascii"), dtype=dtype, sep=" ")
+        if flat.size == len(lines) * num_ds * A1:
+            kmers = np.char.decode(kmers_b, "ascii")
+            counts = flat.reshape(len(lines), num_ds, A1)
+            codes = alphabets.encode_kmers(kmers, alphabet)
+            return CountDataset(
+                kmers=kmers, codes=codes, counts=counts, alphabet=alphabet
+            )
+    # Fallback: irregular rows (varying context length etc.) — per line.
     kmers = []
     rows = []
-    with open(file, "r") as fh:
-        for i, line in enumerate(fh):
-            if header and i == 0:
-                continue
-            line = line.rstrip("\n")
-            if not line:
-                continue
-            kmer, mat = line.split("\t")
-            kmers.append(kmer)
-            # "[[a,b,...],[...]]" — strip brackets, parse the flat number list.
-            rows.append(mat.replace("[", "").replace("]", "").split(","))
+    for raw in lines:
+        kmer, mat = raw.decode("ascii").split("\t")
+        kmers.append(kmer)
+        rows.append(mat.replace("[", "").replace("]", "").split(","))
     kmers = np.array(kmers)
     counts = np.array(rows, dtype=dtype).reshape(len(kmers), num_ds, A1)
     codes = alphabets.encode_kmers(kmers, alphabet)
