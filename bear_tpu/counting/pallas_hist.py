@@ -9,9 +9,11 @@ expressed for the MXU.
 
 Pipeline (all on device):
 
-  1. ``jnp.sort`` the chunk's flat table indices (2.6 ns/key measured — 4x
-     cheaper than scatter; invalid/masked positions carry a sentinel that
-     sorts to the end).
+  1. sort the chunk's flat table indices — unstable uint32 ``lax.sort``,
+     1.3 ns/key measured, 8x cheaper than scatter; invalid/masked positions
+     carry a sentinel that sorts to the end, and negative indices are
+     clamped to the sentinel first (the uint32 bitcast would otherwise send
+     them past it).
   2. ``searchsorted`` the 64Ki-entry window boundaries -> per-window key
      ranges (the scalar-prefetch operand).
   3. This kernel walks the table in (window/256, 256)-entry windows. For
@@ -49,9 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 WINDOW = 32768  # table entries per grid step = (WINDOW // 256) x 256
 GROUP = 2048    # keys per MXU matmul
-# Defaults tuned on v5e (lag-13 table, 16.8M keys/pass): 237 Mkeys/s vs 88
-# Mkeys/s for XLA scatter-add; jnp.sort (2.6 ns/key) is ~60% of the total,
-# so further window/group tuning moves single-digit percents.
+# Defaults tuned on v5e (lag-13 table, 16.8M keys/pass): 371 Mkeys/s vs 88
+# Mkeys/s for XLA scatter-add (unstable uint32 sort ~22 ms + kernel ~23 ms
+# per pass); the swept alternatives (w/g = 32768/1024, 16384/512, 16384/1024,
+# 65536/2048) all measured 7-20% slower.
 
 # Tests flip this to run the kernel in interpreter mode on CPU. Read at trace
 # time: set it before the first sorted-path call in the process.
@@ -138,11 +141,13 @@ def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
     n_windows = total_padded // window
     rows256 = window // 256
 
-    # Keys are non-negative (table indices and the sentinel), so sorting the
-    # uint32 bitcast unstably preserves order and is 2x faster than stable
-    # int32 jnp.sort on TPU (21.8 ms vs 43.0 ms for 16.8M keys, v5e).
+    # Sorting the uint32 bitcast unstably is 2x faster than stable int32
+    # jnp.sort on TPU (21.8 vs 43.0 ms for 16.8M keys, v5e), but it sends
+    # NEGATIVE keys past the sentinel (silently losing counts) — clamp them
+    # to the sentinel first; valid indices and the sentinel are >= 0.
+    clamped = jnp.where(flat_idx < 0, total_padded, flat_idx.astype(jnp.int32))
     s = jax.lax.sort(
-        jax.lax.bitcast_convert_type(flat_idx.astype(jnp.int32), jnp.uint32),
+        jax.lax.bitcast_convert_type(clamped, jnp.uint32),
         is_stable=False,
     )
     s = jax.lax.bitcast_convert_type(s, jnp.int32)

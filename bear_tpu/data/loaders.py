@@ -95,7 +95,7 @@ def load_dense(
     lines = np.array(data.split(b"\n"))
     if header and len(lines):
         lines = lines[1:]
-    lines = lines[lines != b""]
+    lines = lines[(lines != b"") & (lines != b"\r")]  # blank incl. CRLF-blank
     if len(lines) == 0:
         kmers = np.array([], dtype=str)
         counts = np.zeros((0, num_ds, A1), dtype=dtype)
@@ -114,12 +114,26 @@ def load_dense(
         tail = m8[:, lag + 1 :].copy()
         # brackets/commas/NUL padding -> spaces; one whitespace-separated parse
         tail[np.isin(tail, (0, 13, ord("["), ord("]"), ord(",")))] = ord(" ")  # incl. CR
+        # Per-row field-count integrity: a short row must not silently steal
+        # fields from the next one (token starts = nonspace after space).
+        nonspace = tail != ord(" ")
+        prev = np.zeros_like(nonspace)
+        prev[:, 1:] = nonspace[:, :-1]
+        fields_per_row = (nonspace & ~prev).sum(axis=1)
         import warnings
 
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")  # np.fromstring text-mode deprecation
-            flat = np.fromstring(tail.tobytes().decode("ascii"), dtype=dtype, sep=" ")
-        if flat.size == len(lines) * num_ds * A1:
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # np.fromstring deprecation
+                flat = np.fromstring(
+                    tail.tobytes().decode("ascii"), dtype=dtype, sep=" "
+                )
+        except Exception:  # text-mode fromstring removed: use the fallback
+            flat = np.zeros(0, dtype=dtype)
+        if (
+            flat.size == len(lines) * num_ds * A1
+            and (fields_per_row == num_ds * A1).all()
+        ):
             kmers = np.char.decode(kmers_b, "ascii")
             counts = flat.reshape(len(lines), num_ds, A1)
             codes = alphabets.encode_kmers(kmers, alphabet)

@@ -84,3 +84,21 @@ def test_batches_iteration():
     assert [len(b[0]) for b in batches] == [4, 4, 2]
     batches = list(ds.batches(4, epochs=2, drop_remainder=True))
     assert [len(b[0]) for b in batches] == [4, 4, 4, 4]
+
+
+def test_load_dense_crlf_and_trailing_blank(tmp_path):
+    # Windows-edited file with CRLF endings and a trailing blank line.
+    p = tmp_path / "crlf.tsv"
+    p.write_bytes(b"AC\t[[1,2,3,4,5]]\r\nGT\t[[6,7,8,9,10]]\r\n\r\n")
+    ds = load_dense(str(p), "dna", 1)
+    assert list(ds.kmers) == ["AC", "GT"]
+    np.testing.assert_array_equal(ds.counts[1, 0], [6, 7, 8, 9, 10])
+
+
+def test_load_dense_ragged_rows_rejected(tmp_path):
+    # Rows with compensating wrong field counts must NOT silently shift
+    # counts across k-mers (fast-path integrity check -> fallback raises).
+    p = tmp_path / "ragged.tsv"
+    p.write_text("AC\t[[1,2,3,4]]\nGT\t[[5,6,7,8,9,10]]\n")
+    with pytest.raises(Exception):
+        load_dense(str(p), "dna", 1)

@@ -109,3 +109,16 @@ def test_auto_method_is_scatter_on_cpu():
 def test_bad_method_rejected():
     with pytest.raises(ValueError, match="method"):
         TransitionCounter(lags=(3,), method="nope")
+
+
+def test_kernel_negative_keys_dropped(interpret):
+    # Negative indices (a masked-index convention some callers use) must be
+    # dropped, not wrapped past the sentinel by the uint32 sort.
+    padded = ph.padded_size(ph.WINDOW)
+    idx = np.concatenate([np.arange(6, dtype=np.int32),
+                          np.full(1000, -1, np.int32)])
+    out = np.asarray(
+        ph.sorted_window_update(jnp.zeros(padded, jnp.int32), jnp.asarray(idx),
+                                group=256)
+    )
+    assert out.sum() == 6 and (out[:6] == 1).all()
