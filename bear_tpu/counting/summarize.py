@@ -93,6 +93,9 @@ def run(args) -> int:
 def main(args):
     """Forward pass, then optional reverse pass with ``_rev`` prefix
     (reference summarize.py:648-663)."""
+    from bear_tpu.utils.cli_common import enable_compilation_cache
+
+    enable_compilation_cache()
     n_bins = None
     n_bins_rev = None
     store_r = args.r

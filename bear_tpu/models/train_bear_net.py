@@ -22,7 +22,12 @@ import numpy as np
 from bear_tpu.data import count_kmers, load_files
 from bear_tpu.models import bear_net, get_ar_func
 from bear_tpu.utils import MetricsWriter, RunConfig, save_loss_curve, save_results
-from bear_tpu.utils.cli_common import load_restart, write_config, write_eval_results
+from bear_tpu.utils.cli_common import (
+    enable_compilation_cache,
+    load_restart,
+    write_config,
+    write_eval_results,
+)
 
 
 def main(config: configparser.ConfigParser, mesh=None):
@@ -30,6 +35,7 @@ def main(config: configparser.ConfigParser, mesh=None):
 
     Returns 1, or (1, ll_van, perp_van) when train_test is enabled
     (the reference's contract, train_bear_net.py:198-200)."""
+    enable_compilation_cache()
     run = RunConfig.from_configparser(config)
     out_folder = run.resolve_out_folder()
     dtype = run.dtype()

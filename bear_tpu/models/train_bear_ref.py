@@ -20,10 +20,16 @@ from bear_tpu.data import count_kmers, load_files
 from bear_tpu.models import bear_net, bear_ref
 from bear_tpu.models.ar_funcs import AR_FUNCS
 from bear_tpu.utils import MetricsWriter, RunConfig, save_loss_curve, save_results
-from bear_tpu.utils.cli_common import load_restart, write_config, write_eval_results
+from bear_tpu.utils.cli_common import (
+    enable_compilation_cache,
+    load_restart,
+    write_config,
+    write_eval_results,
+)
 
 
 def main(config: configparser.ConfigParser, mesh=None):
+    enable_compilation_cache()
     run = RunConfig.from_configparser(config)
     out_folder = run.resolve_out_folder()
     dtype = run.dtype()

@@ -40,3 +40,22 @@ def write_eval_results(config, out_folder, prefix, out):
 def write_config(config, out_folder):
     with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
         config.write(cw)
+
+
+def enable_compilation_cache(cache_dir: str | None = None):
+    """Enable jax's persistent compilation cache (opt-in via argument or the
+    BEAR_TPU_COMPILE_CACHE env var). Production counting/training jobs
+    compile multi-minute XLA programs (the all-lags sorted counting kernel
+    in particular); the cache makes restarts and repeated runs start in
+    seconds. Safe no-op if the backend does not support it."""
+    cache_dir = cache_dir or os.environ.get("BEAR_TPU_COMPILE_CACHE")
+    if not cache_dir:
+        return False
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception:
+        return False
