@@ -248,3 +248,23 @@ def test_variant_mismatch_raises():
             None, "TTTAT", np.array(["G3T"]), 0, vans=[1.0],
             lag=LAG, alphabet_name="dna", counter=make_counter(),
         )
+
+
+def test_pdf_to_dataframe():
+    # DataFrame bridge mirrors the reference get_pdf's pandas structure
+    # (index = (k+1)-mer, one column per model/sample).
+    pd = pytest.importorskip("pandas")
+    from bear_tpu.inference.scoring import Pdf
+
+    rng = np.random.default_rng(0)
+    lp = rng.normal(size=(2, 5, 3, 1))
+    pdf = Pdf(kmers=np.array(["AC", "GT"]), log_probs=lp, alphabet_name="dna")
+    df = pdf.to_dataframe()
+    assert list(df.columns) == ["model0", "model1", "model2"]
+    assert df.shape == (10, 3)
+    np.testing.assert_allclose(df.loc["ACT", "model1"], lp[0, 3, 1, 0])
+    np.testing.assert_allclose(df.loc["GT]", "model2"], lp[1, 4, 2, 0])
+
+    lp2 = rng.normal(size=(1, 5, 1, 4))
+    df2 = Pdf(kmers=np.array(["AA"]), log_probs=lp2, alphabet_name="dna").to_dataframe()
+    assert list(df2.columns) == [f"model0_sample{s}" for s in range(4)]
