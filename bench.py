@@ -167,6 +167,23 @@ def bench_counting():
     return dict(transitions_per_sec=transitions / dt, method=method)
 
 
+def bench_host_pack():
+    """Host feed path: C++ bear_fill_chunks packing of parsed reads into
+    padded chunks (no device involved)."""
+    from bear_tpu.counting.engine import chunks_from_packed
+
+    n_reads, rl = 400_000, 150
+    rng = np.random.default_rng(0)
+    codes_flat = rng.integers(0, 4, size=n_reads * rl).astype(np.int8)
+    offsets = np.arange(0, (n_reads + 1) * rl, rl, dtype=np.int64)
+    t0 = time.perf_counter()
+    tot = 0
+    for ch in chunks_from_packed(codes_flat, offsets, 0, 13, batch_size=8192):
+        tot += int(ch.lengths.sum())
+    dt = time.perf_counter() - t0
+    return dict(mbases_per_sec=tot / dt / 1e6)
+
+
 def bench_loggamma():
     from bear_tpu.ops.loggamma import log_gamma
 
@@ -205,6 +222,10 @@ def main():
     except Exception as e:
         results["loggamma_error"] = repr(e)
     try:
+        results["host_pack"] = bench_host_pack()
+    except Exception as e:
+        results["host_pack_error"] = repr(e)
+    try:
         results["ysd1"] = bench_ysd1_train()
     except Exception as e:
         results["ysd1_error"] = repr(e)
@@ -220,13 +241,15 @@ def main():
         "lag13_train_kmers_per_sec": round((results.get("lag13") or {}).get("kmers_per_sec", 0.0)),
         "counting_transitions_per_sec": round((results.get("counting") or {}).get("transitions_per_sec", 0.0)),
         "loggamma_samples_per_sec": round((results.get("loggamma") or {}).get("samples_per_sec", 0.0)),
+        "host_pack_mbases_per_sec": round((results.get("host_pack") or {}).get("mbases_per_sec", 0.0)),
         "bmm_heldout_perplexity": ysd1.get("bmm_heldout_perplexity"),
         "bear_heldout_perplexity": ysd1.get("bear_heldout_perplexity"),
         "learned_h": ysd1.get("h"),
         "bench_seconds": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }
-    for k in ("lag13_error", "counting_error", "loggamma_error", "ysd1_error"):
+    for k in ("lag13_error", "counting_error", "loggamma_error",
+              "host_pack_error", "ysd1_error"):
         if k in results:
             line[k] = results[k]
     print(json.dumps(line))
