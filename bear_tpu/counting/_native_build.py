@@ -31,6 +31,18 @@ class NativeFastx:
         lib.bear_fastx_offsets.restype = ctypes.POINTER(ctypes.c_int64)
         lib.bear_fastx_offsets.argtypes = [ctypes.c_void_p]
         lib.bear_fastx_free.argtypes = [ctypes.c_void_p]
+        self._has_format = hasattr(lib, "bear_format_tsv")
+        if self._has_format:
+            lib.bear_format_tsv.restype = ctypes.c_int64
+            lib.bear_format_tsv.argtypes = [
+                ctypes.c_char_p,                 # kmers (fixed-width bytes)
+                ctypes.c_int64,                  # kmer_len
+                ctypes.POINTER(ctypes.c_int64),  # counts [n, G, C]
+                ctypes.c_int64,                  # n_rows
+                ctypes.c_int64,                  # n_groups
+                ctypes.c_int64,                  # n_cols
+                ctypes.c_char_p,                 # out buffer
+            ]
         self._has_fill = hasattr(lib, "bear_fill_chunks")
         if self._has_fill:
             lib.bear_fill_chunks.restype = None
@@ -86,6 +98,27 @@ class NativeFastx:
             out.shape[1],
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         )
+
+    def format_tsv(self, kmers_bytes: np.ndarray, counts: np.ndarray) -> bytes:
+        """Format count TSV rows natively: kmers_bytes is an [n] 'S{lag}'
+        array, counts an [n, G, C] int64 array. Returns the concatenated
+        ``kmer\\t[[...],[...]]\\n`` lines as bytes."""
+        if not self._has_format:
+            raise AttributeError("native library predates bear_format_tsv")
+        n = len(kmers_bytes)
+        if n == 0:
+            return b""
+        kmer_len = kmers_bytes.dtype.itemsize
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        _, G, C = counts.shape
+        out = np.empty(n * (kmer_len + 3 + G * (C * 21 + 3)), dtype=np.uint8)
+        written = self.lib.bear_format_tsv(
+            np.ascontiguousarray(kmers_bytes).ctypes.data_as(ctypes.c_char_p),
+            kmer_len,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, G, C, out.ctypes.data_as(ctypes.c_char_p),
+        )
+        return out[:written].tobytes()
 
     def stream_encoded(self, path: str, file_type: str, group: int):
         codes, offsets = self.parse(path, file_type)

@@ -440,9 +440,22 @@ class TransitionCounter:
             rows = rng.permutation(rows)
         bins = rng.integers(0, n_bins, size=len(rows)) if n_bins > 1 else np.zeros(len(rows), int)
         paths = [f"{out_prefix}_lag_{lag}_file_{b}.tsv" for b in range(n_bins)]
-        handles = [open(p, "w") for p in paths]
         tab = self.tables[lag]
         kmers = rows_to_contexts(rows, lag)
+        from bear_tpu.counting import fastx as _fastx
+
+        native = _fastx._native()
+        if native is not None and getattr(native, "_has_format", False):
+            # Native formatter (~50x the per-row Python loop): one
+            # bear_format_tsv call per output shard.
+            kmers_b = kmers.astype(f"S{lag}")
+            per_row = tab[:, rows, :].transpose(1, 0, 2)  # [n, G, 5]
+            for b, p in enumerate(paths):
+                sel = bins == b
+                with open(p, "wb") as fh:
+                    fh.write(native.format_tsv(kmers_b[sel], per_row[sel]))
+            return paths
+        handles = [open(p, "w") for p in paths]
         try:
             for kmer, r, b in zip(kmers, rows, bins):
                 mat = "[[" + "],[".join(
