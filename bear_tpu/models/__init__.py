@@ -4,6 +4,7 @@ from bear_tpu.models.ar_funcs import (
     AR_FUNCS,
     ARFunc,
     get_ar_func,
+    make_ar_func_attention,
     make_ar_func_cnn,
     make_ar_func_linear,
     make_ar_func_stop,

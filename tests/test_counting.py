@@ -431,3 +431,24 @@ def test_packed_mixed_reads_and_contig_padding_bounded():
     for ch in chunks:
         assert ch.codes.size <= budget
     assert sum(int(c.lengths.sum()) for c in chunks) >= sum(lens)  # overlaps add
+
+
+def test_export_tsv_native_matches_python_fallback(tmp_path, monkeypatch):
+    # The native bear_format_tsv rows must be byte-identical to the per-row
+    # Python fallback (including multi-group matrices and multi-digit counts).
+    from bear_tpu.counting import fastx as fastx_mod
+
+    rng = np.random.default_rng(12)
+    seqs = random_seqs(rng, 10)
+    groups = [int(g) for g in rng.integers(0, 3, len(seqs))]
+    tc = TransitionCounter(lags=[3], n_groups=3)
+    enc = [(fastx.encode_seq(s), g) for s, g in zip(seqs, groups)]
+    for chunk in chunk_reads(iter(enc), 3, batch_size=4):
+        tc.add_chunk(chunk)
+    # force a count wide enough to exercise multi-digit formatting
+    tc._host[3][0] += 123456789012
+    p_native = tc.export_tsv(str(tmp_path / "nat"), 3, n_bin_bits=1)
+    monkeypatch.setattr(fastx_mod, "_NATIVE", False)  # _native() -> None
+    p_py = tc.export_tsv(str(tmp_path / "py"), 3, n_bin_bits=1)
+    for a, b in zip(p_native, p_py):
+        assert open(a, "rb").read() == open(b, "rb").read()
