@@ -91,6 +91,49 @@ def rows_to_contexts(rows, lag: int) -> np.ndarray:
     return np.char.decode(chars.view(f"S{lag}").reshape(-1), "ascii")
 
 
+@functools.partial(jax.jit, static_argnames=("off", "G", "R5"))
+def _device_row_totals(dev, off: int, G: int, R5: int):
+    """Per-row grand totals of one lag's slice of the flat device buffer.
+
+    NEVER reshapes the full table to a 5-minor layout: the TPU (8,128) tile
+    would pad an 89M x 5 int32 table to ~92 GB of HBM. Flat strided slices
+    keep every intermediate at its true size."""
+    sl = jax.lax.dynamic_slice_in_dim(dev, off, G * R5)
+    per_entry = jnp.sum(sl.reshape(G, R5), axis=0)  # [R5]
+    return sum(per_entry[k::5] for k in range(5))  # [R5 // 5]
+
+
+@functools.partial(jax.jit, static_argnames=("off", "G", "R5", "dtype"))
+def _device_gather_counts(dev, rows, off: int, G: int, R5: int, dtype: str):
+    """Gather [len(rows), G, 5] counts from the flat device buffer with
+    lane-friendly [N] gathers (see _device_row_totals on why not reshape)."""
+    sl = jax.lax.dynamic_slice_in_dim(dev, off, G * R5)
+    base = rows * 5
+    cols = [sl[base + (g * R5 + k)] for g in range(G) for k in range(5)]
+    return jnp.stack(cols, axis=1).reshape(-1, G, 5).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("lag",))
+def decode_rows(rows, lag: int):
+    """Device-side inverse of context_to_row: table row indices -> int8 k-mer
+    codes [N, lag] (pad '[' = code 4), pure integer arithmetic in-register.
+
+    This is what lets counts hand off to training WITHOUT the table ever
+    leaving the device: no k-mer strings, no host round trip (the host path
+    is rows_to_contexts + alphabets.encode_kmers).
+    """
+    rows = jnp.asarray(rows, jnp.int32)
+    bounds = jnp.asarray([(4**k - 1) // 3 for k in range(lag + 2)], jnp.int32)
+    m = jnp.searchsorted(bounds, rows, side="right").astype(jnp.int32) - 1
+    code = rows - bounds[m]
+    # position p holds the suffix digit with exponent lag-1-p, valid for the
+    # last m positions; earlier positions are the '[' pad (code 4).
+    exps = jnp.asarray([4 ** (lag - 1 - p) for p in range(lag)], jnp.int32)
+    digits = (code[:, None] // exps[None, :]) % 4
+    pad = jnp.arange(lag, dtype=jnp.int32)[None, :] < (lag - m)[:, None]
+    return jnp.where(pad, 4, digits).astype(jnp.int8)
+
+
 @dataclass
 class ReadChunk:
     """A padded batch of encoded reads/segments ready for the device kernel.
@@ -417,6 +460,43 @@ class TransitionCounter:
         counts = self.tables[lag][:, rows, :].transpose(1, 0, 2).astype(np.float64)
         codes = alphabets.encode_kmers(kmers, alphabet) if len(kmers) else np.zeros((0, lag), np.int8)
         return CountDataset(kmers=kmers, codes=codes, counts=counts, alphabet=alphabet)
+
+    def to_device_dataset(self, lag: int, alphabet: str = "dna",
+                          dtype=jnp.float32):
+        """Counts -> training handoff that stays ON DEVICE: the count table
+        never crosses to the host and no k-mer strings are built. K-mer codes
+        are decoded arithmetically from the nonzero row indices (decode_rows)
+        and counts are gathered straight out of the resident device buffer.
+
+        Falls back to uploading the host accumulator's nonzero rows when
+        earlier flushes moved counts off device (the device buffer alone is
+        then not authoritative). Returns (codes [N, lag] int8 device array,
+        counts [N, n_groups, 5] device array); alphabet must have 4 residues
+        (the table layout is base-4).
+        """
+        from bear_tpu.ops import alphabets as _alpha
+
+        if _alpha.alphabet_size(alphabet) != 4:
+            raise ValueError("count tables are base-4 (dna/rna alphabets)")
+        rows_total = table_rows(lag)
+        host = self._host[lag]
+        if self._dev is not None and not host.any():
+            G = self.n_groups
+            R5 = rows_total * 5
+            off = self._offsets[lag]
+            row_tot = _device_row_totals(self._dev, off, G, R5)
+            rows = jnp.nonzero(row_tot)[0].astype(jnp.int32)
+            counts = _device_gather_counts(self._dev, rows, off, G, R5,
+                                           jnp.dtype(dtype).name)
+        else:
+            self.flush()
+            rows_np = self.nonzero_rows(lag)
+            rows = jnp.asarray(rows_np.astype(np.int32))
+            counts = jnp.asarray(
+                self.tables[lag][:, rows_np, :].transpose(1, 0, 2).astype(
+                    np.dtype(dtype))
+            )
+        return decode_rows(rows, lag), counts
 
     def export_tsv(
         self,

@@ -139,23 +139,45 @@ class TrainResult:
 def _stack_batches(codes, counts, batch_size, pad_multiple=1):
     """Stack a dataset into [n_steps, B, ...] with zero padding (zero-count
     rows contribute exactly 0 likelihood and gradient). Returns stacked codes,
-    counts, and the actual size of each step's batch."""
+    counts, and the actual size of each step's batch.
+
+    Accepts host (numpy) or device (jax.Array) inputs; device inputs are
+    padded/reshaped on device — the counting engine's to_device_dataset
+    handoff never round-trips through the host."""
     n = codes.shape[0]
     bsz = int(batch_size)
     if pad_multiple > 1:
         bsz = ((bsz + pad_multiple - 1) // pad_multiple) * pad_multiple
     n_steps = max(1, -(-n // bsz))
     padded = n_steps * bsz
-    codes_p = np.zeros((padded,) + codes.shape[1:], dtype=codes.dtype)
-    counts_p = np.zeros((padded,) + counts.shape[1:], dtype=counts.dtype)
-    codes_p[:n] = codes
-    counts_p[:n] = counts
+    if isinstance(codes, jax.Array):
+        codes_p = jnp.pad(codes, ((0, padded - n),) + ((0, 0),) * (codes.ndim - 1))
+        counts_p = jnp.pad(counts, ((0, padded - n),) + ((0, 0),) * (counts.ndim - 1))
+    else:
+        codes_p = np.zeros((padded,) + codes.shape[1:], dtype=codes.dtype)
+        counts_p = np.zeros((padded,) + counts.shape[1:], dtype=counts.dtype)
+        codes_p[:n] = codes
+        counts_p[:n] = counts
     sizes = np.minimum(np.full(n_steps, bsz), n - bsz * np.arange(n_steps))
     return (
         codes_p.reshape(n_steps, bsz, *codes.shape[1:]),
         counts_p.reshape(n_steps, bsz, *counts.shape[1:]),
-        sizes.astype(counts.dtype),
+        sizes.astype(np.dtype(counts.dtype)),
     )
+
+
+# Flatten batch stacks at rest once the TPU tile padding of the [B, width]
+# minor dims would waste more than this many bytes (see train/evaluation).
+FLAT_AT_REST_MIN_WASTE = 128 << 20
+
+
+def _use_flat_at_rest(stacked_shape, itemsize: int) -> bool:
+    steps, bsz, width = stacked_shape
+    if width >= 128:
+        return False
+    tiled = steps * bsz * 128 * itemsize
+    compact = steps * bsz * width * itemsize
+    return tiled - compact > FLAT_AT_REST_MIN_WASTE
 
 
 def train(
@@ -223,15 +245,26 @@ def train(
     else:
         opt_state = optimizer.init(params)
 
-    codes = np.asarray(codes)
-    counts = np.asarray(counts, dtype=np.dtype(dtype))
-    if ref_counts is not None:
-        ref_counts = np.asarray(ref_counts, dtype=np.dtype(dtype))
-    if shuffle:
-        perm = np.random.default_rng(seed).permutation(len(codes))
-        codes, counts = codes[perm], counts[perm]
+    if isinstance(codes, jax.Array):
+        # Device dataset (counting-engine handoff): stays on device.
+        counts = jnp.asarray(counts, dtype=dtype)
         if ref_counts is not None:
-            ref_counts = ref_counts[perm]
+            ref_counts = jnp.asarray(ref_counts, dtype=dtype)
+        if shuffle:
+            perm = jnp.asarray(np.random.default_rng(seed).permutation(len(codes)))
+            codes, counts = codes[perm], counts[perm]
+            if ref_counts is not None:
+                ref_counts = ref_counts[perm]
+    else:
+        codes = np.asarray(codes)
+        counts = np.asarray(counts, dtype=np.dtype(dtype))
+        if ref_counts is not None:
+            ref_counts = np.asarray(ref_counts, dtype=np.dtype(dtype))
+        if shuffle:
+            perm = np.random.default_rng(seed).permutation(len(codes))
+            codes, counts = codes[perm], counts[perm]
+            if ref_counts is not None:
+                ref_counts = ref_counts[perm]
 
     n_dev = 1
     if mesh is not None:
@@ -268,9 +301,25 @@ def train(
 
     grad_fn = jax.value_and_grad(loss_fn)
 
+    # Large batch stacks live at rest FLAT as [steps, B*width]: a
+    # [steps, B, 5] array tiles its (B, 5) minor dims to (B, 128) in HBM —
+    # 25x padded for counts, ~10x for codes. The per-step reshape back to
+    # [B, width] costs one relayout copy per step (~0.2 ms at B=32k), so
+    # small datasets keep the tiled layout and skip it.
+    bsz_eff, lag_w = codes_s.shape[1], codes_s.shape[2]
+    counts_w = counts_s.shape[2]
+    flat = _use_flat_at_rest(counts_s.shape, np.dtype(dtype).itemsize)
+    if flat:
+        codes_s = codes_s.reshape(codes_s.shape[0], -1)
+        counts_s = counts_s.reshape(counts_s.shape[0], -1)
+        if ref_s is not None:
+            ref_s = ref_s.reshape(ref_s.shape[0], -1)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # Flat sharding over 'data' stays row-aligned: B is padded to a
+        # multiple of the mesh size, so each device's contiguous span is
+        # whole rows times the row width.
         batch_sharding = NamedSharding(mesh, P(None, "data"))
         codes_s = jax.device_put(jnp.asarray(codes_s), batch_sharding)
         counts_s = jax.device_put(jnp.asarray(counts_s), batch_sharding)
@@ -295,13 +344,15 @@ def train(
         def inner(inner_carry, k):
             acc, loss_sum = inner_carry
             idx = (start + k) % steps_per_epoch
+            def at(arr, width):
+                b = jax.lax.dynamic_index_in_dim(arr, idx, keepdims=False)
+                return b.reshape(bsz_eff, width) if flat else b
+
             loss, grads = grad_fn(
                 p,
-                jax.lax.dynamic_index_in_dim(codes_s, idx, keepdims=False),
-                jax.lax.dynamic_index_in_dim(counts_s, idx, keepdims=False),
-                None
-                if ref_s is None
-                else jax.lax.dynamic_index_in_dim(ref_s, idx, keepdims=False),
+                at(codes_s, lag_w),
+                at(counts_s, counts_w),
+                None if ref_s is None else at(ref_s, counts_w),
                 sizes[idx],
             )
             return (jax.tree.map(jnp.add, acc, grads), loss_sum + loss), None
@@ -413,7 +464,15 @@ def evaluation(
     """
     A1 = alphabets.alphabet_size(alphabet) + 1
     use_train = ds_loc_train >= 0
-    counts = np.asarray(counts, dtype=np.dtype(dtype))
+    if isinstance(codes, jax.Array):
+        counts = jnp.asarray(counts, dtype=dtype)
+        if ref_counts is not None:
+            ref_counts = jnp.asarray(ref_counts, dtype=dtype)
+    else:
+        codes = np.asarray(codes)
+        counts = np.asarray(counts, dtype=np.dtype(dtype))
+        if ref_counts is not None:
+            ref_counts = np.asarray(ref_counts, dtype=np.dtype(dtype))
     counts_test = counts[:, ds_loc_test, :]
     counts_train = counts[:, ds_loc_train, :] if use_train else None
     van_reg = jnp.asarray(np.asarray(van_reg), dtype=dtype)
@@ -422,22 +481,25 @@ def evaluation(
     n_dev = 1
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
-    codes_s, counts_test_s, _ = _stack_batches(
-        np.asarray(codes), counts_test, batch_size, n_dev
-    )
+    codes_s, counts_test_s, _ = _stack_batches(codes, counts_test, batch_size, n_dev)
     if use_train:
-        _, counts_train_s, _ = _stack_batches(
-            np.asarray(codes), counts_train, batch_size, n_dev
-        )
+        _, counts_train_s, _ = _stack_batches(codes, counts_train, batch_size, n_dev)
     ref_s = None
     if ref_counts is not None:
-        _, ref_s, _ = _stack_batches(
-            np.asarray(codes),
-            np.asarray(ref_counts, dtype=np.dtype(dtype)),
-            batch_size,
-            n_dev,
-        )
+        _, ref_s, _ = _stack_batches(codes, ref_counts, batch_size, n_dev)
 
+    # Flat at-rest batch storage for large stacks (see train): [steps,
+    # B*width] in HBM, reshaped back per step inside the jitted scan.
+    bsz_eff, lag_w = codes_s.shape[1], codes_s.shape[2]
+    counts_w = counts_test_s.shape[2]
+    flat = _use_flat_at_rest(counts_test_s.shape, np.dtype(dtype).itemsize)
+    if flat:
+        codes_s = codes_s.reshape(codes_s.shape[0], -1)
+        counts_test_s = counts_test_s.reshape(counts_test_s.shape[0], -1)
+        if use_train:
+            counts_train_s = counts_train_s.reshape(counts_train_s.shape[0], -1)
+        if ref_s is not None:
+            ref_s = ref_s.reshape(ref_s.shape[0], -1)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -452,16 +514,16 @@ def evaluation(
     base_key = jax.random.key(seed)
 
     def batch_metrics(step):
-        codes_b = jax.lax.dynamic_index_in_dim(codes_s, step, keepdims=False)
-        ct_b = jax.lax.dynamic_index_in_dim(counts_test_s, step, keepdims=False)
-        tr_b = (
-            jax.lax.dynamic_index_in_dim(counts_train_s, step, keepdims=False)
-            if use_train
-            else None
-        )
+        def at(arr, width):
+            b = jax.lax.dynamic_index_in_dim(arr, step, keepdims=False)
+            return b.reshape(bsz_eff, width) if flat else b
+
+        codes_b = at(codes_s, lag_w)
+        ct_b = at(counts_test_s, counts_w)
+        tr_b = at(counts_train_s, counts_w) if use_train else None
         if ref_s is not None:
             oh = alphabets.one_hot(codes_b, A1, dtype)
-            ref_b = jax.lax.dynamic_index_in_dim(ref_s, step, keepdims=False)
+            ref_b = at(ref_s, counts_w)
             ar_probs = ar_func.apply(ar_params, oh, ref_b)
         elif ar_func.apply_codes is not None:
             ar_probs = ar_func.apply_codes(ar_params, codes_b)

@@ -89,12 +89,17 @@ def main():
             counter.add_chunk(
                 ReadChunk(codes, lengths, np.zeros(B, np.int32), stopped, grp)
             )
-        counter.flush()
+        # No flush: counts stay device-resident for the on-device handoff
+        # below (auto-flush still guards the int32 range on longer runs).
+        counter._dev.block_until_ready()
     total_transitions = n_reads * (args.read_len + 1)
 
-    with timer.stage("to in-memory dataset"):
-        ds = counter.to_dataset(args.lag)
-    print(f"{ds.num_kmers:,} distinct lag-{args.lag} contexts "
+    with timer.stage("on-device dataset handoff"):
+        # Counts never leave the device: k-mer codes are decoded
+        # arithmetically from the table row indices (engine.decode_rows).
+        codes_d, counts_d = counter.to_device_dataset(args.lag)
+        num_kmers = int(codes_d.shape[0])
+    print(f"{num_kmers:,} distinct lag-{args.lag} contexts "
           f"from {total_transitions:,} transitions")
 
     ar = get_ar_func("cnn", args.lag, 4,
@@ -102,7 +107,7 @@ def main():
                      dtype=jnp.float32)
     with timer.stage("train BEAR"):
         res = bear_net.train(
-            ds.codes, ds.counts[:, 0], num_kmers=ds.num_kmers, ar_func=ar,
+            codes_d, counts_d[:, 0], num_kmers=num_kmers, ar_func=ar,
             batch_size=args.batch_size, epochs=args.epochs,
             learning_rate=0.005, train_ar=False, dtype=jnp.float32,
         )
@@ -110,7 +115,7 @@ def main():
 
     with timer.stage("evaluate"):
         out = bear_net.evaluation(
-            ds.codes, ds.counts, 0, 1, "dna", res.h, ar,
+            codes_d, counts_d, 0, 1, "dna", res.h, ar,
             [jnp.asarray(p) for p in res.params["ar"]],
             np.array([0.1, 1.0, 10.0]), dtype=jnp.float32,
         )

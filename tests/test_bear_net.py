@@ -275,3 +275,30 @@ def test_shard_invariance_evaluation():
     )
     for a, b in zip(out1, out8):
         np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+def test_flat_at_rest_path_matches_tiled(monkeypatch):
+    # Forcing the flat [steps, B*width] at-rest layout must not change a
+    # single bit of the training/eval outputs vs the tiled path.
+    import jax.numpy as jnp
+    from bear_tpu.models import bear_net as bn
+    from bear_tpu.models import get_ar_func
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 5, size=(100, 3)).astype(np.int8)
+    counts = rng.poisson(2.0, size=(100, 2, 5)).astype(np.float64)
+    ar = get_ar_func("linear", 3, 4, dtype=jnp.float64)
+    kw = dict(num_kmers=100, ar_func=ar, batch_size=16, epochs=2,
+              learning_rate=0.01, seed=3, dtype=jnp.float64)
+    res_tiled = bn.train(codes, counts[:, 0], **kw)
+    ev_tiled = bn.evaluation(codes, counts, 0, 1, "dna", res_tiled.h, ar,
+                             res_tiled.params["ar"], [1.0], dtype=jnp.float64)
+    monkeypatch.setattr(bn, "FLAT_AT_REST_MIN_WASTE", 0)
+    res_flat = bn.train(codes, counts[:, 0], **kw)
+    ev_flat = bn.evaluation(codes, counts, 0, 1, "dna", res_flat.h, ar,
+                            res_flat.params["ar"], [1.0], dtype=jnp.float64)
+    np.testing.assert_array_equal(res_tiled.losses, res_flat.losses)
+    for a, b in zip(res_tiled.params_list, res_flat.params_list):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(ev_tiled, ev_flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -7,6 +7,7 @@ native C++ parser against the Python one."""
 import os
 from collections import defaultdict
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -452,3 +453,73 @@ def test_export_tsv_native_matches_python_fallback(tmp_path, monkeypatch):
     p_py = tc.export_tsv(str(tmp_path / "py"), 3, n_bin_bits=1)
     for a, b in zip(p_native, p_py):
         assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_decode_rows_matches_host_codec():
+    # Device row->codes decode equals rows_to_contexts + encode_kmers for
+    # every row of small tables and random rows of a lag-13 table.
+    from bear_tpu.counting.engine import decode_rows, rows_to_contexts, table_rows
+    from bear_tpu.ops import alphabets
+
+    for lag in (1, 2, 4):
+        rows = np.arange(table_rows(lag))
+        want = alphabets.encode_kmers(rows_to_contexts(rows, lag), "dna")
+        got = np.asarray(decode_rows(jnp.asarray(rows, jnp.int32), lag))
+        np.testing.assert_array_equal(got, want)
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, table_rows(13), size=1000)
+    want = alphabets.encode_kmers(rows_to_contexts(rows, 13), "dna")
+    got = np.asarray(decode_rows(jnp.asarray(rows, jnp.int32), 13))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_to_device_dataset_matches_host_handoff():
+    # The on-device handoff (no strings, no host round trip) must produce the
+    # same dataset as to_dataset, both from the resident device buffer and
+    # from the host accumulator after a flush.
+    rng = np.random.default_rng(21)
+    seqs = random_seqs(rng, 12)
+    groups = [int(g) for g in rng.integers(0, 2, len(seqs))]
+    tc = TransitionCounter(lags=[4], n_groups=2)
+    enc = [(fastx.encode_seq(s), g) for s, g in zip(seqs, groups)]
+    for chunk in chunk_reads(iter(enc), 4, batch_size=4):
+        tc.add_chunk(chunk)
+
+    # device-resident path (host accumulator still empty)
+    codes_d, counts_d = tc.to_device_dataset(4, dtype=jnp.float64)
+    ds = tc.to_dataset(4)  # flushes
+    np.testing.assert_array_equal(np.asarray(codes_d), ds.codes)
+    np.testing.assert_array_equal(np.asarray(counts_d), ds.counts)
+
+    # host-accumulator fallback path (after the flush above)
+    codes_h, counts_h = tc.to_device_dataset(4, dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(codes_h), ds.codes)
+    np.testing.assert_array_equal(np.asarray(counts_h), ds.counts)
+
+
+def test_train_on_device_dataset_matches_host():
+    # Training on the device handoff gives bit-identical losses/params to
+    # training on the host dataset.
+    from bear_tpu.models import bear_net, get_ar_func
+
+    rng = np.random.default_rng(22)
+    seqs = random_seqs(rng, 12)
+    tc = TransitionCounter(lags=[3], n_groups=1)
+    for chunk in chunk_reads(((fastx.encode_seq(s), 0) for s in seqs), 3):
+        tc.add_chunk(chunk)
+    codes_d, counts_d = tc.to_device_dataset(3, dtype=jnp.float64)
+    ds = tc.to_dataset(3)
+    ar = get_ar_func("linear", 3, 4, dtype=jnp.float64)
+    kw = dict(num_kmers=ds.num_kmers, ar_func=ar, batch_size=8, epochs=3,
+              learning_rate=0.01, seed=0, dtype=jnp.float64)
+    res_d = bear_net.train(codes_d, counts_d[:, 0], **kw)
+    res_h = bear_net.train(ds.codes, ds.counts[:, 0].astype(np.float64), **kw)
+    np.testing.assert_allclose(res_d.losses, res_h.losses, rtol=0, atol=0)
+    for a, b in zip(res_d.params_list, res_h.params_list):
+        np.testing.assert_array_equal(a, b)
+    # evaluation also accepts device arrays
+    out_d = bear_net.evaluation(codes_d, counts_d, 0, 0, "dna", res_d.h, ar,
+                                res_d.params["ar"], [1.0], dtype=jnp.float64)
+    out_h = bear_net.evaluation(ds.codes, ds.counts, 0, 0, "dna", res_h.h, ar,
+                                res_h.params["ar"], [1.0], dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(out_d[3]), np.asarray(out_h[3]))
