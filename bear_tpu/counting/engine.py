@@ -167,7 +167,7 @@ def lag_offsets(lags, n_groups):
 
 
 def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
-                        n_groups, method="scatter"):
+                        n_groups, method="scatter", shard=None):
     """Jitted device kernel: add one chunk's transitions into the persistent
     concatenated dense table (donated, updated in place).
 
@@ -175,7 +175,15 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
     method: 'scatter' = XLA scatter-add (universal; ~10 ns/transition on TPU,
     the serial scatter-apply bound). 'sorted' = sort the flat indices and
     accumulate per-table-window histograms on the MXU (pallas_hist; ~3x
-    scatter on v5e for production-size chunks)."""
+    scatter on v5e for production-size chunks).
+
+    shard: optional k-mer-axis sharding (tensor parallelism over the table —
+    the device holds only a row range of each lag's table):
+    ``(shard_idx, {lag: (row_stride, local_rows, local_offset)})`` where
+    shard_idx is this device's index along the mesh's kmer axis (traced
+    scalar) and the per-lag entries are static ints. Rows outside the shard
+    clamp to the sentinel and are dropped. All index arithmetic stays in the
+    LOCAL range, so the GLOBAL table may exceed int32 indexing (lag 14-15)."""
     B, L = codes.shape
     P = L + 1  # transition positions 0..L (stop can land at j == length <= L)
     j = jnp.arange(P, dtype=jnp.int32)[None, :]  # [1, P]
@@ -206,8 +214,11 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
 
     # masked positions: index 0 with a zero update (scatter) or a sentinel
     # index that sorts past the table end and is never counted (sorted).
+    # In sharded mode every masked/foreign position goes to the sentinel,
+    # which is out of bounds for scatter (mode='drop') and sorts past the
+    # end for the sorted kernel.
     sentinel = table.shape[0]
-    masked_to = 0 if method == "scatter" else sentinel
+    masked_to = 0 if (method == "scatter" and shard is None) else sentinel
     all_flat = []
     code_acc = jnp.zeros((B, P), dtype=jnp.int32)
     pow4 = 1
@@ -222,15 +233,28 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
         n_pad = jnp.maximum(0, l - j)  # [1, P] broadcasting over rows
         offset = (4 ** (l - n_pad) - 1) // 3
         row = offset + code_acc
-        flat = offsets[l] + (groups32 * table_rows(l) + row) * 5 + nxt
+        if shard is None:
+            flat = offsets[l] + (groups32 * table_rows(l) + row) * 5 + nxt
+            keyed = jnp.where(mask, flat, masked_to)
+        else:
+            shard_idx, per_lag = shard
+            stride_l, local_rows_l, loc_off_l = per_lag[l]
+            rloc = row - shard_idx * stride_l
+            ok = mask & (rloc >= 0) & (rloc < local_rows_l)
+            rloc = jnp.clip(rloc, 0, local_rows_l - 1)
+            flat = loc_off_l + (groups32 * local_rows_l + rloc) * 5 + nxt
+            keyed = jnp.where(ok, flat, masked_to)
         # Stay FLAT on device: a [rows, 5] layout would tile the minor dim to
         # 128 on TPU (25x padded HBM); the reshape happens host-side.
-        all_flat.append(jnp.where(mask, flat, masked_to).reshape(-1))
+        all_flat.append(keyed.reshape(-1))
     flat_cat = jnp.concatenate(all_flat)
     if method == "sorted":
         from bear_tpu.counting import pallas_hist
 
         return pallas_hist.sorted_window_update(table, flat_cat)
+    if shard is not None:
+        # Foreign/masked keys are at the (out-of-bounds) sentinel: dropped.
+        return table.at[flat_cat].add(1, mode="drop")
     upd_cat = jnp.tile(upd_one.reshape(-1), len(all_flat))
     return table.at[flat_cat].add(upd_cat, mode="drop")
 

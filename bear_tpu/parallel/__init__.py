@@ -7,5 +7,8 @@ from bear_tpu.parallel.mesh import (
     replicate,
     shard_along,
 )
-from bear_tpu.parallel.counting import ShardedTransitionCounter
+from bear_tpu.parallel.counting import (
+    KmerShardedTransitionCounter,
+    ShardedTransitionCounter,
+)
 from bear_tpu.parallel import multihost

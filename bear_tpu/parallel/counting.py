@@ -184,3 +184,235 @@ class ShardedTransitionCounter:
             l: self._host[l].reshape(self.n_groups, table_rows(l), 5)
             for l in self.lags
         }
+
+
+# --- k-mer-axis (tensor-parallel) sharded counting -------------------------
+
+
+def _make_kmer_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method,
+                             per_lag):
+    """Jitted shard_map step for table-sharded counting: the table rows are
+    range-split over the mesh axis (tensor parallelism — SURVEY.md §2's
+    "shard the 4^L x (A+1) count tensor" row); each device receives the FULL
+    replicated chunk and keeps only the transitions whose context row falls
+    in its range (foreign rows clamp to the drop sentinel). No communication
+    on the hot path, no all-reduce ever: shards are disjoint."""
+    from jax import shard_map
+
+    def per_device(tbl_slice, codes, lengths, skip, stopped, groups):
+        d = jax.lax.axis_index(axis).astype(jnp.int32)
+        out = _count_chunk_kernel(
+            tbl_slice[0], codes, lengths, skip, stopped, groups,
+            lags, n_groups, method, shard=(d, per_lag),
+        )
+        return out[None]
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+        out_specs=P(axis, None),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+class KmerShardedTransitionCounter:
+    """Transition counting with the COUNT TABLE sharded over a mesh axis.
+
+    This is the tensor-parallel complement of ShardedTransitionCounter
+    (which replicates the table and shards the batch): here each device owns
+    a contiguous row range of every lag's table, so tables beyond one chip's
+    HBM — lag 14-15 dense DNA tables, many groups — count across the mesh.
+    All index arithmetic is shard-local, so the GLOBAL table may exceed
+    int32 indexing (the single-device engine's hard limit).
+
+    The host accumulator is SPARSE (per-lag row/count pairs): a dense lag-15
+    host table would be 57 GB, while genome-scale data touches a small
+    fraction of rows. Flushes pull only nonzero entries per shard.
+
+    Limits: max lag 15 (context codes are int32: 4^16 overflows); each
+    device's local slice must stay below 2^31 entries.
+    """
+
+    FLUSH_EVERY = (1 << 31) - (1 << 24)
+
+    def __init__(self, mesh: Mesh, lags: Sequence[int], n_groups: int = 1,
+                 axis: str = "kmer", method: str = "auto"):
+        from bear_tpu.counting.pallas_hist import padded_size
+
+        if method not in ("auto", "scatter", "sorted"):
+            raise ValueError(f"unknown counting method {method!r}")
+        self.mesh = mesh
+        self.axis = axis
+        self.n_dev = mesh.shape[axis]
+        self.lags = tuple(sorted(set(int(l) for l in lags)))
+        if max(self.lags) > 15:
+            raise ValueError(
+                "k-mer-sharded counting supports lag <= 15 (context codes "
+                "are int32; 4^16 overflows)"
+            )
+        self.n_groups = n_groups
+        self.method = method
+        # Per-lag row-range split: device d owns rows [d*stride, (d+1)*stride)
+        # (the last shard's tail rows past rows(lag) simply never match).
+        self._per_lag = {}
+        loc_off = 0
+        for l in self.lags:
+            stride = -(-table_rows(l) // self.n_dev)
+            self._per_lag[l] = (stride, stride, loc_off)
+            loc_off += n_groups * stride * 5
+        self._local_size = loc_off
+        self._local_padded = padded_size(loc_off)
+        if self._local_padded > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"per-device table slice has {self._local_padded:,} entries, "
+                "beyond int32 indexing — use more devices on the kmer axis"
+            )
+        # Sparse host accumulator: per lag, lists of (flat int64 keys, counts).
+        self._sparse: Dict[int, list] = {l: [] for l in self.lags}
+        self._dev = None
+        self._since_flush = 0
+        self._count_fns = {}
+
+    @property
+    def max_lag(self) -> int:
+        return max(self.lags)
+
+    def _resolve_method(self, new_transitions: int) -> str:
+        if self.method != "auto":
+            return self.method
+        if jax.default_backend() != "tpu":
+            return "scatter"
+        from bear_tpu.counting.engine import TransitionCounter
+
+        return (
+            "sorted"
+            if new_transitions >= TransitionCounter.SORTED_MIN_TRANSITIONS
+            else "scatter"
+        )
+
+    def _count_fn(self, method: str):
+        if method not in self._count_fns:
+            self._count_fns[method] = _make_kmer_sharded_count(
+                self.mesh, self.axis, self.lags, self.n_groups, method,
+                self._per_lag,
+            )
+        return self._count_fns[method]
+
+    def _ensure_dev(self):
+        if self._dev is None:
+            self._dev = jax.device_put(
+                jnp.zeros((self.n_dev, self._local_padded), jnp.int32),
+                NamedSharding(self.mesh, P(self.axis, None)),
+            )
+
+    def add_chunk(self, chunk: ReadChunk):
+        codes = chunk.codes
+        new_transitions = codes.shape[0] * (codes.shape[1] + 1)
+        if self._since_flush + new_transitions > self.FLUSH_EVERY:
+            self.flush()
+        self._ensure_dev()
+        rep = NamedSharding(self.mesh, P())
+        put = lambda x: jax.device_put(np.asarray(x), rep)
+        count = self._count_fn(
+            self._resolve_method(new_transitions * len(self.lags))
+        )
+        self._dev = count(
+            self._dev, put(codes), put(chunk.lengths), put(chunk.skip),
+            put(chunk.stopped), put(chunk.groups),
+        )
+        self._since_flush += new_transitions
+
+    def flush(self):
+        """Pull each shard's nonzero entries into the sparse host
+        accumulator (global int64 keys ``(g * rows + row) * 5 + k``)."""
+        if self._dev is None or self._since_flush == 0:
+            return
+        for d in range(self.n_dev):
+            part = self._dev[d]
+            idx = np.asarray(jnp.nonzero(part)[0], dtype=np.int64)
+            if idx.size == 0:
+                continue
+            vals = np.asarray(part[jnp.asarray(idx)]).astype(np.int64)
+            for l in self.lags:
+                stride, local_rows, loc_off = self._per_lag[l]
+                span = self.n_groups * local_rows * 5
+                sel = (idx >= loc_off) & (idx < loc_off + span)
+                if not sel.any():
+                    continue
+                t = idx[sel] - loc_off
+                g = t // (local_rows * 5)
+                r = (t % (local_rows * 5)) // 5
+                k = t % 5
+                grow = d * stride + r
+                key = (g * table_rows(l) + grow) * 5 + k
+                self._sparse[l].append((key, vals[sel]))
+        self._dev = None
+        self._since_flush = 0
+
+    def _consolidated(self, lag: int):
+        """(sorted unique int64 keys, int64 counts) for one lag."""
+        self.flush()
+        parts = self._sparse[lag]
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        keys = np.concatenate([p[0] for p in parts])
+        vals = np.concatenate([p[1] for p in parts])
+        uniq, inv = np.unique(keys, return_inverse=True)
+        exact = np.zeros(len(uniq), np.int64)
+        np.add.at(exact, inv, vals)
+        self._sparse[lag] = [(uniq, exact)]
+        return uniq, exact
+
+    def nonzero_rows(self, lag: int) -> np.ndarray:
+        keys, _ = self._consolidated(lag)
+        return np.unique(keys // 5 % table_rows(lag))
+
+    def counts_for_rows(self, lag: int, rows: np.ndarray) -> np.ndarray:
+        """Dense [len(rows), n_groups, 5] counts for the given rows."""
+        keys, vals = self._consolidated(lag)
+        out = np.zeros((len(rows), self.n_groups, 5), np.int64)
+        order = np.argsort(rows, kind="stable")
+        rows_sorted = rows[order]
+        g = keys // 5 // table_rows(lag)
+        r = keys // 5 % table_rows(lag)
+        k = keys % 5
+        pos = np.searchsorted(rows_sorted, r)
+        hit = (pos < len(rows_sorted)) & (rows_sorted[np.clip(pos, 0, len(rows_sorted) - 1)] == r)
+        out[order[pos[hit]], g[hit], k[hit]] = vals[hit]
+        return out
+
+    def to_dataset(self, lag: int, alphabet: str = "dna"):
+        """In-memory dataset handoff (sparse host path; see
+        TransitionCounter.to_dataset)."""
+        from bear_tpu.data import CountDataset
+        from bear_tpu.counting.engine import rows_to_contexts
+        from bear_tpu.ops import alphabets
+
+        rows = self.nonzero_rows(lag)
+        kmers = rows_to_contexts(rows, lag)
+        counts = self.counts_for_rows(lag, rows).astype(np.float64)
+        codes = (
+            alphabets.encode_kmers(kmers, alphabet)
+            if len(kmers)
+            else np.zeros((0, lag), np.int8)
+        )
+        return CountDataset(kmers=kmers, codes=codes, counts=counts,
+                            alphabet=alphabet)
+
+    def validate(self, expected_transitions=None):
+        """Count-conservation invariant (see TransitionCounter.validate)."""
+        totals = {l: int(self._consolidated(l)[1].sum()) for l in self.lags}
+        values = set(totals.values())
+        if len(values) > 1:
+            raise AssertionError(
+                f"count tables disagree on total transitions: {totals}"
+            )
+        if expected_transitions is not None:
+            got = next(iter(values)) if values else 0
+            if got != expected_transitions:
+                raise AssertionError(
+                    f"count conservation violated: counted {got}, "
+                    f"expected {expected_transitions}"
+                )
+        return totals

@@ -60,3 +60,66 @@ def test_sharded_reverse_and_small_batches():
         for chunk in chunk_reads(enc, 3, batch_size=4):
             tc.add_chunk(chunk)
     np.testing.assert_array_equal(single.tables[3], sharded.tables[3])
+
+
+@needs_8
+def test_kmer_sharded_matches_single_device():
+    # Tensor-parallel counting (table rows range-split over the mesh) must
+    # reproduce the single-device tables exactly, including multi-group,
+    # '['-prefix and '$'-stop rows.
+    from jax.sharding import Mesh
+    from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), rng.integers(15, 50))) for _ in range(41)]
+    groups = [int(g) for g in rng.integers(0, 2, len(seqs))]
+    lags = [1, 3, 5]
+
+    single = TransitionCounter(lags=lags, n_groups=2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("kmer",))
+    sharded = KmerShardedTransitionCounter(mesh, lags=lags, n_groups=2)
+    n_transitions = 0
+    for tc in (single, sharded):
+        enc = ((fastx.encode_seq(s), g) for s, g in zip(seqs, groups))
+        for chunk in chunk_reads(enc, max(lags), batch_size=16):
+            tc.add_chunk(chunk)
+    n_transitions = sum(len(s) + 1 for s in seqs)
+
+    sharded.validate(expected_transitions=n_transitions)
+    for l in lags:
+        rows1 = single.nonzero_rows(l)
+        rows8 = sharded.nonzero_rows(l)
+        np.testing.assert_array_equal(rows1, rows8)
+        want = single.tables[l][:, rows1, :].transpose(1, 0, 2)
+        got = sharded.counts_for_rows(l, rows8)
+        np.testing.assert_array_equal(got, want)
+    # dataset handoff parity
+    ds1 = single.to_dataset(5)
+    ds8 = sharded.to_dataset(5)
+    np.testing.assert_array_equal(ds1.codes, ds8.codes)
+    np.testing.assert_array_equal(ds1.counts, ds8.counts)
+
+
+@needs_8
+def test_kmer_sharded_multiple_flushes():
+    # Sparse host accumulation across flush boundaries stays exact.
+    from jax.sharding import Mesh
+    from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+
+    rng = np.random.default_rng(13)
+    seqs = ["".join(rng.choice(list("ACGT"), 30)) for _ in range(20)]
+    single = TransitionCounter(lags=[4], n_groups=1)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("kmer",))
+    sharded = KmerShardedTransitionCounter(mesh, lags=[4], n_groups=1)
+    for tc in (single, sharded):
+        for i, s in enumerate(seqs):
+            for chunk in chunk_reads(iter([(fastx.encode_seq(s), 0)]), 4):
+                tc.add_chunk(chunk)
+            if isinstance(tc, KmerShardedTransitionCounter) and i % 7 == 3:
+                tc.flush()  # force mid-stream flushes
+    rows = single.nonzero_rows(4)
+    np.testing.assert_array_equal(rows, sharded.nonzero_rows(4))
+    np.testing.assert_array_equal(
+        sharded.counts_for_rows(4, rows),
+        single.tables[4][:, rows, :].transpose(1, 0, 2),
+    )
