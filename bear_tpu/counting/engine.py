@@ -537,39 +537,61 @@ class TransitionCounter:
         shuffle=True randomizes the row order inside each shard — absorbing
         the tutorial's external ``shuf`` step (docs/usage.rst:192-196), which
         non-vanilla training requires."""
-        rng = np.random.default_rng(seed)
-        n_bins = 2**n_bin_bits
         rows = self.nonzero_rows(lag)
-        if shuffle:
-            rows = rng.permutation(rows)
-        bins = rng.integers(0, n_bins, size=len(rows)) if n_bins > 1 else np.zeros(len(rows), int)
-        paths = [f"{out_prefix}_lag_{lag}_file_{b}.tsv" for b in range(n_bins)]
         tab = self.tables[lag]
-        kmers = rows_to_contexts(rows, lag)
-        from bear_tpu.counting import fastx as _fastx
+        per_row = tab[:, rows, :].transpose(1, 0, 2)  # [n, G, 5]
+        return write_tsv_shards(
+            out_prefix, lag, rows, per_row, n_bin_bits, seed=seed,
+            shuffle=shuffle,
+        )
 
-        native = _fastx._native()
-        if native is not None and getattr(native, "_has_format", False):
-            # Native formatter (~50x the per-row Python loop): one
-            # bear_format_tsv call per output shard.
-            kmers_b = kmers.astype(f"S{lag}")
-            per_row = tab[:, rows, :].transpose(1, 0, 2)  # [n, G, 5]
-            for b, p in enumerate(paths):
-                sel = bins == b
-                with open(p, "wb") as fh:
-                    fh.write(native.format_tsv(kmers_b[sel], per_row[sel]))
-            return paths
-        handles = [open(p, "w") for p in paths]
-        try:
-            for kmer, r, b in zip(kmers, rows, bins):
-                mat = "[[" + "],[".join(
-                    ",".join(str(int(c)) for c in tab[g, r]) for g in range(self.n_groups)
-                ) + "]]"
-                handles[b].write(f"{kmer}\t{mat}\n")
-        finally:
-            for h in handles:
-                h.close()
+
+def write_tsv_shards(out_prefix: str, lag: int, rows: np.ndarray,
+                     per_row_counts: np.ndarray, n_bin_bits: int = 0,
+                     seed: int = 0, shuffle: bool = False):
+    """Write reference-format count TSV shards for the given table rows.
+
+    rows: [n] table row indices; per_row_counts: [n, n_groups, 5] aligned
+    with rows. Rows shard uniformly at random into 2^n_bin_bits files
+    (reference summarize.py:429-449); shuffle randomizes order inside each
+    shard. Uses the native bear_format_tsv formatter when available."""
+    rng = np.random.default_rng(seed)
+    n_bins = 2**n_bin_bits
+    if shuffle:
+        perm = rng.permutation(len(rows))
+        rows, per_row_counts = rows[perm], per_row_counts[perm]
+    bins = (
+        rng.integers(0, n_bins, size=len(rows))
+        if n_bins > 1
+        else np.zeros(len(rows), int)
+    )
+    paths = [f"{out_prefix}_lag_{lag}_file_{b}.tsv" for b in range(n_bins)]
+    kmers = rows_to_contexts(rows, lag)
+    n_groups = per_row_counts.shape[1]
+    from bear_tpu.counting import fastx as _fastx
+
+    native = _fastx._native()
+    if native is not None and getattr(native, "_has_format", False):
+        # Native formatter (~50x the per-row Python loop): one
+        # bear_format_tsv call per output shard.
+        kmers_b = kmers.astype(f"S{lag}")
+        for b, p in enumerate(paths):
+            sel = bins == b
+            with open(p, "wb") as fh:
+                fh.write(native.format_tsv(kmers_b[sel], per_row_counts[sel]))
         return paths
+    handles = [open(p, "w") for p in paths]
+    try:
+        for kmer, mat_counts, b in zip(kmers, per_row_counts, bins):
+            mat = "[[" + "],[".join(
+                ",".join(str(int(c)) for c in mat_counts[g])
+                for g in range(n_groups)
+            ) + "]]"
+            handles[b].write(f"{kmer}\t{mat}\n")
+    finally:
+        for h in handles:
+            h.close()
+    return paths
 
 
 def reverse_complement_codes(codes: np.ndarray, lengths: np.ndarray):

@@ -35,18 +35,40 @@ def run_counting(
     batch_size: int = 1024,
     segment_len: int = 1 << 16,
     method: str = "auto",
+    kmer_shards: int = 1,
 ) -> engine.TransitionCounter:
     """Count transitions for all requested lags over the input file set.
 
     method: counting kernel — 'auto' (sorted MXU histograms on TPU, XLA
     scatter elsewhere), 'sorted', or 'scatter' (engine.TransitionCounter).
+    kmer_shards: >1 shards the count tables over that many devices along a
+    'kmer' mesh axis (tensor parallelism) — required for lag 14-15 tables
+    beyond one chip's HBM/int32 range.
     """
     entries = fastx.read_input_csv(input_csv)
     n_groups = max(group for _, group, _ in entries) + 1
     # Reverse-complement counting happens in the read stream (each read also
     # emitted as its RC before segmentation) so arbitrarily long contigs work;
     # the counter itself stays forward-only.
-    counter = engine.TransitionCounter(lags=lags, n_groups=n_groups, method=method)
+    if kmer_shards > 1:
+        import jax
+        from jax.sharding import Mesh
+        from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+
+        devs = jax.devices()
+        if len(devs) < kmer_shards:
+            raise ValueError(
+                f"--kmer-shards {kmer_shards} needs that many devices; "
+                f"have {len(devs)}"
+            )
+        mesh = Mesh(np.array(devs[:kmer_shards]), ("kmer",))
+        counter = KmerShardedTransitionCounter(
+            mesh, lags=lags, n_groups=n_groups, method=method
+        )
+    else:
+        counter = engine.TransitionCounter(
+            lags=lags, n_groups=n_groups, method=method
+        )
     native = fastx._native()
     if native is not None:
         # Production path: C++ parse+encode per file, then fully vectorized
@@ -80,7 +102,7 @@ def compute_n_bin_bits(total_rows: int, n_groups: int, mf_gb: float) -> int:
 def run(args) -> int:
     print("Counting...", datetime.datetime.now())
     counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r,
-                           method=args.method)
+                           method=args.method, kmer_shards=args.kmer_shards)
     print("Writing...", datetime.datetime.now())
     total_rows = sum(len(counter.nonzero_rows(l)) for l in counter.lags)
     n_bin_bits = compute_n_bin_bits(total_rows, counter.n_groups, args.mf)
@@ -132,6 +154,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--method", default="auto", choices=("auto", "sorted", "scatter"),
         help="Counting kernel: sorted MXU histograms (TPU) or XLA scatter.",
+    )
+    parser.add_argument(
+        "--kmer-shards", default=1, type=int, dest="kmer_shards",
+        help="Shard count tables over this many devices (tensor parallelism;"
+             " needed for lag 14-15 tables beyond one chip).",
     )
     return parser
 

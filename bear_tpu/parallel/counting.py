@@ -400,6 +400,17 @@ class KmerShardedTransitionCounter:
         return CountDataset(kmers=kmers, codes=codes, counts=counts,
                             alphabet=alphabet)
 
+    def export_tsv(self, out_prefix: str, lag: int, n_bin_bits: int = 0,
+                   seed: int = 0, shuffle: bool = False):
+        """Reference-format TSV export (see engine.write_tsv_shards)."""
+        from bear_tpu.counting.engine import write_tsv_shards
+
+        rows = self.nonzero_rows(lag)
+        return write_tsv_shards(
+            out_prefix, lag, rows, self.counts_for_rows(lag, rows),
+            n_bin_bits, seed=seed, shuffle=shuffle,
+        )
+
     def validate(self, expected_transitions=None):
         """Count-conservation invariant (see TransitionCounter.validate)."""
         totals = {l: int(self._consolidated(l)[1].sum()) for l in self.lags}

@@ -123,3 +123,28 @@ def test_kmer_sharded_multiple_flushes():
         sharded.counts_for_rows(4, rows),
         single.tables[4][:, rows, :].transpose(1, 0, 2),
     )
+
+
+@needs_8
+def test_summarize_cli_kmer_shards(tmp_path):
+    # The summarize CLI's --kmer-shards path writes the same TSVs as the
+    # single-device counter.
+    from bear_tpu.counting.summarize import build_parser, main as summarize_main
+
+    rng = np.random.default_rng(17)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i in range(30):
+            f.write(f">r{i}\n" + "".join(rng.choice(list("ACGT"), 40)) + "\n")
+    csv = tmp_path / "in.csv"
+    csv.write_text(f"{fa},0,fa\n")
+    a1 = build_parser().parse_args([str(csv), str(tmp_path / "one"), "-l", "3"])
+    a8 = build_parser().parse_args(
+        [str(csv), str(tmp_path / "eight"), "-l", "3", "--kmer-shards", "8"]
+    )
+    summarize_main(a1)
+    summarize_main(a8)
+    for l in (1, 2, 3):
+        one = (tmp_path / f"one_lag_{l}_file_0.tsv").read_bytes()
+        eight = (tmp_path / f"eight_lag_{l}_file_0.tsv").read_bytes()
+        assert one == eight
