@@ -46,6 +46,35 @@ import numpy as np
 
 STOP = 4  # transition column of '$'
 PAD_LEN_ALIGN = 64
+FLUSH_EVERY = (1 << 31) - (1 << 24)  # transitions between int32 flushes
+SORTED_MIN_TRANSITIONS = 1 << 20  # below this the sorted method's full-table
+# window pass costs more than it saves over plain scatter
+NONZERO_CHUNK = 1 << 26  # bound device temps during nonzero extraction
+
+
+def resolve_method(method: str, new_transitions: int) -> str:
+    """Counting-kernel selection shared by every counter: 'auto' picks the
+    sorted MXU-histogram kernel on TPU for production-size chunks and XLA
+    scatter otherwise (the sorted kernel is Mosaic/TPU-only)."""
+    if method != "auto":
+        return method
+    if jax.default_backend() != "tpu":
+        return "scatter"
+    return "sorted" if new_transitions >= SORTED_MIN_TRANSITIONS else "scatter"
+
+
+def extract_nonzero(dev, chunk: int = NONZERO_CHUNK):
+    """Yield (global int64 indices, int64 values) of a device array's nonzero
+    entries, chunked so device temporaries stay bounded (a single
+    jnp.nonzero over a multi-GB buffer would allocate comparable-size mask/
+    cumsum temporaries and can OOM the chip)."""
+    for start in range(0, dev.size, chunk):
+        part = dev[start : start + chunk]
+        idx = np.asarray(jnp.nonzero(part)[0], dtype=np.int64)
+        if idx.size == 0:
+            continue
+        vals = np.asarray(part[jnp.asarray(idx)]).astype(np.int64)
+        yield idx + start, vals
 
 
 def table_rows(lag: int) -> int:
@@ -103,14 +132,16 @@ def _device_row_totals(dev, off: int, G: int, R5: int):
     return sum(per_entry[k::5] for k in range(5))  # [R5 // 5]
 
 
-@functools.partial(jax.jit, static_argnames=("off", "G", "R5", "dtype"))
-def _device_gather_counts(dev, rows, off: int, G: int, R5: int, dtype: str):
-    """Gather [len(rows), G, 5] counts from the flat device buffer with
-    lane-friendly [N] gathers (see _device_row_totals on why not reshape)."""
+@functools.partial(jax.jit, static_argnames=("off", "G", "R5"))
+def _device_gather_counts(dev, rows, off: int, G: int, R5: int):
+    """Gather [len(rows), G, 5] int32 counts (plus their max, for the float
+    range check) from the flat device buffer with lane-friendly [N] gathers
+    (see _device_row_totals on why not reshape)."""
     sl = jax.lax.dynamic_slice_in_dim(dev, off, G * R5)
     base = rows * 5
     cols = [sl[base + (g * R5 + k)] for g in range(G) for k in range(5)]
-    return jnp.stack(cols, axis=1).reshape(-1, G, 5).astype(dtype)
+    out = jnp.stack(cols, axis=1).reshape(-1, G, 5)
+    return out, (jnp.max(out) if out.size else jnp.zeros((), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("lag",))
@@ -290,9 +321,8 @@ class TransitionCounter:
         'auto' (sorted on TPU for production-size chunks, scatter otherwise).
     """
 
-    FLUSH_EVERY = (1 << 31) - (1 << 24)  # transitions between int32 flushes
-    SORTED_MIN_TRANSITIONS = 1 << 20  # below this the full-table window pass
-    # of the sorted method costs more than it saves over plain scatter
+    FLUSH_EVERY = globals()["FLUSH_EVERY"]  # module constants, aliased for
+    SORTED_MIN_TRANSITIONS = globals()["SORTED_MIN_TRANSITIONS"]  # callers
 
     def __init__(self, lags: Sequence[int], n_groups: int = 1,
                  reverse: bool = False, method: str = "auto"):
@@ -322,6 +352,7 @@ class TransitionCounter:
         }
         self._dev = None  # lazy: ONE concatenated flat int32 device buffer
         self._since_flush = 0
+        self._host_dirty = False  # True once any count reached self._host
 
     @property
     def max_lag(self) -> int:
@@ -332,16 +363,13 @@ class TransitionCounter:
             self._dev = jnp.zeros(self._buf_size, dtype=jnp.int32)
 
     def _resolve_method(self, new_transitions: int) -> str:
-        if self.method != "auto":
-            return self.method
-        # The sorted kernel is Mosaic/TPU-only: scatter on cpu, gpu, etc.
-        if jax.default_backend() != "tpu":
-            return "scatter"
-        return (
-            "sorted"
-            if new_transitions >= self.SORTED_MIN_TRANSITIONS
-            else "scatter"
-        )
+        return resolve_method(self.method, new_transitions)
+
+    def sync(self):
+        """Block until all queued device counting work has completed (public
+        timing/sync point; the device buffer itself stays private)."""
+        if self._dev is not None:
+            self._dev.block_until_ready()
 
     def flush(self):
         """Fold the device int32 partials into the host int64 accumulator.
@@ -350,18 +378,12 @@ class TransitionCounter:
         genome case) only the nonzero entries move off-device: a ~100x
         device->host traffic reduction that matters doubly over a tunneled
         interconnect."""
-        CHUNK = 1 << 26  # bound device temps for the nonzero extraction
         if self._dev is not None and self._since_flush > 0:
             dev = self._dev
             nnz = int(jnp.count_nonzero(dev))
             if nnz * 3 < dev.size:
-                for start in range(0, dev.size, CHUNK):
-                    part = dev[start : start + CHUNK]
-                    idx = np.asarray(jnp.nonzero(part)[0], dtype=np.int64)
-                    if idx.size == 0:
-                        continue
-                    vals = np.asarray(part[jnp.asarray(idx)]).astype(np.int64)
-                    self._scatter_host(idx + start, vals)
+                for idx, vals in extract_nonzero(dev):
+                    self._scatter_host(idx, vals)
             else:
                 dense = np.asarray(dev).astype(np.int64)
                 for l in self.lags:
@@ -369,6 +391,7 @@ class TransitionCounter:
                     self._host[l] += dense[off : off + self._host[l].size]
             self._dev = jnp.zeros(self._buf_size, dtype=jnp.int32)
             self._since_flush = 0
+            self._host_dirty = True
 
     def _scatter_host(self, idx: np.ndarray, vals: np.ndarray):
         """Route concatenated-buffer indices into the per-lag host tables."""
@@ -421,6 +444,7 @@ class TransitionCounter:
         """Merge partial counts (cross-host/process reduction point)."""
         self.flush()
         other.flush()
+        self._host_dirty = True
         for l in self.lags:
             self._host[l] += other._host[l]
 
@@ -449,6 +473,7 @@ class TransitionCounter:
         )
         for l in tc.lags:
             tc._host[l] = data[f"table_{l}"].astype(np.int64)
+        tc._host_dirty = True
         return tc
 
     def validate(self, expected_transitions: Optional[int] = None):
@@ -503,23 +528,32 @@ class TransitionCounter:
         if _alpha.alphabet_size(alphabet) != 4:
             raise ValueError("count tables are base-4 (dna/rna alphabets)")
         rows_total = table_rows(lag)
-        host = self._host[lag]
-        if self._dev is not None and not host.any():
+        if self._dev is not None and not self._host_dirty:
             G = self.n_groups
             R5 = rows_total * 5
             off = self._offsets[lag]
             row_tot = _device_row_totals(self._dev, off, G, R5)
             rows = jnp.nonzero(row_tot)[0].astype(jnp.int32)
-            counts = _device_gather_counts(self._dev, rows, off, G, R5,
-                                           jnp.dtype(dtype).name)
+            counts_i, cmax = _device_gather_counts(self._dev, rows, off, G, R5)
+            if np.dtype(dtype).itemsize < 8 and int(cmax) >= 1 << 24:
+                raise ValueError(
+                    f"a count reached {int(cmax):,}, beyond exact float32 "
+                    "integer range (2^24) — pass dtype=jnp.float64 (the "
+                    "no-clamp guarantee would otherwise silently round)"
+                )
+            counts = counts_i.astype(dtype)
         else:
             self.flush()
             rows_np = self.nonzero_rows(lag)
             rows = jnp.asarray(rows_np.astype(np.int32))
-            counts = jnp.asarray(
-                self.tables[lag][:, rows_np, :].transpose(1, 0, 2).astype(
-                    np.dtype(dtype))
-            )
+            counts_np = self.tables[lag][:, rows_np, :].transpose(1, 0, 2)
+            cmax = counts_np.max() if counts_np.size else 0
+            if np.dtype(dtype).itemsize < 8 and cmax >= 1 << 24:
+                raise ValueError(
+                    f"a count reached {cmax:,}, beyond exact float32 integer "
+                    "range (2^24) — pass dtype=jnp.float64"
+                )
+            counts = jnp.asarray(counts_np.astype(np.dtype(dtype)))
         return decode_rows(rows, lag), counts
 
     def export_tsv(

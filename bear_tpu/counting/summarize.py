@@ -36,8 +36,12 @@ def run_counting(
     segment_len: int = 1 << 16,
     method: str = "auto",
     kmer_shards: int = 1,
-) -> engine.TransitionCounter:
+):
     """Count transitions for all requested lags over the input file set.
+    Returns an engine.TransitionCounter, or a
+    parallel.counting.KmerShardedTransitionCounter when kmer_shards > 1
+    (same add_chunk/nonzero_rows/to_dataset/export_tsv/validate surface;
+    dense ``.tables`` only where host-feasible).
 
     method: counting kernel — 'auto' (sorted MXU histograms on TPU, XLA
     scatter elsewhere), 'sorted', or 'scatter' (engine.TransitionCounter).

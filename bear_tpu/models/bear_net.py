@@ -180,6 +180,28 @@ def _use_flat_at_rest(stacked_shape, itemsize: int) -> bool:
     return tiled - compact > FLAT_AT_REST_MIN_WASTE
 
 
+def _flat_prep(stacked: dict, probe_shape, itemsize: int):
+    """Shared flat-at-rest mechanism for train/evaluation.
+
+    stacked: name -> [steps, B, width] array (or None). When the probe
+    array's tile-padding waste crosses the threshold, every array is stored
+    flat ([steps, B*width], compact in HBM) and the returned ``at(arr, idx,
+    width)`` indexer reshapes each step's batch back inside the jitted scan.
+    """
+    flat = _use_flat_at_rest(probe_shape, itemsize)
+    bsz = probe_shape[1]
+    out = {
+        k: None if a is None else (a.reshape(a.shape[0], -1) if flat else a)
+        for k, a in stacked.items()
+    }
+
+    def at(arr, idx, width):
+        b = jax.lax.dynamic_index_in_dim(arr, idx, keepdims=False)
+        return b.reshape(bsz, width) if flat else b
+
+    return out, at
+
+
 def train(
     codes,
     counts,
@@ -305,15 +327,13 @@ def train(
     # [steps, B, 5] array tiles its (B, 5) minor dims to (B, 128) in HBM —
     # 25x padded for counts, ~10x for codes. The per-step reshape back to
     # [B, width] costs one relayout copy per step (~0.2 ms at B=32k), so
-    # small datasets keep the tiled layout and skip it.
-    bsz_eff, lag_w = codes_s.shape[1], codes_s.shape[2]
-    counts_w = counts_s.shape[2]
-    flat = _use_flat_at_rest(counts_s.shape, np.dtype(dtype).itemsize)
-    if flat:
-        codes_s = codes_s.reshape(codes_s.shape[0], -1)
-        counts_s = counts_s.reshape(counts_s.shape[0], -1)
-        if ref_s is not None:
-            ref_s = ref_s.reshape(ref_s.shape[0], -1)
+    # small datasets keep the tiled layout and skip it (_flat_prep).
+    lag_w, counts_w = codes_s.shape[2], counts_s.shape[2]
+    stacked, at_batch = _flat_prep(
+        {"codes": codes_s, "counts": counts_s, "ref": ref_s},
+        counts_s.shape, np.dtype(dtype).itemsize,
+    )
+    codes_s, counts_s, ref_s = stacked["codes"], stacked["counts"], stacked["ref"]
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -344,15 +364,11 @@ def train(
         def inner(inner_carry, k):
             acc, loss_sum = inner_carry
             idx = (start + k) % steps_per_epoch
-            def at(arr, width):
-                b = jax.lax.dynamic_index_in_dim(arr, idx, keepdims=False)
-                return b.reshape(bsz_eff, width) if flat else b
-
             loss, grads = grad_fn(
                 p,
-                at(codes_s, lag_w),
-                at(counts_s, counts_w),
-                None if ref_s is None else at(ref_s, counts_w),
+                at_batch(codes_s, idx, lag_w),
+                at_batch(counts_s, idx, counts_w),
+                None if ref_s is None else at_batch(ref_s, idx, counts_w),
                 sizes[idx],
             )
             return (jax.tree.map(jnp.add, acc, grads), loss_sum + loss), None
@@ -488,18 +504,19 @@ def evaluation(
     if ref_counts is not None:
         _, ref_s, _ = _stack_batches(codes, ref_counts, batch_size, n_dev)
 
-    # Flat at-rest batch storage for large stacks (see train): [steps,
-    # B*width] in HBM, reshaped back per step inside the jitted scan.
-    bsz_eff, lag_w = codes_s.shape[1], codes_s.shape[2]
-    counts_w = counts_test_s.shape[2]
-    flat = _use_flat_at_rest(counts_test_s.shape, np.dtype(dtype).itemsize)
-    if flat:
-        codes_s = codes_s.reshape(codes_s.shape[0], -1)
-        counts_test_s = counts_test_s.reshape(counts_test_s.shape[0], -1)
-        if use_train:
-            counts_train_s = counts_train_s.reshape(counts_train_s.shape[0], -1)
-        if ref_s is not None:
-            ref_s = ref_s.reshape(ref_s.shape[0], -1)
+    # Flat at-rest batch storage for large stacks (see train/_flat_prep).
+    lag_w, counts_w = codes_s.shape[2], counts_test_s.shape[2]
+    stacked, at_batch = _flat_prep(
+        {
+            "codes": codes_s,
+            "test": counts_test_s,
+            "train": counts_train_s if use_train else None,
+            "ref": ref_s,
+        },
+        counts_test_s.shape, np.dtype(dtype).itemsize,
+    )
+    codes_s, counts_test_s = stacked["codes"], stacked["test"]
+    counts_train_s, ref_s = stacked["train"], stacked["ref"]
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -514,16 +531,12 @@ def evaluation(
     base_key = jax.random.key(seed)
 
     def batch_metrics(step):
-        def at(arr, width):
-            b = jax.lax.dynamic_index_in_dim(arr, step, keepdims=False)
-            return b.reshape(bsz_eff, width) if flat else b
-
-        codes_b = at(codes_s, lag_w)
-        ct_b = at(counts_test_s, counts_w)
-        tr_b = at(counts_train_s, counts_w) if use_train else None
+        codes_b = at_batch(codes_s, step, lag_w)
+        ct_b = at_batch(counts_test_s, step, counts_w)
+        tr_b = at_batch(counts_train_s, step, counts_w) if use_train else None
         if ref_s is not None:
             oh = alphabets.one_hot(codes_b, A1, dtype)
-            ref_b = at(ref_s, counts_w)
+            ref_b = at_batch(ref_s, step, counts_w)
             ar_probs = ar_func.apply(ar_params, oh, ref_b)
         elif ar_func.apply_codes is not None:
             ar_probs = ar_func.apply_codes(ar_params, codes_b)

@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bear_tpu.counting.engine import (
+    FLUSH_EVERY as _FLUSH_EVERY,
     ReadChunk,
     _count_chunk_kernel,
     lag_offsets,
@@ -61,7 +62,7 @@ class ShardedTransitionCounter:
     have zero length and no stop, contributing nothing.
     """
 
-    FLUSH_EVERY = (1 << 31) - (1 << 24)
+    FLUSH_EVERY = _FLUSH_EVERY
 
     def __init__(self, mesh: Mesh, lags: Sequence[int], n_groups: int = 1,
                  reverse: bool = False, axis: str = "data",
@@ -93,19 +94,9 @@ class ShardedTransitionCounter:
         self._count_fns = {}  # method -> jitted shard_map step
 
     def _resolve_method(self, new_transitions: int) -> str:
-        # Mirrors TransitionCounter: the sorted kernel is TPU-only and only
-        # pays off for production-size chunks.
-        if self.method != "auto":
-            return self.method
-        if jax.default_backend() != "tpu":
-            return "scatter"
-        from bear_tpu.counting.engine import TransitionCounter
+        from bear_tpu.counting.engine import resolve_method
 
-        return (
-            "sorted"
-            if new_transitions >= TransitionCounter.SORTED_MIN_TRANSITIONS
-            else "scatter"
-        )
+        return resolve_method(self.method, new_transitions)
 
     def _count_fn(self, method: str):
         if method not in self._count_fns:
@@ -234,7 +225,7 @@ class KmerShardedTransitionCounter:
     device's local slice must stay below 2^31 entries.
     """
 
-    FLUSH_EVERY = (1 << 31) - (1 << 24)
+    FLUSH_EVERY = _FLUSH_EVERY
 
     def __init__(self, mesh: Mesh, lags: Sequence[int], n_groups: int = 1,
                  axis: str = "kmer", method: str = "auto"):
@@ -279,17 +270,9 @@ class KmerShardedTransitionCounter:
         return max(self.lags)
 
     def _resolve_method(self, new_transitions: int) -> str:
-        if self.method != "auto":
-            return self.method
-        if jax.default_backend() != "tpu":
-            return "scatter"
-        from bear_tpu.counting.engine import TransitionCounter
+        from bear_tpu.counting.engine import resolve_method
 
-        return (
-            "sorted"
-            if new_transitions >= TransitionCounter.SORTED_MIN_TRANSITIONS
-            else "scatter"
-        )
+        return resolve_method(self.method, new_transitions)
 
     def _count_fn(self, method: str):
         if method not in self._count_fns:
@@ -325,28 +308,36 @@ class KmerShardedTransitionCounter:
 
     def flush(self):
         """Pull each shard's nonzero entries into the sparse host
-        accumulator (global int64 keys ``(g * rows + row) * 5 + k``)."""
+        accumulator (global int64 keys ``(g * rows + row) * 5 + k``).
+
+        Works shard-by-shard on each shard's OWN device via
+        addressable_shards (indexing the global array would copy every
+        shard onto one device first) and in bounded chunks
+        (engine.extract_nonzero) so device temporaries never approach the
+        multi-GB shard size this class exists for. Multi-host: each process
+        drains only its local shards; merge with multihost.allreduce_tables.
+        """
+        from bear_tpu.counting.engine import extract_nonzero
+
         if self._dev is None or self._since_flush == 0:
             return
-        for d in range(self.n_dev):
-            part = self._dev[d]
-            idx = np.asarray(jnp.nonzero(part)[0], dtype=np.int64)
-            if idx.size == 0:
-                continue
-            vals = np.asarray(part[jnp.asarray(idx)]).astype(np.int64)
-            for l in self.lags:
-                stride, local_rows, loc_off = self._per_lag[l]
-                span = self.n_groups * local_rows * 5
-                sel = (idx >= loc_off) & (idx < loc_off + span)
-                if not sel.any():
-                    continue
-                t = idx[sel] - loc_off
-                g = t // (local_rows * 5)
-                r = (t % (local_rows * 5)) // 5
-                k = t % 5
-                grow = d * stride + r
-                key = (g * table_rows(l) + grow) * 5 + k
-                self._sparse[l].append((key, vals[sel]))
+        for sh in self._dev.addressable_shards:
+            d = sh.index[0].start or 0
+            part = sh.data.reshape(-1)  # [local_padded] on this shard's device
+            for idx, vals in extract_nonzero(part):
+                for l in self.lags:
+                    stride, local_rows, loc_off = self._per_lag[l]
+                    span = self.n_groups * local_rows * 5
+                    sel = (idx >= loc_off) & (idx < loc_off + span)
+                    if not sel.any():
+                        continue
+                    t = idx[sel] - loc_off
+                    g = t // (local_rows * 5)
+                    r = (t % (local_rows * 5)) // 5
+                    k = t % 5
+                    grow = d * stride + r
+                    key = (g * table_rows(l) + grow) * 5 + k
+                    self._sparse[l].append((key, vals[sel]))
         self._dev = None
         self._since_flush = 0
 
@@ -399,6 +390,66 @@ class KmerShardedTransitionCounter:
         )
         return CountDataset(kmers=kmers, codes=codes, counts=counts,
                             alphabet=alphabet)
+
+    def sync(self):
+        """Block until all queued device counting work has completed."""
+        if self._dev is not None:
+            self._dev.block_until_ready()
+
+    def merge_from(self, other: "KmerShardedTransitionCounter"):
+        """Merge partial counts (cross-process/cross-job reduction point)."""
+        self.flush()
+        other.flush()
+        for l in self.lags:
+            self._sparse[l].extend(other._sparse[l])
+
+    @property
+    def tables(self) -> Dict[int, np.ndarray]:
+        """Dense host tables {lag: [n_groups, rows, 5]} — only for lags whose
+        dense table is host-feasible; use nonzero_rows/counts_for_rows or
+        to_dataset at lag 14-15 scale."""
+        out = {}
+        for l in self.lags:
+            entries = self.n_groups * table_rows(l) * 5
+            if entries > (1 << 33):
+                raise ValueError(
+                    f"dense lag-{l} host table would hold {entries:,} int64 "
+                    "entries; use nonzero_rows/counts_for_rows instead"
+                )
+            keys, vals = self._consolidated(l)
+            tab = np.zeros(entries, np.int64)
+            tab[keys] = vals
+            out[l] = tab.reshape(self.n_groups, table_rows(l), 5)
+        return out
+
+    def save_state(self, path: str):
+        """Checkpoint the sparse accumulated counts (resume point for long
+        counting jobs; see TransitionCounter.save_state)."""
+        self.flush()
+        arrays = {}
+        for l in self.lags:
+            keys, vals = self._consolidated(l)
+            arrays[f"keys_{l}"] = keys
+            arrays[f"vals_{l}"] = vals
+        np.savez_compressed(
+            path, lags=np.array(self.lags), n_groups=np.array(self.n_groups),
+            **arrays,
+        )
+
+    def load_state(self, path: str):
+        """Restore counts saved by save_state into THIS counter (the mesh is
+        runtime state and is not serialized; construct the counter first)."""
+        data = np.load(path)
+        if tuple(int(l) for l in data["lags"]) != self.lags or int(
+            data["n_groups"]
+        ) != self.n_groups:
+            raise ValueError("checkpoint lags/n_groups do not match counter")
+        self.flush()
+        for l in self.lags:
+            self._sparse[l].append(
+                (data[f"keys_{l}"].astype(np.int64),
+                 data[f"vals_{l}"].astype(np.int64))
+            )
 
     def export_tsv(self, out_prefix: str, lag: int, n_bin_bits: int = 0,
                    seed: int = 0, shuffle: bool = False):

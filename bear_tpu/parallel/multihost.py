@@ -49,13 +49,26 @@ def host_shard(items: Sequence, process_id=None, process_count=None) -> list:
     return [x for i, x in enumerate(items) if i % n == pid]
 
 
-def allreduce_tables(counter) -> None:
-    """Sum a TransitionCounter's host tables across all processes, in place.
+def _allgather_i64(arr: np.ndarray) -> np.ndarray:
+    """process_allgather an int64 array exactly: two uint32 halves (device
+    transports are 32-bit safe without x64). Returns [process_count, ...]."""
+    from jax.experimental import multihost_utils
 
-    Exact for int64 counts: each table crosses the wire as two uint32 halves
-    (device transports are 32-bit safe without x64), gathered per process via
-    multihost_utils.process_allgather and summed on the host in int64. After
-    this every host holds the global counts.
+    lo = (arr & 0xFFFFFFFF).astype(np.uint32)
+    hi = (arr >> 32).astype(np.uint32)
+    lo_all = np.asarray(multihost_utils.process_allgather(lo)).astype(np.int64)
+    hi_all = np.asarray(multihost_utils.process_allgather(hi)).astype(np.int64)
+    return (hi_all << 32) + lo_all
+
+
+def allreduce_tables(counter) -> None:
+    """Merge a counter's host-side counts across all processes, in place.
+
+    TransitionCounter / ShardedTransitionCounter (dense int64 host tables):
+    one exact allgather + host sum per lag. KmerShardedTransitionCounter
+    (sparse host accumulator): the consolidated (key, count) pairs are
+    length-padded, allgathered, and re-consolidated, so every host ends with
+    the global sparse counts. Exact in int64 either way.
     """
     import jax
 
@@ -64,11 +77,25 @@ def allreduce_tables(counter) -> None:
     from jax.experimental import multihost_utils
 
     counter.flush()
+    if hasattr(counter, "_sparse"):
+        for l in counter.lags:
+            keys, vals = counter._consolidated(l)
+            n_all = np.asarray(
+                multihost_utils.process_allgather(
+                    np.array([len(keys)], np.uint32)
+                )
+            ).reshape(-1)
+            n_max = int(n_all.max())
+            pad = lambda a: np.pad(a, (0, n_max - len(a)))
+            keys_all = _allgather_i64(pad(keys))
+            vals_all = _allgather_i64(pad(vals))
+            parts = [
+                (keys_all[p, : n_all[p]], vals_all[p, : n_all[p]])
+                for p in range(len(n_all))
+                if n_all[p]
+            ]
+            counter._sparse[l] = parts
+        return
     for l in counter.lags:
-        host = counter._host[l]
-        lo = (host & 0xFFFFFFFF).astype(np.uint32)
-        hi = (host >> 32).astype(np.uint32)
         # [process_count, table] on every host, summed exactly in int64.
-        lo_all = np.asarray(multihost_utils.process_allgather(lo)).astype(np.int64)
-        hi_all = np.asarray(multihost_utils.process_allgather(hi)).astype(np.int64)
-        counter._host[l] = (hi_all.sum(axis=0) << 32) + lo_all.sum(axis=0)
+        counter._host[l] = _allgather_i64(counter._host[l]).sum(axis=0)

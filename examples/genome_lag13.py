@@ -91,7 +91,7 @@ def main():
             )
         # No flush: counts stay device-resident for the on-device handoff
         # below (auto-flush still guards the int32 range on longer runs).
-        counter._dev.block_until_ready()
+        counter.sync()
     total_transitions = n_reads * (args.read_len + 1)
 
     with timer.stage("on-device dataset handoff"):

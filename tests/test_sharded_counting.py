@@ -148,3 +148,51 @@ def test_summarize_cli_kmer_shards(tmp_path):
         one = (tmp_path / f"one_lag_{l}_file_0.tsv").read_bytes()
         eight = (tmp_path / f"eight_lag_{l}_file_0.tsv").read_bytes()
         assert one == eight
+
+
+@needs_8
+def test_kmer_sharded_state_roundtrip_and_merge(tmp_path):
+    from jax.sharding import Mesh
+    from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+
+    rng = np.random.default_rng(23)
+    seqs = ["".join(rng.choice(list("ACGT"), 25)) for _ in range(16)]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("kmer",))
+
+    a = KmerShardedTransitionCounter(mesh, lags=[3], n_groups=1)
+    b = KmerShardedTransitionCounter(mesh, lags=[3], n_groups=1)
+    single = TransitionCounter(lags=[3], n_groups=1)
+    for s in seqs[:8]:
+        for ch in chunk_reads(iter([(fastx.encode_seq(s), 0)]), 3):
+            a.add_chunk(ch)
+    for s in seqs[8:]:
+        for ch in chunk_reads(iter([(fastx.encode_seq(s), 0)]), 3):
+            b.add_chunk(ch)
+    for s in seqs:
+        for ch in chunk_reads(iter([(fastx.encode_seq(s), 0)]), 3):
+            single.add_chunk(ch)
+
+    # save/load round trip preserves counts exactly
+    p = str(tmp_path / "a_state.npz")
+    a.save_state(p)
+    a2 = KmerShardedTransitionCounter(mesh, lags=[3], n_groups=1)
+    a2.load_state(p)
+    # merge: a2 + b == single (dense .tables for small lags)
+    a2.merge_from(b)
+    np.testing.assert_array_equal(a2.tables[3], single.tables[3])
+
+
+def test_to_device_dataset_float32_range_guard():
+    # Counts beyond 2^24 must refuse a float32 handoff instead of rounding.
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    tc = TransitionCounter(lags=[2], n_groups=1)
+    for ch in chunk_reads(iter([(fastx.encode_seq("ACGTACG"), 0)]), 2):
+        tc.add_chunk(ch)
+    tc.flush()
+    tc._host[2][0] += (1 << 24) + 3
+    with _pytest.raises(ValueError, match="float32"):
+        tc.to_device_dataset(2, dtype=jnp.float32)
+    codes, counts = tc.to_device_dataset(2, dtype=jnp.float64)
+    assert int(np.asarray(counts).max()) >= (1 << 24)
