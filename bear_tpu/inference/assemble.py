@@ -195,10 +195,16 @@ def assemble_no_ends(
                 dtype=dtype,
             )
             letters = np.asarray(letters)
-            res = alphabets.input_letters(alphabet_name)[:4]
+            # Vectorized codes -> strings: byte LUT + one tobytes per row
+            # (a per-letter "".join costs seconds at millions of letters).
+            lut = np.frombuffer(
+                "".join(alphabets.input_letters(alphabet_name)[:4]).encode(),
+                np.uint8,
+            )
+            rows = lut[letters]
             for i in range(len(sub)):
                 n = int(sub_lens[i])
-                out_parts.append("".join(res[letters[i, :n]]))
+                out_parts.append(rows[i, :n].tobytes().decode("ascii"))
         flanks.append(out_parts)
 
     gen = [
@@ -207,13 +213,16 @@ def assemble_no_ends(
     ]
     gen_seqs = np.array(gen).reshape(-1, num_to_gen)
 
-    # Site-wise entropy of the generated ensembles (reference assemble.py:152-155).
+    # Site-wise entropy of the generated ensembles (reference assemble.py:
+    # 152-155) — pure NumPy byte comparisons: the previous one-hot path
+    # shipped [group, L, A1] floats through the device for a host-side mean.
     from scipy.special import xlogy
 
+    letter_bytes = [ord(c) for c in alphabets.input_letters(alphabet_name)]
     sw_ent = []
     for group in gen_seqs:
-        oh = np.asarray(alphabets.one_hot_kmers(np.array(list(group)), alphabet_name, jnp.float32))
-        probs = oh.mean(axis=0)
+        arr = np.array([np.frombuffer(s.encode("ascii"), np.uint8) for s in group])
+        probs = np.stack([(arr == b).mean(axis=0) for b in letter_bytes], axis=-1)
         sw_ent.append(-np.sum(xlogy(probs, probs), axis=-1))
 
     if save_folder is not None:
