@@ -41,10 +41,14 @@ def bench_ysd1_train():
         learning_rate=0.01, train_ar=False, seed=10, dtype=jnp.float32,
     )
     # Warm-up/compile with a short run, then time the full protocol.
+    # Best of 3: the timed run is ~1-2 s of device compute, so on tunneled
+    # dev setups per-dispatch variance otherwise dominates the measurement.
     bear_net.train(ds.codes, ds.counts[:, 0], epochs=2, **kwargs)
-    t0 = time.perf_counter()
-    res = bear_net.train(ds.codes, ds.counts[:, 0], epochs=10000, **kwargs)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = bear_net.train(ds.codes, ds.counts[:, 0], epochs=10000, **kwargs)
+        dt = min(dt, time.perf_counter() - t0)
     # One optimizer step per epoch at this batch size.
     steps_per_sec = len(res.losses) / dt
     # Parity: evaluate BMM heldout perplexity (exact; published 3.79).
@@ -184,6 +188,31 @@ def bench_host_pack():
     return dict(mbases_per_sec=tot / dt / 1e6)
 
 
+def bench_assemble():
+    """Generation throughput: assemble_no_ends, 1024 parallel sequences with
+    per-sequence posterior draws (the reference's program.prof spent 139 s in
+    this algorithm's per-letter Python loop)."""
+    from bear_tpu.counting.engine import table_rows
+    from bear_tpu.inference.assemble import assemble_no_ends
+
+    lag, steps, n_gen = 10, 2000, 256  # 8.2M letters: dispatch/transfer
+    # overheads must not dominate the timed run (they are per-call)
+    rng = np.random.default_rng(0)
+    table = rng.poisson(1.0, size=(table_rows(lag), 5)).astype(np.int64)
+    letters = "ACGT"
+    seeds = ["".join(rng.choice(list(letters), lag)) for _ in range(8)]
+    lengths = np.full((len(seeds), 2), steps)
+    assemble_no_ends(seeds, lengths, n_gen, lag=lag, counter_table=table,
+                     van=0.1, seed=1)  # compile
+    t0 = time.perf_counter()
+    gen, _ = assemble_no_ends(seeds, lengths, n_gen, lag=lag,
+                              counter_table=table, van=0.1, seed=2)
+    dt = time.perf_counter() - t0
+    total = len(seeds) * n_gen * steps * 2
+    assert all(len(s) == lag + 2 * steps for s in gen.ravel())
+    return dict(letters_per_sec=total / dt)
+
+
 def bench_loggamma():
     from bear_tpu.ops.loggamma import log_gamma
 
@@ -207,6 +236,15 @@ def bench_loggamma():
 
 
 def main():
+    # Persistent XLA compilation cache: repeated bench runs (the driver runs
+    # this every round) skip the multi-minute remote compilations.
+    from bear_tpu.utils.cli_common import enable_compilation_cache
+
+    cache = os.environ.get(
+        "BEAR_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    enable_compilation_cache(cache)
     results = {}
     t_start = time.time()
     try:
@@ -226,6 +264,10 @@ def main():
     except Exception as e:
         results["host_pack_error"] = repr(e)
     try:
+        results["assemble"] = bench_assemble()
+    except Exception as e:
+        results["assemble_error"] = repr(e)
+    try:
         results["ysd1"] = bench_ysd1_train()
     except Exception as e:
         results["ysd1_error"] = repr(e)
@@ -242,6 +284,7 @@ def main():
         "counting_transitions_per_sec": round((results.get("counting") or {}).get("transitions_per_sec", 0.0)),
         "loggamma_samples_per_sec": round((results.get("loggamma") or {}).get("samples_per_sec", 0.0)),
         "host_pack_mbases_per_sec": round((results.get("host_pack") or {}).get("mbases_per_sec", 0.0)),
+        "assemble_letters_per_sec": round((results.get("assemble") or {}).get("letters_per_sec", 0.0)),
         "bmm_heldout_perplexity": ysd1.get("bmm_heldout_perplexity"),
         "bear_heldout_perplexity": ysd1.get("bear_heldout_perplexity"),
         "learned_h": ysd1.get("h"),
@@ -249,7 +292,7 @@ def main():
         "device": str(jax.devices()[0]),
     }
     for k in ("lag13_error", "counting_error", "loggamma_error",
-              "host_pack_error", "ysd1_error"):
+              "host_pack_error", "assemble_error", "ysd1_error"):
         if k in results:
             line[k] = results[k]
     print(json.dumps(line))

@@ -68,3 +68,61 @@ def test_two_process_allreduce(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "OK" in out, out
+
+
+SPARSE_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    from bear_tpu.parallel import multihost
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    multihost.initialize(coordinator_address=f"127.0.0.1:{{port}}",
+                         num_processes=nproc, process_id=pid)
+    import numpy as np
+    from jax.sharding import Mesh
+    from bear_tpu.counting import TransitionCounter, chunk_reads, fastx
+    from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+    seqs_all = ["ACGTACGTAA", "TTTTCGCATT", "GGGCATATCC", "ACACACACGG",
+                "CGCGCGTATA"]
+    mine = multihost.host_shard(seqs_all)
+    # per-host TP counter over this host's single local cpu device
+    mesh = Mesh(np.array(jax.local_devices()[:1]), ("kmer",))
+    tc = KmerShardedTransitionCounter(mesh, lags=[3], n_groups=1)
+    for chunk in chunk_reads(((fastx.encode_seq(s), 0) for s in mine), 3):
+        tc.add_chunk(chunk)
+    multihost.allreduce_tables(tc)
+    # every host must now hold the exact global counts
+    single = TransitionCounter(lags=[3], n_groups=1)
+    for chunk in chunk_reads(((fastx.encode_seq(s), 0) for s in seqs_all), 3):
+        single.add_chunk(chunk)
+    np.testing.assert_array_equal(tc.tables[3], single.tables[3])
+    print(f"proc {{pid}} OK")
+    """
+).format(repo=REPO)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+def test_two_process_sparse_allreduce(tmp_path):
+    worker = tmp_path / "sparse_worker.py"
+    worker.write_text(SPARSE_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=120)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "OK" in out, out
