@@ -77,92 +77,106 @@ def extract_nonzero(dev, chunk: int = NONZERO_CHUNK):
         yield idx + start, vals
 
 
-def table_rows(lag: int) -> int:
-    return (4 ** (lag + 1) - 1) // 3
+def table_rows(lag: int, A: int = 4) -> int:
+    """Context rows of a lag-`lag` table over an A-residue alphabet:
+    sum of A^k for k = 0..lag (every '['-padded suffix length)."""
+    return (A ** (lag + 1) - 1) // (A - 1)
 
 
-def pad_offset(lag: int, n_pad) -> int:
+def pad_offset(lag: int, n_pad, A: int = 4) -> int:
     """Row offset of the contexts with n_pad leading '['s."""
-    return (4 ** (lag - n_pad) - 1) // 3
+    return (A ** (lag - n_pad) - 1) // (A - 1)
 
 
-def context_to_row(context: str, lag: int) -> int:
+def context_to_row(context: str, lag: int, alphabet: str = "dna") -> int:
     """Host-side: context string (may contain leading '[') -> table row."""
+    from bear_tpu.ops import alphabets as _alpha
+
+    letters = "".join(_alpha.input_letters(alphabet)[:-1])
+    A = len(letters)
     assert len(context) == lag
     n_pad = len(context) - len(context.lstrip("["))
     code = 0
     for ch in context[n_pad:]:
-        code = code * 4 + "ACGT".index(ch)
-    return pad_offset(lag, n_pad) + code
+        code = code * A + letters.index(ch)
+    return pad_offset(lag, n_pad, A) + code
 
 
-def row_to_context(row: int, lag: int) -> str:
+def row_to_context(row: int, lag: int, alphabet: str = "dna") -> str:
     """Host-side inverse of context_to_row."""
-    return rows_to_contexts(np.array([row]), lag)[0]
+    return rows_to_contexts(np.array([row]), lag, alphabet)[0]
 
 
-def rows_to_contexts(rows, lag: int) -> np.ndarray:
+def rows_to_contexts(rows, lag: int, alphabet: str = "dna") -> np.ndarray:
     """Vectorized inverse of context_to_row: row indices -> context strings
     (millions of rows in NumPy, no per-row Python)."""
+    from bear_tpu.ops import alphabets as _alpha
+
+    letters_s = "".join(_alpha.input_letters(alphabet)[:-1])
+    A = len(letters_s)
     rows = np.asarray(rows, dtype=np.int64)
-    bounds = np.array([(4**k - 1) // 3 for k in range(lag + 2)], dtype=np.int64)
+    bounds = np.array(
+        [(A**k - 1) // (A - 1) for k in range(lag + 2)], dtype=np.int64
+    )
     m = np.searchsorted(bounds, rows, side="right") - 1  # suffix length
-    code = rows - (4**m - 1) // 3
-    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    code = rows - (A**m - 1) // (A - 1)
+    letters = np.frombuffer(letters_s.encode(), dtype=np.uint8)
     chars = np.full((len(rows), lag), ord("["), dtype=np.uint8)
     rem = code.copy()
     for i in range(lag):  # digit i is the (i+1)-th letter from the right
         pos = lag - 1 - i
-        digit = (rem % 4).astype(np.int64)
-        rem //= 4
+        digit = (rem % A).astype(np.int64)
+        rem //= A
         valid = i < m
         chars[valid, pos] = letters[digit[valid]]
     return np.char.decode(chars.view(f"S{lag}").reshape(-1), "ascii")
 
 
-@functools.partial(jax.jit, static_argnames=("off", "G", "R5"))
-def _device_row_totals(dev, off: int, G: int, R5: int):
+@functools.partial(jax.jit, static_argnames=("off", "G", "R5", "A1"))
+def _device_row_totals(dev, off: int, G: int, R5: int, A1: int = 5):
     """Per-row grand totals of one lag's slice of the flat device buffer.
 
-    NEVER reshapes the full table to a 5-minor layout: the TPU (8,128) tile
-    would pad an 89M x 5 int32 table to ~92 GB of HBM. Flat strided slices
-    keep every intermediate at its true size."""
+    NEVER reshapes the full table to an A1-minor layout: the TPU (8,128)
+    tile would pad an 89M x 5 int32 table to ~92 GB of HBM. Flat strided
+    slices keep every intermediate at its true size."""
     sl = jax.lax.dynamic_slice_in_dim(dev, off, G * R5)
     per_entry = jnp.sum(sl.reshape(G, R5), axis=0)  # [R5]
-    return sum(per_entry[k::5] for k in range(5))  # [R5 // 5]
+    return sum(per_entry[k::A1] for k in range(A1))  # [R5 // A1]
 
 
-@functools.partial(jax.jit, static_argnames=("off", "G", "R5"))
-def _device_gather_counts(dev, rows, off: int, G: int, R5: int):
-    """Gather [len(rows), G, 5] int32 counts (plus their max, for the float
+@functools.partial(jax.jit, static_argnames=("off", "G", "R5", "A1"))
+def _device_gather_counts(dev, rows, off: int, G: int, R5: int, A1: int = 5):
+    """Gather [len(rows), G, A1] int32 counts (plus their max, for the float
     range check) from the flat device buffer with lane-friendly [N] gathers
     (see _device_row_totals on why not reshape)."""
     sl = jax.lax.dynamic_slice_in_dim(dev, off, G * R5)
-    base = rows * 5
-    cols = [sl[base + (g * R5 + k)] for g in range(G) for k in range(5)]
-    out = jnp.stack(cols, axis=1).reshape(-1, G, 5)
+    base = rows * A1
+    cols = [sl[base + (g * R5 + k)] for g in range(G) for k in range(A1)]
+    out = jnp.stack(cols, axis=1).reshape(-1, G, A1)
     return out, (jnp.max(out) if out.size else jnp.zeros((), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("lag",))
-def decode_rows(rows, lag: int):
+@functools.partial(jax.jit, static_argnames=("lag", "A"))
+def decode_rows(rows, lag: int, A: int = 4):
     """Device-side inverse of context_to_row: table row indices -> int8 k-mer
-    codes [N, lag] (pad '[' = code 4), pure integer arithmetic in-register.
+    codes [N, lag] (pad '[' = code A), pure integer arithmetic in-register.
 
     This is what lets counts hand off to training WITHOUT the table ever
     leaving the device: no k-mer strings, no host round trip (the host path
     is rows_to_contexts + alphabets.encode_kmers).
     """
     rows = jnp.asarray(rows, jnp.int32)
-    bounds = jnp.asarray([(4**k - 1) // 3 for k in range(lag + 2)], jnp.int32)
+    bounds = jnp.asarray(
+        [(A**k - 1) // (A - 1) for k in range(lag + 2)], jnp.int32
+    )
     m = jnp.searchsorted(bounds, rows, side="right").astype(jnp.int32) - 1
     code = rows - bounds[m]
     # position p holds the suffix digit with exponent lag-1-p, valid for the
-    # last m positions; earlier positions are the '[' pad (code 4).
-    exps = jnp.asarray([4 ** (lag - 1 - p) for p in range(lag)], jnp.int32)
-    digits = (code[:, None] // exps[None, :]) % 4
+    # last m positions; earlier positions are the '[' pad (code A).
+    exps = jnp.asarray([A ** (lag - 1 - p) for p in range(lag)], jnp.int32)
+    digits = (code[:, None] // exps[None, :]) % A
     pad = jnp.arange(lag, dtype=jnp.int32)[None, :] < (lag - m)[:, None]
-    return jnp.where(pad, 4, digits).astype(jnp.int8)
+    return jnp.where(pad, A, digits).astype(jnp.int8)
 
 
 @dataclass
@@ -185,7 +199,7 @@ class ReadChunk:
     groups: np.ndarray
 
 
-def lag_offsets(lags, n_groups):
+def lag_offsets(lags, n_groups, A: int = 4):
     """Offsets of each lag's flat table inside the single concatenated device
     buffer, and the total size. One buffer + ONE scatter per chunk covers all
     lags (13 separate scatters would pay 13x the scatter fixed costs)."""
@@ -193,12 +207,12 @@ def lag_offsets(lags, n_groups):
     total = 0
     for l in sorted(lags):
         offsets[l] = total
-        total += n_groups * table_rows(l) * 5
+        total += n_groups * table_rows(l, A) * (A + 1)
     return offsets, total
 
 
 def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
-                        n_groups, method="scatter", shard=None):
+                        n_groups, method="scatter", shard=None, A=4):
     """Jitted device kernel: add one chunk's transitions into the persistent
     concatenated dense table (donated, updated in place).
 
@@ -223,7 +237,8 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
     skip = skip.astype(jnp.int32)[:, None]
     groups32 = groups.astype(jnp.int32)[:, None]
 
-    offsets, _ = lag_offsets(lags, n_groups)
+    A1 = A + 1
+    offsets, _ = lag_offsets(lags, n_groups, A)
     max_lag = max(lags)
     # ONE padded buffer ([ max_lag zeros | codes | one zero ]); every shifted
     # view below is a slice of it. Per-shift jnp.pads each materialized a
@@ -232,7 +247,7 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
     padded = jnp.pad(codes32, ((0, 0), (max_lag, 1)))
 
     # next symbol at position j: s[j] for j < len, '$' at j == len (if stopped)
-    nxt = jnp.where(j < lengths, padded[:, max_lag : max_lag + P], STOP)
+    nxt = jnp.where(j < lengths, padded[:, max_lag : max_lag + P], A)
     mask = (j >= skip) & (
         (j < lengths) | ((j == lengths) & stopped.astype(bool)[:, None])
     )
@@ -255,17 +270,17 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
     pow4 = 1
     upd_one = mask.astype(jnp.int32)
     for l in range(1, max_lag + 1):
-        # rolling base-4 suffix code: digits beyond the read start read the
+        # rolling base-A suffix code: digits beyond the read start read the
         # zero padding, which is exactly the truncated-prefix code.
         code_acc = code_acc + shifted[l - 1] * pow4
-        pow4 *= 4
+        pow4 *= A
         if l not in lags:
             continue
         n_pad = jnp.maximum(0, l - j)  # [1, P] broadcasting over rows
-        offset = (4 ** (l - n_pad) - 1) // 3
+        offset = (A ** (l - n_pad) - 1) // (A - 1)
         row = offset + code_acc
         if shard is None:
-            flat = offsets[l] + (groups32 * table_rows(l) + row) * 5 + nxt
+            flat = offsets[l] + (groups32 * table_rows(l, A) + row) * A1 + nxt
             keyed = jnp.where(mask, flat, masked_to)
         else:
             shard_idx, per_lag = shard
@@ -273,7 +288,7 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
             rloc = row - shard_idx * stride_l
             ok = mask & (rloc >= 0) & (rloc < local_rows_l)
             rloc = jnp.clip(rloc, 0, local_rows_l - 1)
-            flat = loc_off_l + (groups32 * local_rows_l + rloc) * 5 + nxt
+            flat = loc_off_l + (groups32 * local_rows_l + rloc) * A1 + nxt
             keyed = jnp.where(ok, flat, masked_to)
         # Stay FLAT on device: a [rows, 5] layout would tile the minor dim to
         # 128 on TPU (25x padded HBM); the reshape happens host-side.
@@ -291,12 +306,14 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lags", "n_groups", "method"), donate_argnums=(0,)
+    jax.jit, static_argnames=("lags", "n_groups", "method", "A"),
+    donate_argnums=(0,),
 )
 def _count_chunk_jit(table, codes, lengths, skip, stopped, groups, lags,
-                     n_groups, method="scatter"):
+                     n_groups, method="scatter", A=4):
     return _count_chunk_kernel(
-        table, codes, lengths, skip, stopped, groups, lags, n_groups, method
+        table, codes, lengths, skip, stopped, groups, lags, n_groups, method,
+        A=A,
     )
 
 
@@ -319,20 +336,41 @@ class TransitionCounter:
     method : 'scatter' (XLA scatter-add, universal), 'sorted' (sort + MXU
         window histograms, see pallas_hist — ~3x on TPU for big chunks), or
         'auto' (sorted on TPU for production-size chunks, scatter otherwise).
+    alphabet : residue alphabet of the input codes — 'dna' (default), 'rna',
+        or 'prot'. Protein counting is a capability the reference lacks (its
+        KMC pipeline is DNA-only); reverse=True requires a 4-letter
+        alphabet (reverse complement is undefined for proteins).
     """
 
     FLUSH_EVERY = globals()["FLUSH_EVERY"]  # module constants, aliased for
     SORTED_MIN_TRANSITIONS = globals()["SORTED_MIN_TRANSITIONS"]  # callers
 
     def __init__(self, lags: Sequence[int], n_groups: int = 1,
-                 reverse: bool = False, method: str = "auto"):
+                 reverse: bool = False, method: str = "auto",
+                 alphabet: str = "dna"):
+        from bear_tpu.ops import alphabets as _alpha
+
         if method not in ("auto", "scatter", "sorted"):
             raise ValueError(f"unknown counting method {method!r}")
+        self.alphabet = alphabet
+        self.A = _alpha.alphabet_size(alphabet)
+        self.A1 = self.A + 1
+        if reverse and self.A != 4:
+            raise ValueError(
+                "reverse-complement counting requires a 4-letter alphabet"
+            )
         self.lags = tuple(sorted(set(int(l) for l in lags)))
+        if self.A ** (max(self.lags)) > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"lag {max(self.lags)} context codes exceed int32 for a "
+                f"{self.A}-letter alphabet"
+            )
         self.n_groups = n_groups
         self.reverse = reverse
         self.method = method
-        self._offsets, self._total_size = lag_offsets(self.lags, n_groups)
+        self._offsets, self._total_size = lag_offsets(
+            self.lags, n_groups, self.A
+        )
         from bear_tpu.counting.pallas_hist import padded_size
 
         # The device buffer is padded to whole pallas_hist windows so either
@@ -348,7 +386,8 @@ class TransitionCounter:
                 "across multiple TransitionCounters or reduce n_groups"
             )
         self._host: Dict[int, np.ndarray] = {
-            l: np.zeros(n_groups * table_rows(l) * 5, dtype=np.int64) for l in self.lags
+            l: np.zeros(n_groups * table_rows(l, self.A) * self.A1, np.int64)
+            for l in self.lags
         }
         self._dev = None  # lazy: ONE concatenated flat int32 device buffer
         self._since_flush = 0
@@ -428,15 +467,19 @@ class TransitionCounter:
             self.lags,
             self.n_groups,
             self._resolve_method(new_transitions * n_lags),
+            A=self.A,
         )
         self._since_flush += new_transitions
 
     @property
     def tables(self) -> Dict[int, np.ndarray]:
-        """Host int64 tables {lag: [n_groups, rows(lag), 5]} (flushes first)."""
+        """Host int64 tables {lag: [n_groups, rows(lag), A+1]} (flushes
+        first)."""
         self.flush()
         return {
-            l: self._host[l].reshape(self.n_groups, table_rows(l), 5)
+            l: self._host[l].reshape(
+                self.n_groups, table_rows(l, self.A), self.A1
+            )
             for l in self.lags
         }
 
@@ -460,6 +503,7 @@ class TransitionCounter:
             lags=np.array(self.lags),
             n_groups=np.array(self.n_groups),
             reverse=np.array(self.reverse),
+            alphabet=np.array(self.alphabet),
             **{f"table_{l}": self._host[l] for l in self.lags},
         )
 
@@ -470,6 +514,7 @@ class TransitionCounter:
             lags=[int(l) for l in data["lags"]],
             n_groups=int(data["n_groups"]),
             reverse=bool(data["reverse"]),
+            alphabet=str(data["alphabet"]) if "alphabet" in data else "dna",
         )
         for l in tc.lags:
             tc._host[l] = data[f"table_{l}"].astype(np.int64)
@@ -498,19 +543,20 @@ class TransitionCounter:
     def nonzero_rows(self, lag: int) -> np.ndarray:
         return np.nonzero(self.tables[lag].sum(axis=(0, 2)))[0]
 
-    def to_dataset(self, lag: int, alphabet: str = "dna"):
+    def to_dataset(self, lag: int, alphabet: str | None = None):
         """Direct in-memory handoff to training (no TSV round-trip — a
         capability the reference lacks)."""
         from bear_tpu.data import CountDataset
         from bear_tpu.ops import alphabets
 
+        alphabet = alphabet or self.alphabet
         rows = self.nonzero_rows(lag)
-        kmers = rows_to_contexts(rows, lag)
+        kmers = rows_to_contexts(rows, lag, alphabet)
         counts = self.tables[lag][:, rows, :].transpose(1, 0, 2).astype(np.float64)
         codes = alphabets.encode_kmers(kmers, alphabet) if len(kmers) else np.zeros((0, lag), np.int8)
         return CountDataset(kmers=kmers, codes=codes, counts=counts, alphabet=alphabet)
 
-    def to_device_dataset(self, lag: int, alphabet: str = "dna",
+    def to_device_dataset(self, lag: int, alphabet: str | None = None,
                           dtype=jnp.float32):
         """Counts -> training handoff that stays ON DEVICE: the count table
         never crosses to the host and no k-mer strings are built. K-mer codes
@@ -520,21 +566,27 @@ class TransitionCounter:
         Falls back to uploading the host accumulator's nonzero rows when
         earlier flushes moved counts off device (the device buffer alone is
         then not authoritative). Returns (codes [N, lag] int8 device array,
-        counts [N, n_groups, 5] device array); alphabet must have 4 residues
-        (the table layout is base-4).
+        counts [N, n_groups, A+1] device array); alphabet must match the
+        counter's residue count (the table layout is base-A).
         """
         from bear_tpu.ops import alphabets as _alpha
 
-        if _alpha.alphabet_size(alphabet) != 4:
-            raise ValueError("count tables are base-4 (dna/rna alphabets)")
-        rows_total = table_rows(lag)
+        alphabet = alphabet or self.alphabet
+        if _alpha.alphabet_size(alphabet) != self.A:
+            raise ValueError(
+                f"count tables are base-{self.A}; alphabet {alphabet!r} "
+                f"has {_alpha.alphabet_size(alphabet)} residues"
+            )
+        rows_total = table_rows(lag, self.A)
         if self._dev is not None and not self._host_dirty:
             G = self.n_groups
-            R5 = rows_total * 5
+            R5 = rows_total * self.A1
             off = self._offsets[lag]
-            row_tot = _device_row_totals(self._dev, off, G, R5)
+            row_tot = _device_row_totals(self._dev, off, G, R5, self.A1)
             rows = jnp.nonzero(row_tot)[0].astype(jnp.int32)
-            counts_i, cmax = _device_gather_counts(self._dev, rows, off, G, R5)
+            counts_i, cmax = _device_gather_counts(
+                self._dev, rows, off, G, R5, self.A1
+            )
             if np.dtype(dtype).itemsize < 8 and int(cmax) >= 1 << 24:
                 raise ValueError(
                     f"a count reached {int(cmax):,}, beyond exact float32 "
@@ -554,7 +606,7 @@ class TransitionCounter:
                     "range (2^24) — pass dtype=jnp.float64"
                 )
             counts = jnp.asarray(counts_np.astype(np.dtype(dtype)))
-        return decode_rows(rows, lag), counts
+        return decode_rows(rows, lag, self.A), counts
 
     def export_tsv(
         self,
@@ -573,16 +625,17 @@ class TransitionCounter:
         non-vanilla training requires."""
         rows = self.nonzero_rows(lag)
         tab = self.tables[lag]
-        per_row = tab[:, rows, :].transpose(1, 0, 2)  # [n, G, 5]
+        per_row = tab[:, rows, :].transpose(1, 0, 2)  # [n, G, A+1]
         return write_tsv_shards(
             out_prefix, lag, rows, per_row, n_bin_bits, seed=seed,
-            shuffle=shuffle,
+            shuffle=shuffle, alphabet=self.alphabet,
         )
 
 
 def write_tsv_shards(out_prefix: str, lag: int, rows: np.ndarray,
                      per_row_counts: np.ndarray, n_bin_bits: int = 0,
-                     seed: int = 0, shuffle: bool = False):
+                     seed: int = 0, shuffle: bool = False,
+                     alphabet: str = "dna"):
     """Write reference-format count TSV shards for the given table rows.
 
     rows: [n] table row indices; per_row_counts: [n, n_groups, 5] aligned
@@ -600,7 +653,7 @@ def write_tsv_shards(out_prefix: str, lag: int, rows: np.ndarray,
         else np.zeros(len(rows), int)
     )
     paths = [f"{out_prefix}_lag_{lag}_file_{b}.tsv" for b in range(n_bins)]
-    kmers = rows_to_contexts(rows, lag)
+    kmers = rows_to_contexts(rows, lag, alphabet)
     n_groups = per_row_counts.shape[1]
     from bear_tpu.counting import fastx as _fastx
 

@@ -4,6 +4,7 @@ verify the full train/eval/scoring stack handles the 21-letter alphabet."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from bear_tpu.models import bear_net, get_ar_func
@@ -73,3 +74,95 @@ def test_protein_scoring():
     )
     assert scores.shape == (3, 1, 16)
     assert np.isfinite(scores).all()
+
+
+# --- protein k-mer COUNTING (the reference's KMC pipeline is DNA-only) -----
+
+
+def _brute_force_protein_counts(seqs, groups, lag, n_groups):
+    """Oracle: dict recount of '['-padded, ']'-terminated transitions."""
+    from collections import defaultdict
+
+    counts = defaultdict(lambda: np.zeros((n_groups, 21), np.int64))
+    res = alphabets.residues("prot")
+    for s, g in zip(seqs, groups):
+        padded = "[" * lag + s + "]"
+        for i in range(lag, len(padded)):
+            ctx = padded[i - lag : i]
+            nxt = 20 if padded[i] == "]" else res.index(padded[i])
+            counts[ctx][g, nxt] += 1
+    return counts
+
+
+def test_protein_counting_matches_oracle():
+    from bear_tpu.counting.engine import (
+        ReadChunk,
+        TransitionCounter,
+        context_to_row,
+        rows_to_contexts,
+    )
+
+    rng = np.random.default_rng(31)
+    res = alphabets.residues("prot")
+    seqs = ["".join(rng.choice(list(res), rng.integers(8, 25)))
+            for _ in range(30)]
+    groups = [int(g) for g in rng.integers(0, 2, len(seqs))]
+    for lag in (1, 2, 3):
+        tc = TransitionCounter(lags=[lag], n_groups=2, alphabet="prot")
+        B = len(seqs)
+        L = max(len(s) for s in seqs)
+        mat = np.zeros((B, L), np.int8)
+        lens = np.zeros(B, np.int32)
+        for i, s in enumerate(seqs):
+            mat[i, : len(s)] = [res.index(c) for c in s]
+            lens[i] = len(s)
+        tc.add_chunk(ReadChunk(mat, lens, np.zeros(B, np.int32),
+                               np.ones(B, bool),
+                               np.asarray(groups, np.int32)))
+        tc.validate(expected_transitions=sum(len(s) + 1 for s in seqs))
+        oracle = _brute_force_protein_counts(seqs, groups, lag, 2)
+        tab = tc.tables[lag]
+        rows = tc.nonzero_rows(lag)
+        kmers = rows_to_contexts(rows, lag, "prot")
+        assert set(kmers) == set(oracle.keys())
+        for ctx, want in oracle.items():
+            r = context_to_row(ctx, lag, "prot")
+            np.testing.assert_array_equal(tab[:, r, :], want)
+
+
+def test_protein_counts_to_training_end_to_end():
+    # counts -> dataset -> BEAR training -> evaluation, all protein.
+    import jax.numpy as jnp
+    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+    from bear_tpu.models import bear_net, get_ar_func
+
+    rng = np.random.default_rng(33)
+    res = alphabets.residues("prot")
+    B, L, lag = 120, 40, 2
+    mat = rng.integers(0, 20, size=(B, L)).astype(np.int8)
+    tc = TransitionCounter(lags=[lag], n_groups=2, alphabet="prot")
+    tc.add_chunk(ReadChunk(mat, np.full(B, L, np.int32),
+                           np.zeros(B, np.int32), np.ones(B, bool),
+                           rng.integers(0, 2, B).astype(np.int32)))
+    ds = tc.to_dataset(lag)
+    assert ds.alphabet == "prot" and ds.counts.shape[-1] == 21
+    # device handoff agrees with host handoff
+    codes_d, counts_d = tc.to_device_dataset(lag, dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(codes_d), ds.codes)
+    np.testing.assert_array_equal(np.asarray(counts_d), ds.counts)
+    ar = get_ar_func("linear", lag, 20, dtype=jnp.float64)
+    r = bear_net.train(ds.codes, ds.counts[:, 0], num_kmers=ds.num_kmers,
+                       ar_func=ar, alphabet="prot", batch_size=256, epochs=3,
+                       learning_rate=0.01, dtype=jnp.float64)
+    out = bear_net.evaluation(ds.codes, ds.counts, 0, 1, "prot", r.h, ar,
+                              r.params["ar"], [1.0], dtype=jnp.float64)
+    assert np.isfinite(float(out[3]))
+
+
+def test_protein_reverse_and_lag_guards():
+    from bear_tpu.counting.engine import TransitionCounter
+
+    with pytest.raises(ValueError, match="4-letter"):
+        TransitionCounter(lags=[2], alphabet="prot", reverse=True)
+    with pytest.raises(ValueError, match="int32"):
+        TransitionCounter(lags=[8], alphabet="prot")
