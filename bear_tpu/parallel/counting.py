@@ -28,7 +28,7 @@ from bear_tpu.counting.engine import (
 )
 
 
-def _make_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method):
+def _make_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method, A=4):
     """Build the jitted shard_map counting step for a mesh: the concatenated
     table [D, total] int32 sharded on axis 0, batch arrays sharded on axis 0
     as [D, B_local, ...]. Each device adds into its own partial table (by
@@ -39,7 +39,7 @@ def _make_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method):
     def per_device(tbl_slice, codes_l, lengths_l, skip_l, stopped_l, groups_l):
         out = _count_chunk_kernel(
             tbl_slice[0], codes_l[0], lengths_l[0], skip_l[0], stopped_l[0],
-            groups_l[0], lags, n_groups, method,
+            groups_l[0], lags, n_groups, method, A=A,
         )
         return out[None]
 
@@ -66,19 +66,34 @@ class ShardedTransitionCounter:
 
     def __init__(self, mesh: Mesh, lags: Sequence[int], n_groups: int = 1,
                  reverse: bool = False, axis: str = "data",
-                 method: str = "auto"):
+                 method: str = "auto", alphabet: str = "dna"):
         from bear_tpu.counting.pallas_hist import padded_size
+        from bear_tpu.ops import alphabets as _alpha
 
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.shape[axis]
+        self.alphabet = alphabet
+        self.A = _alpha.alphabet_size(alphabet)
+        self.A1 = self.A + 1
+        if reverse and self.A != 4:
+            raise ValueError(
+                "reverse-complement counting requires a 4-letter alphabet"
+            )
         self.lags = tuple(sorted(set(int(l) for l in lags)))
+        if self.A ** max(self.lags) > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"lag {max(self.lags)} context codes exceed int32 for a "
+                f"{self.A}-letter alphabet"
+            )
         self.n_groups = n_groups
         self.reverse = reverse
         if method not in ("auto", "scatter", "sorted"):
             raise ValueError(f"unknown counting method {method!r}")
         self.method = method
-        self._offsets, self._total_size = lag_offsets(self.lags, n_groups)
+        self._offsets, self._total_size = lag_offsets(
+            self.lags, n_groups, self.A
+        )
         self._buf_size = padded_size(self._total_size)
         if self._buf_size > np.iinfo(np.int32).max:
             raise ValueError(
@@ -87,7 +102,8 @@ class ShardedTransitionCounter:
                 "across counters"
             )
         self._host: Dict[int, np.ndarray] = {
-            l: np.zeros(n_groups * table_rows(l) * 5, dtype=np.int64) for l in self.lags
+            l: np.zeros(n_groups * table_rows(l, self.A) * self.A1, np.int64)
+            for l in self.lags
         }
         self._dev = None
         self._since_flush = 0
@@ -101,7 +117,8 @@ class ShardedTransitionCounter:
     def _count_fn(self, method: str):
         if method not in self._count_fns:
             self._count_fns[method] = _make_sharded_count(
-                self.mesh, self.axis, self.lags, self.n_groups, method
+                self.mesh, self.axis, self.lags, self.n_groups, method,
+                self.A,
             )
         return self._count_fns[method]
 
@@ -172,7 +189,9 @@ class ShardedTransitionCounter:
     def tables(self) -> Dict[int, np.ndarray]:
         self.flush()
         return {
-            l: self._host[l].reshape(self.n_groups, table_rows(l), 5)
+            l: self._host[l].reshape(
+                self.n_groups, table_rows(l, self.A), self.A1
+            )
             for l in self.lags
         }
 
@@ -181,7 +200,7 @@ class ShardedTransitionCounter:
 
 
 def _make_kmer_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method,
-                             per_lag):
+                             per_lag, A=4):
     """Jitted shard_map step for table-sharded counting: the table rows are
     range-split over the mesh axis (tensor parallelism — SURVEY.md §2's
     "shard the 4^L x (A+1) count tensor" row); each device receives the FULL
@@ -194,7 +213,7 @@ def _make_kmer_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method,
         d = jax.lax.axis_index(axis).astype(jnp.int32)
         out = _count_chunk_kernel(
             tbl_slice[0], codes, lengths, skip, stopped, groups,
-            lags, n_groups, method, shard=(d, per_lag),
+            lags, n_groups, method, shard=(d, per_lag), A=A,
         )
         return out[None]
 
@@ -221,26 +240,31 @@ class KmerShardedTransitionCounter:
     host table would be 57 GB, while genome-scale data touches a small
     fraction of rows. Flushes pull only nonzero entries per shard.
 
-    Limits: max lag 15 (context codes are int32: 4^16 overflows); each
-    device's local slice must stay below 2^31 entries.
+    Limits: context codes are int32 (lag <= 15 for DNA, <= 7 for proteins);
+    each device's local slice must stay below 2^31 entries.
     """
 
     FLUSH_EVERY = _FLUSH_EVERY
 
     def __init__(self, mesh: Mesh, lags: Sequence[int], n_groups: int = 1,
-                 axis: str = "kmer", method: str = "auto"):
+                 axis: str = "kmer", method: str = "auto",
+                 alphabet: str = "dna"):
         from bear_tpu.counting.pallas_hist import padded_size
+        from bear_tpu.ops import alphabets as _alpha
 
         if method not in ("auto", "scatter", "sorted"):
             raise ValueError(f"unknown counting method {method!r}")
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.shape[axis]
+        self.alphabet = alphabet
+        self.A = _alpha.alphabet_size(alphabet)
+        self.A1 = self.A + 1
         self.lags = tuple(sorted(set(int(l) for l in lags)))
-        if max(self.lags) > 15:
+        if self.A ** max(self.lags) > np.iinfo(np.int32).max:
             raise ValueError(
-                "k-mer-sharded counting supports lag <= 15 (context codes "
-                "are int32; 4^16 overflows)"
+                f"lag {max(self.lags)} context codes exceed int32 for a "
+                f"{self.A}-letter alphabet"
             )
         self.n_groups = n_groups
         self.method = method
@@ -249,9 +273,9 @@ class KmerShardedTransitionCounter:
         self._per_lag = {}
         loc_off = 0
         for l in self.lags:
-            stride = -(-table_rows(l) // self.n_dev)
+            stride = -(-table_rows(l, self.A) // self.n_dev)
             self._per_lag[l] = (stride, stride, loc_off)
-            loc_off += n_groups * stride * 5
+            loc_off += n_groups * stride * self.A1
         self._local_size = loc_off
         self._local_padded = padded_size(loc_off)
         if self._local_padded > np.iinfo(np.int32).max:
@@ -278,7 +302,7 @@ class KmerShardedTransitionCounter:
         if method not in self._count_fns:
             self._count_fns[method] = _make_kmer_sharded_count(
                 self.mesh, self.axis, self.lags, self.n_groups, method,
-                self._per_lag,
+                self._per_lag, self.A,
             )
         return self._count_fns[method]
 
@@ -308,7 +332,7 @@ class KmerShardedTransitionCounter:
 
     def flush(self):
         """Pull each shard's nonzero entries into the sparse host
-        accumulator (global int64 keys ``(g * rows + row) * 5 + k``).
+        accumulator (global int64 keys ``(g * rows + row) * (A+1) + k``).
 
         Works shard-by-shard on each shard's OWN device via
         addressable_shards (indexing the global array would copy every
@@ -327,16 +351,17 @@ class KmerShardedTransitionCounter:
             for idx, vals in extract_nonzero(part):
                 for l in self.lags:
                     stride, local_rows, loc_off = self._per_lag[l]
-                    span = self.n_groups * local_rows * 5
+                    A1 = self.A1
+                    span = self.n_groups * local_rows * A1
                     sel = (idx >= loc_off) & (idx < loc_off + span)
                     if not sel.any():
                         continue
                     t = idx[sel] - loc_off
-                    g = t // (local_rows * 5)
-                    r = (t % (local_rows * 5)) // 5
-                    k = t % 5
+                    g = t // (local_rows * A1)
+                    r = (t % (local_rows * A1)) // A1
+                    k = t % A1
                     grow = d * stride + r
-                    key = (g * table_rows(l) + grow) * 5 + k
+                    key = (g * table_rows(l, self.A) + grow) * A1 + k
                     self._sparse[l].append((key, vals[sel]))
         self._dev = None
         self._since_flush = 0
@@ -357,31 +382,33 @@ class KmerShardedTransitionCounter:
 
     def nonzero_rows(self, lag: int) -> np.ndarray:
         keys, _ = self._consolidated(lag)
-        return np.unique(keys // 5 % table_rows(lag))
+        return np.unique(keys // self.A1 % table_rows(lag, self.A))
 
     def counts_for_rows(self, lag: int, rows: np.ndarray) -> np.ndarray:
-        """Dense [len(rows), n_groups, 5] counts for the given rows."""
+        """Dense [len(rows), n_groups, A+1] counts for the given rows."""
         keys, vals = self._consolidated(lag)
-        out = np.zeros((len(rows), self.n_groups, 5), np.int64)
+        A1 = self.A1
+        out = np.zeros((len(rows), self.n_groups, A1), np.int64)
         order = np.argsort(rows, kind="stable")
         rows_sorted = rows[order]
-        g = keys // 5 // table_rows(lag)
-        r = keys // 5 % table_rows(lag)
-        k = keys % 5
+        g = keys // A1 // table_rows(lag, self.A)
+        r = keys // A1 % table_rows(lag, self.A)
+        k = keys % A1
         pos = np.searchsorted(rows_sorted, r)
         hit = (pos < len(rows_sorted)) & (rows_sorted[np.clip(pos, 0, len(rows_sorted) - 1)] == r)
         out[order[pos[hit]], g[hit], k[hit]] = vals[hit]
         return out
 
-    def to_dataset(self, lag: int, alphabet: str = "dna"):
+    def to_dataset(self, lag: int, alphabet: str | None = None):
         """In-memory dataset handoff (sparse host path; see
         TransitionCounter.to_dataset)."""
         from bear_tpu.data import CountDataset
         from bear_tpu.counting.engine import rows_to_contexts
         from bear_tpu.ops import alphabets
 
+        alphabet = alphabet or self.alphabet
         rows = self.nonzero_rows(lag)
-        kmers = rows_to_contexts(rows, lag)
+        kmers = rows_to_contexts(rows, lag, alphabet)
         counts = self.counts_for_rows(lag, rows).astype(np.float64)
         codes = (
             alphabets.encode_kmers(kmers, alphabet)
@@ -410,7 +437,7 @@ class KmerShardedTransitionCounter:
         to_dataset at lag 14-15 scale."""
         out = {}
         for l in self.lags:
-            entries = self.n_groups * table_rows(l) * 5
+            entries = self.n_groups * table_rows(l, self.A) * self.A1
             if entries > (1 << 33):
                 raise ValueError(
                     f"dense lag-{l} host table would hold {entries:,} int64 "
@@ -419,7 +446,7 @@ class KmerShardedTransitionCounter:
             keys, vals = self._consolidated(l)
             tab = np.zeros(entries, np.int64)
             tab[keys] = vals
-            out[l] = tab.reshape(self.n_groups, table_rows(l), 5)
+            out[l] = tab.reshape(self.n_groups, table_rows(l, self.A), self.A1)
         return out
 
     def save_state(self, path: str):
@@ -459,7 +486,7 @@ class KmerShardedTransitionCounter:
         rows = self.nonzero_rows(lag)
         return write_tsv_shards(
             out_prefix, lag, rows, self.counts_for_rows(lag, rows),
-            n_bin_bits, seed=seed, shuffle=shuffle,
+            n_bin_bits, seed=seed, shuffle=shuffle, alphabet=self.alphabet,
         )
 
     def validate(self, expected_transitions=None):

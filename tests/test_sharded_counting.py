@@ -196,3 +196,39 @@ def test_to_device_dataset_float32_range_guard():
         tc.to_device_dataset(2, dtype=jnp.float32)
     codes, counts = tc.to_device_dataset(2, dtype=jnp.float64)
     assert int(np.asarray(counts).max()) >= (1 << 24)
+
+
+@needs_8
+def test_kmer_sharded_protein_matches_single_device():
+    # Protein (base-20) tensor-parallel counting: exact parity with the
+    # single-device protein counter. (At lag 6 with multiple groups the
+    # dense protein table exceeds one device's int32 range — the sharded
+    # counter is the only way to count it; parity is checked at a small lag.)
+    from jax.sharding import Mesh
+    from bear_tpu.counting.engine import ReadChunk
+    from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+
+    rng = np.random.default_rng(41)
+    B, L = 40, 18
+    mat = rng.integers(0, 20, (B, L)).astype(np.int8)
+    groups = rng.integers(0, 2, B).astype(np.int32)
+    chunk = ReadChunk(mat, np.full(B, L, np.int32), np.zeros(B, np.int32),
+                      np.ones(B, bool), groups)
+
+    single = TransitionCounter(lags=[2], n_groups=2, alphabet="prot")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("kmer",))
+    sharded = KmerShardedTransitionCounter(mesh, lags=[2], n_groups=2,
+                                           alphabet="prot")
+    single.add_chunk(chunk)
+    sharded.add_chunk(chunk)
+    sharded.validate(expected_transitions=B * (L + 1))
+    rows = single.nonzero_rows(2)
+    np.testing.assert_array_equal(rows, sharded.nonzero_rows(2))
+    np.testing.assert_array_equal(
+        sharded.counts_for_rows(2, rows),
+        single.tables[2][:, rows, :].transpose(1, 0, 2),
+    )
+    ds1, ds8 = single.to_dataset(2), sharded.to_dataset(2)
+    assert ds1.alphabet == ds8.alphabet == "prot"
+    np.testing.assert_array_equal(ds1.counts, ds8.counts)
+    np.testing.assert_array_equal(ds1.codes, ds8.codes)
