@@ -141,10 +141,14 @@ class ShardedTransitionCounter:
 
     def flush(self):
         if self._dev is not None and self._since_flush > 0:
-            # The one cross-device reduction: sum partial tables.
-            merged = np.asarray(
-                jnp.sum(self._dev.astype(jnp.int64), axis=0)
-            )[: self._total_size]
+            # The one cross-device reduction: sum partial tables. int32 is
+            # exact here: the per-entry sum across devices is bounded by
+            # the transitions since the last flush (< FLUSH_EVERY < 2^31).
+            # (An int64 device sum would silently truncate without
+            # jax_enable_x64 anyway.)
+            merged = np.asarray(jnp.sum(self._dev, axis=0)).astype(np.int64)[
+                : self._total_size
+            ]
             for l in self.lags:
                 off = self._offsets[l]
                 self._host[l] += merged[off : off + self._host[l].size]
