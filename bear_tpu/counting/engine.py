@@ -63,6 +63,14 @@ def resolve_method(method: str, new_transitions: int) -> str:
     return "sorted" if new_transitions >= SORTED_MIN_TRANSITIONS else "scatter"
 
 
+def _dtype_holds_big_counts(dtype) -> bool:
+    """True if `dtype` can represent integers >= 2^24 exactly ON DEVICE:
+    a 64-bit float only counts if jax_enable_x64 is on — without it, astype
+    silently downcasts to float32 (the exact rounding the range guards
+    exist to prevent)."""
+    return np.dtype(dtype).itemsize == 8 and bool(jax.config.jax_enable_x64)
+
+
 def extract_nonzero(dev, chunk: int = NONZERO_CHUNK):
     """Yield (global int64 indices, int64 values) of a device array's nonzero
     entries, chunked so device temporaries stay bounded (a single
@@ -550,6 +558,11 @@ class TransitionCounter:
         from bear_tpu.ops import alphabets
 
         alphabet = alphabet or self.alphabet
+        if alphabets.alphabet_size(alphabet) != self.A:
+            raise ValueError(
+                f"count tables are base-{self.A}; alphabet {alphabet!r} has "
+                f"{alphabets.alphabet_size(alphabet)} residues"
+            )
         rows = self.nonzero_rows(lag)
         kmers = rows_to_contexts(rows, lag, alphabet)
         counts = self.tables[lag][:, rows, :].transpose(1, 0, 2).astype(np.float64)
@@ -587,11 +600,13 @@ class TransitionCounter:
             counts_i, cmax = _device_gather_counts(
                 self._dev, rows, off, G, R5, self.A1
             )
-            if np.dtype(dtype).itemsize < 8 and int(cmax) >= 1 << 24:
+            if not _dtype_holds_big_counts(dtype) and int(cmax) >= 1 << 24:
                 raise ValueError(
                     f"a count reached {int(cmax):,}, beyond exact float32 "
-                    "integer range (2^24) — pass dtype=jnp.float64 (the "
-                    "no-clamp guarantee would otherwise silently round)"
+                    "integer range (2^24) — pass dtype=jnp.float64 AND "
+                    "enable jax_enable_x64 (without x64, float64 silently "
+                    "downcasts to float32 and the no-clamp guarantee would "
+                    "round)"
                 )
             counts = counts_i.astype(dtype)
         else:
@@ -600,10 +615,11 @@ class TransitionCounter:
             rows = jnp.asarray(rows_np.astype(np.int32))
             counts_np = self.tables[lag][:, rows_np, :].transpose(1, 0, 2)
             cmax = counts_np.max() if counts_np.size else 0
-            if np.dtype(dtype).itemsize < 8 and cmax >= 1 << 24:
+            if not _dtype_holds_big_counts(dtype) and cmax >= 1 << 24:
                 raise ValueError(
                     f"a count reached {cmax:,}, beyond exact float32 integer "
-                    "range (2^24) — pass dtype=jnp.float64"
+                    "range (2^24) — pass dtype=jnp.float64 and enable "
+                    "jax_enable_x64"
                 )
             counts = jnp.asarray(counts_np.astype(np.dtype(dtype)))
         return decode_rows(rows, lag, self.A), counts

@@ -289,6 +289,8 @@ class KmerShardedTransitionCounter:
             )
         # Sparse host accumulator: per lag, lists of (flat int64 keys, counts).
         self._sparse: Dict[int, list] = {l: [] for l in self.lags}
+        self._consolidated_lags: set = set()  # lags whose single part is
+        # already unique+sorted (skip re-sorting on repeated access)
         self._dev = None
         self._since_flush = 0
         self._count_fns = {}
@@ -367,6 +369,7 @@ class KmerShardedTransitionCounter:
                     grow = d * stride + r
                     key = (g * table_rows(l, self.A) + grow) * A1 + k
                     self._sparse[l].append((key, vals[sel]))
+                    self._consolidated_lags.discard(l)
         self._dev = None
         self._since_flush = 0
 
@@ -376,12 +379,15 @@ class KmerShardedTransitionCounter:
         parts = self._sparse[lag]
         if not parts:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        if lag in self._consolidated_lags and len(parts) == 1:
+            return parts[0]  # already unique + sorted; skip the re-sort
         keys = np.concatenate([p[0] for p in parts])
         vals = np.concatenate([p[1] for p in parts])
         uniq, inv = np.unique(keys, return_inverse=True)
         exact = np.zeros(len(uniq), np.int64)
         np.add.at(exact, inv, vals)
         self._sparse[lag] = [(uniq, exact)]
+        self._consolidated_lags.add(lag)
         return uniq, exact
 
     def nonzero_rows(self, lag: int) -> np.ndarray:
@@ -393,6 +399,8 @@ class KmerShardedTransitionCounter:
         keys, vals = self._consolidated(lag)
         A1 = self.A1
         out = np.zeros((len(rows), self.n_groups, A1), np.int64)
+        if len(rows) == 0 or len(keys) == 0:
+            return out
         order = np.argsort(rows, kind="stable")
         rows_sorted = rows[order]
         g = keys // A1 // table_rows(lag, self.A)
@@ -411,6 +419,11 @@ class KmerShardedTransitionCounter:
         from bear_tpu.ops import alphabets
 
         alphabet = alphabet or self.alphabet
+        if alphabets.alphabet_size(alphabet) != self.A:
+            raise ValueError(
+                f"count tables are base-{self.A}; alphabet {alphabet!r} has "
+                f"{alphabets.alphabet_size(alphabet)} residues"
+            )
         rows = self.nonzero_rows(lag)
         kmers = rows_to_contexts(rows, lag, alphabet)
         counts = self.counts_for_rows(lag, rows).astype(np.float64)
@@ -433,6 +446,7 @@ class KmerShardedTransitionCounter:
         other.flush()
         for l in self.lags:
             self._sparse[l].extend(other._sparse[l])
+            self._consolidated_lags.discard(l)
 
     @property
     def tables(self) -> Dict[int, np.ndarray]:
@@ -464,23 +478,29 @@ class KmerShardedTransitionCounter:
             arrays[f"vals_{l}"] = vals
         np.savez_compressed(
             path, lags=np.array(self.lags), n_groups=np.array(self.n_groups),
-            **arrays,
+            alphabet=np.array(self.alphabet), **arrays,
         )
 
     def load_state(self, path: str):
         """Restore counts saved by save_state into THIS counter (the mesh is
         runtime state and is not serialized; construct the counter first)."""
         data = np.load(path)
-        if tuple(int(l) for l in data["lags"]) != self.lags or int(
-            data["n_groups"]
-        ) != self.n_groups:
-            raise ValueError("checkpoint lags/n_groups do not match counter")
+        ckpt_alpha = str(data["alphabet"]) if "alphabet" in data else "dna"
+        if (
+            tuple(int(l) for l in data["lags"]) != self.lags
+            or int(data["n_groups"]) != self.n_groups
+            or ckpt_alpha != self.alphabet
+        ):
+            raise ValueError(
+                "checkpoint lags/n_groups/alphabet do not match counter"
+            )
         self.flush()
         for l in self.lags:
             self._sparse[l].append(
                 (data[f"keys_{l}"].astype(np.int64),
                  data[f"vals_{l}"].astype(np.int64))
             )
+            self._consolidated_lags.discard(l)
 
     def export_tsv(self, out_prefix: str, lag: int, n_bin_bits: int = 0,
                    seed: int = 0, shuffle: bool = False):

@@ -523,3 +523,29 @@ def test_train_on_device_dataset_matches_host():
     out_h = bear_net.evaluation(ds.codes, ds.counts, 0, 0, "dna", res_h.h, ar,
                                 res_h.params["ar"], [1.0], dtype=jnp.float64)
     np.testing.assert_allclose(np.asarray(out_d[3]), np.asarray(out_h[3]))
+
+
+def test_to_device_dataset_guards(monkeypatch):
+    # (a) float64 without x64 must refuse big counts (astype would silently
+    # produce float32); (b) an alphabet with a different residue count than
+    # the table base must be rejected by both handoffs.
+    import jax as _jax
+
+    tc = TransitionCounter(lags=[2], n_groups=1)
+    for ch in chunk_reads(iter([(fastx.encode_seq("ACGTACG"), 0)]), 2):
+        tc.add_chunk(ch)
+    tc.flush()
+    tc._host[2][0] += (1 << 24) + 3
+    _jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(ValueError, match="x64"):
+            tc.to_device_dataset(2, dtype=jnp.float64)
+    finally:
+        _jax.config.update("jax_enable_x64", True)
+    codes, counts = tc.to_device_dataset(2, dtype=jnp.float64)
+    assert int(np.asarray(counts).max()) == int(tc.tables[2].max())
+
+    with pytest.raises(ValueError, match="base-4"):
+        tc.to_dataset(2, alphabet="prot")
+    with pytest.raises(ValueError, match="base-4"):
+        tc.to_device_dataset(2, alphabet="prot")

@@ -232,3 +232,31 @@ def test_kmer_sharded_protein_matches_single_device():
     assert ds1.alphabet == ds8.alphabet == "prot"
     np.testing.assert_array_equal(ds1.counts, ds8.counts)
     np.testing.assert_array_equal(ds1.codes, ds8.codes)
+
+
+@needs_8
+def test_kmer_sharded_guards_and_empty_rows(tmp_path):
+    from jax.sharding import Mesh
+    from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("kmer",))
+    tc = KmerShardedTransitionCounter(mesh, lags=[2], n_groups=1,
+                                      alphabet="prot")
+    rng = np.random.default_rng(3)
+    from bear_tpu.counting.engine import ReadChunk
+    mat = rng.integers(0, 20, (8, 10)).astype(np.int8)
+    tc.add_chunk(ReadChunk(mat, np.full(8, 10, np.int32),
+                           np.zeros(8, np.int32), np.ones(8, bool),
+                           np.zeros(8, np.int32)))
+    # empty rows query returns an empty result, not IndexError
+    out = tc.counts_for_rows(2, np.array([], dtype=np.int64))
+    assert out.shape == (0, 1, 21)
+    # checkpoint alphabet mismatch is rejected
+    p = str(tmp_path / "prot_state.npz")
+    tc.save_state(p)
+    dna = KmerShardedTransitionCounter(mesh, lags=[2], n_groups=1)
+    with pytest.raises(ValueError, match="alphabet"):
+        dna.load_state(p)
+    # wrong-alphabet dataset handoff is rejected
+    with pytest.raises(ValueError, match="base-20"):
+        tc.to_dataset(2, alphabet="dna")
