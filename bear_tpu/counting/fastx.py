@@ -21,6 +21,23 @@ for _i, _ch in enumerate("ACGT"):
 # Bases outside ACGT (e.g. N) map to A — the reference pipeline is documented
 # as not handling N carefully either (summarize.py:69-70).
 
+_ENCODE_TABLES = {"dna": _ENCODE_TABLE}
+
+
+def _encode_table(alphabet: str) -> np.ndarray:
+    """Residue -> code lookup for any supported alphabet (unknown letters
+    map to residue 0, mirroring the DNA table's N handling)."""
+    tab = _ENCODE_TABLES.get(alphabet)
+    if tab is None:
+        from bear_tpu.ops import alphabets as _alpha
+
+        tab = np.zeros(256, dtype=np.int8)
+        for _j, _c in enumerate(_alpha.residues(alphabet)):
+            tab[ord(_c)] = _j
+            tab[ord(_c.lower())] = _j
+        _ENCODE_TABLES[alphabet] = tab
+    return tab
+
 _NATIVE = None
 
 
@@ -34,10 +51,10 @@ def _native():
     return _NATIVE or None
 
 
-def encode_seq(seq: str) -> np.ndarray:
-    """ASCII sequence -> int8 codes 0..3."""
+def encode_seq(seq: str, alphabet: str = "dna") -> np.ndarray:
+    """ASCII sequence -> int8 residue codes."""
     buf = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
-    return _ENCODE_TABLE[buf]
+    return _encode_table(alphabet)[buf]
 
 
 def iter_fasta(path: str) -> Iterator[Tuple[str, str]]:
@@ -101,13 +118,14 @@ def read_input_csv(path: str) -> list[tuple[str, int, str]]:
 
 
 def stream_encoded(
-    entries: Iterable[tuple[str, int, str]]
+    entries: Iterable[tuple[str, int, str]], alphabet: str = "dna"
 ) -> Iterator[Tuple[np.ndarray, int]]:
-    """Stream (code_array, group) over all input files."""
-    native = _native()
+    """Stream (code_array, group) over all input files. The C++ fast path
+    encodes DNA only; other alphabets use the NumPy LUT encoder."""
+    native = _native() if alphabet == "dna" else None
     for path, group, ftype in entries:
         if native is not None:
             yield from native.stream_encoded(path, ftype, group)
         else:
             for _, seq in iter_seqs(path, ftype):
-                yield encode_seq(seq), group
+                yield encode_seq(seq, alphabet), group

@@ -36,6 +36,7 @@ def run_counting(
     segment_len: int = 1 << 16,
     method: str = "auto",
     kmer_shards: int = 1,
+    alphabet: str = "dna",
 ):
     """Count transitions for all requested lags over the input file set.
     Returns an engine.TransitionCounter, or a
@@ -48,7 +49,11 @@ def run_counting(
     kmer_shards: >1 shards the count tables over that many devices along a
     'kmer' mesh axis (tensor parallelism) — required for lag 14-15 tables
     beyond one chip's HBM/int32 range.
+    alphabet: 'dna' (default), 'rna', or 'prot' — protein counting is a
+    capability the reference's DNA-only KMC pipeline lacks.
     """
+    if reverse and alphabet not in ("dna", "rna"):
+        raise ValueError("-r (reverse complement) requires a 4-letter alphabet")
     entries = fastx.read_input_csv(input_csv)
     n_groups = max(group for _, group, _ in entries) + 1
     # Reverse-complement counting happens in the read stream (each read also
@@ -67,13 +72,14 @@ def run_counting(
             )
         mesh = Mesh(np.array(devs[:kmer_shards]), ("kmer",))
         counter = KmerShardedTransitionCounter(
-            mesh, lags=lags, n_groups=n_groups, method=method
+            mesh, lags=lags, n_groups=n_groups, method=method,
+            alphabet=alphabet,
         )
     else:
         counter = engine.TransitionCounter(
-            lags=lags, n_groups=n_groups, method=method
+            lags=lags, n_groups=n_groups, method=method, alphabet=alphabet
         )
-    native = fastx._native()
+    native = fastx._native() if alphabet == "dna" else None
     if native is not None:
         # Production path: C++ parse+encode per file, then fully vectorized
         # chunk packing — no per-read Python anywhere.
@@ -86,7 +92,7 @@ def run_counting(
                 counter.add_chunk(chunk)
     else:
         for chunk in engine.chunk_reads(
-            fastx.stream_encoded(entries),
+            fastx.stream_encoded(entries, alphabet),
             counter.max_lag,
             batch_size,
             segment_len,
@@ -106,7 +112,8 @@ def compute_n_bin_bits(total_rows: int, n_groups: int, mf_gb: float) -> int:
 def run(args) -> int:
     print("Counting...", datetime.datetime.now())
     counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r,
-                           method=args.method, kmer_shards=args.kmer_shards)
+                           method=args.method, kmer_shards=args.kmer_shards,
+                           alphabet=args.alphabet)
     print("Writing...", datetime.datetime.now())
     total_rows = sum(len(counter.nonzero_rows(l)) for l in counter.lags)
     n_bin_bits = compute_n_bin_bits(total_rows, counter.n_groups, args.mf)
@@ -158,6 +165,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--method", default="auto", choices=("auto", "sorted", "scatter"),
         help="Counting kernel: sorted MXU histograms (TPU) or XLA scatter.",
+    )
+    parser.add_argument(
+        "--alphabet", default="dna", choices=("dna", "rna", "prot"),
+        help="Residue alphabet (protein counting: beyond the reference's "
+             "DNA-only KMC pipeline).",
     )
     parser.add_argument(
         "--kmer-shards", default=1, type=int, dest="kmer_shards",

@@ -166,3 +166,38 @@ def test_protein_reverse_and_lag_guards():
         TransitionCounter(lags=[2], alphabet="prot", reverse=True)
     with pytest.raises(ValueError, match="int32"):
         TransitionCounter(lags=[8], alphabet="prot")
+
+
+def test_summarize_cli_protein(tmp_path):
+    # Protein counting via the summarize CLI (reference: DNA-only via KMC).
+    from bear_tpu.counting.summarize import build_parser, main as summarize_main
+
+    rng = np.random.default_rng(7)
+    res = alphabets.residues("prot")
+    fa = tmp_path / "prots.fa"
+    with open(fa, "w") as f:
+        for i in range(20):
+            f.write(f">p{i}\n" + "".join(rng.choice(list(res), 15)) + "\n")
+    csv = tmp_path / "in.csv"
+    csv.write_text(f"{fa},0,fa\n")
+    args = build_parser().parse_args(
+        [str(csv), str(tmp_path / "out"), "-l", "2", "--alphabet", "prot"]
+    )
+    summarize_main(args)
+    total = 0
+    n_letters = set()
+    import json as _json
+    for line in open(tmp_path / "out_lag_2_file_0.tsv"):
+        kmer, mat = line.split("\t")
+        counts = _json.loads(mat)
+        assert len(counts[0]) == 21  # 20 residues + stop
+        n_letters.update(kmer)
+        total += sum(counts[0])
+    assert total == 20 * 16  # len+1 transitions per sequence
+    assert n_letters <= set(res + "[")
+    # reverse complement is rejected for proteins
+    args_r = build_parser().parse_args(
+        [str(csv), str(tmp_path / "o2"), "-l", "2", "--alphabet", "prot", "-r"]
+    )
+    with pytest.raises(ValueError, match="4-letter"):
+        summarize_main(args_r)
