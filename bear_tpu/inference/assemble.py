@@ -28,6 +28,7 @@ import numpy as np
 
 from bear_tpu.counting.engine import table_rows
 from bear_tpu.ops import alphabets
+from bear_tpu.ops.loggamma import log_dirichlet_draw
 
 _RC = str.maketrans("ACGT", "TGCA")
 
@@ -82,14 +83,10 @@ def _rollout(
                 / jnp.sum(conc[:, :-1], axis=-1, keepdims=True)
             )
         else:
-            # Per-(sequence, context) Dirichlet draw, reused on revisit.
+            # Per-(sequence, context) Dirichlet draw, reused on revisit
+            # (same key -> same draw; the shared boost-identity sampler).
             def draw(seq_key, row, c):
-                k = jax.random.fold_in(seq_key, row)
-                boosted = jax.random.gamma(k, jnp.maximum(c, 1e-30) + 1.0, dtype=dtype)
-                ksub = jax.random.split(k, 1)[0]
-                log_u = -jax.random.exponential(ksub, (c.shape[-1],), dtype=dtype)
-                lg = jnp.log(boosted) + log_u / jnp.maximum(c, 1e-30)
-                return jnp.where(c > 0, lg, -jnp.inf)
+                return log_dirichlet_draw(jax.random.fold_in(seq_key, row), c)
 
             lg = jax.vmap(draw)(seq_keys, rows, conc)
             log_probs = lg - jax.scipy.special.logsumexp(lg, axis=-1, keepdims=True)
@@ -107,6 +104,12 @@ def _rollout(
         step, (ctx0, seed_codes.astype(jnp.int32)), jnp.arange(max_steps)
     )
     return letters.T  # [B, max_steps]
+
+
+_rollout_jit = jax.jit(
+    _rollout,
+    static_argnames=("lag", "ar_apply", "get_map", "max_steps", "dtype"),
+)
 
 
 def assemble_no_ends(
@@ -147,6 +150,10 @@ def assemble_no_ends(
     sw_ent : list of per-seed site-wise entropy arrays.
     """
     assert (van is None) != (ar_apply is None), "specify exactly one of van / ar_apply+h"
+    assert ar_apply is None or h is not None, (
+        "ar_apply requires h (concentrations are ar_probs / h; h=None would "
+        "silently divide by zero and generate degenerate sequences)"
+    )
     seeds = [str(s) for s in seeds]
     for s in seeds:
         assert len(s) >= lag, "seeds must be at least lag long"
@@ -159,11 +166,6 @@ def assemble_no_ends(
     table = jnp.asarray(np.asarray(counter_table), dtype=dtype)
     # no-ends counting: stop column unused (zeroed in the kernel).
     assert table.shape[0] == table_rows(lag)
-
-    rollout = jax.jit(
-        _rollout,
-        static_argnames=("lag", "ar_apply", "get_map", "max_steps", "dtype"),
-    )
 
     key = jax.random.key(seed)
     flanks = []
@@ -178,10 +180,15 @@ def assemble_no_ends(
             if max_steps == 0:
                 out_parts += [""] * len(sub)
                 continue
+            # Bucket the scan length to the next power of two (>= 64): each
+            # distinct max_steps would otherwise compile its own scan. The
+            # scan already masks with `t < lengths`, so extra steps only
+            # cost device time, never correctness.
+            max_steps = max(64, 1 << (max_steps - 1).bit_length())
             seed_codes = np.stack(
                 [alphabets.encode_kmers(np.array([s[-lag:]]), "dna")[0] for s in sub]
             ).astype(np.int32)
-            letters = rollout(
+            letters = _rollout_jit(
                 table,
                 jnp.asarray(seed_codes),
                 jnp.asarray(sub_lens.astype(np.int32)),

@@ -45,6 +45,12 @@ class TableCounter:
     """
 
     def __init__(self, counter, lag: int, group: int = 0, no_end: bool = False):
+        if getattr(counter, "A", 4) != 4:
+            raise ValueError(
+                "TableCounter's row math and reverse-strand queries are "
+                "base-4 (DNA); got a counter over a "
+                f"{counter.A}-letter alphabet"
+            )
         self._table = counter.tables[lag][group]
         self._lag = lag
         self._no_end = no_end
@@ -414,8 +420,18 @@ def get_bear_probs(
     if counter is not None:
         counts = np.asarray(counter(all_kmers))
         if counts.ndim == 2:
+            # Single-column counter (e.g. TableCounter): train_col has no
+            # meaning here — reject nonzero rather than silently ignore it
+            # (the reference asserted train_col == 0 on its KMC path,
+            # get_var_probs.py:398-399).
+            if train_col != 0:
+                raise ValueError(
+                    "train_col must be 0 for a single-column counter"
+                )
             counts = counts[:, None, :]
-        train_col_eff = 0
+            train_col_eff = 0
+        else:
+            train_col_eff = train_col
     else:
         counts = DatasetCounter(data)(all_kmers)
         train_col_eff = train_col
@@ -496,8 +512,18 @@ def get_bear_probs_seqs(
     if counter is not None:
         counts = np.asarray(counter(all_kmers))
         if counts.ndim == 2:
+            # Single-column counter (e.g. TableCounter): train_col has no
+            # meaning here — reject nonzero rather than silently ignore it
+            # (the reference asserted train_col == 0 on its KMC path,
+            # get_var_probs.py:398-399).
+            if train_col != 0:
+                raise ValueError(
+                    "train_col must be 0 for a single-column counter"
+                )
             counts = counts[:, None, :]
-        train_col_eff = 0
+            train_col_eff = 0
+        else:
+            train_col_eff = train_col
     else:
         counts = DatasetCounter(data)(all_kmers)
         train_col_eff = train_col
@@ -526,7 +552,11 @@ def get_bear_probs_seqs(
             for l in range(len(seq) - lag):
                 k = seq[l : l + lag]
                 vec = kmer_counts.setdefault(k, np.zeros(len(out_letters)))
-                vec[np.argmax(out_letters == seq[l + lag])] += 1
+                # out-of-alphabet next letters (e.g. 'N') add an all-zero
+                # count vector, like the reference's alphabet==seq[l+lag]
+                # comparison (get_var_probs.py) — np.argmax on an all-False
+                # match would silently count the first letter.
+                vec += (out_letters == seq[l + lag]).astype(vec.dtype)
             ks = list(kmer_counts)
             scores[i, :, 0] = pdf(ks, np.stack([kmer_counts[k] for k in ks]))
         return scores[..., 0]

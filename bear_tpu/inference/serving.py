@@ -27,7 +27,7 @@ import numpy as np
 
 from bear_tpu.counting.engine import table_rows
 from bear_tpu.ops import alphabets
-from bear_tpu.ops.distributions import EPSILON
+from bear_tpu.ops.loggamma import log_dirichlet_draw
 
 
 def _context_rows_and_next(codes, lengths, lag):
@@ -98,11 +98,16 @@ class BearServer:
         self._lag = lag
 
         def concentrations(rows, counts):
+            # No extra epsilon: get_pdf forms concs = ar/h + counts with
+            # none (load_bear's ar_apply already carries +EPSILON), so
+            # serving scores match get_bear_probs_seqs exactly; zero
+            # concentrations (van=0, count 0) are handled by the sampler's
+            # -inf masking and the MAP path's log.
             if ar_apply is None:
-                return counts + van + EPSILON
+                return counts + van
             oh = _rows_to_onehot_contexts(rows, lag, dtype)
             probs = ar_apply(oh)
-            return probs / h + counts + EPSILON
+            return probs / h + counts
 
         def log_prob_map(table_arr, codes, lengths):
             rows, nxt, mask = _context_rows_and_next(codes, lengths, lag)
@@ -118,12 +123,7 @@ class BearServer:
             seq_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
 
             def draw(seq_key, row, c):
-                k = jax.random.fold_in(seq_key, row)
-                boosted = jax.random.gamma(k, c + 1.0, dtype=c.dtype)
-                log_u = -jax.random.exponential(
-                    jax.random.fold_in(k, 1), (c.shape[-1],), dtype=c.dtype
-                )
-                lg = jnp.log(boosted) + log_u / c
+                lg = log_dirichlet_draw(jax.random.fold_in(seq_key, row), c)
                 return lg - jax.scipy.special.logsumexp(lg)
 
             logp = jax.vmap(jax.vmap(draw, in_axes=(None, 0, 0)))(seq_keys, rows, conc)

@@ -44,6 +44,18 @@ def log_gamma(key, concs, size=(), dtype=None):
     return jnp.log(boosted) + log_u / concs
 
 
+def log_dirichlet_draw(key, conc):
+    """log of an unnormalized Dirichlet draw for one concentration vector:
+    log Gamma(c_b) per bucket via the boost identity, with zero
+    concentrations mapped to -inf (excluded categories). Normalizing with
+    logsumexp over the last axis yields log Dirichlet probabilities. The
+    single shared implementation for the generation/serving samplers."""
+    import jax.numpy as jnp
+
+    lg = log_gamma(key, jnp.maximum(conc, 1e-30))
+    return jnp.where(conc > 0, lg, -jnp.inf)
+
+
 def sample_dirichlet_log(key, concs, size=()):
     """Sample log of a Dirichlet(concs) via normalized log-gamma draws.
 

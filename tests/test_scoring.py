@@ -268,3 +268,22 @@ def test_pdf_to_dataframe():
     lp2 = rng.normal(size=(1, 5, 1, 4))
     df2 = Pdf(kmers=np.array(["AA"]), log_probs=lp2, alphabet_name="dna").to_dataframe()
     assert list(df2.columns) == [f"model0_sample{s}" for s in range(4)]
+
+
+def test_marg_scoring_ignores_out_of_alphabet_letters():
+    # An 'N' in a scored sequence must contribute NOTHING to the marginal
+    # (reference builds an all-zero count vector for unmatched letters);
+    # the old argmax fallback silently counted it as an 'A' transition.
+    ds = make_dataset()
+    kwargs = dict(lag=LAG, alphabet_name="dna", data=ds, vans=[1.0],
+                  get_marg=True)
+    base = "TTTATTCT"
+    with_n = base[:5] + "N" + base[6:]   # replaces a 'T'
+    fake_a = base[:5] + "A" + base[6:]   # what the old bug scored instead
+    s_n = get_bear_probs_seqs(None, [with_n], 0, **kwargs)
+    s_fake = get_bear_probs_seqs(None, [fake_a], 0, **kwargs)
+    assert not np.allclose(s_n, s_fake)
+    # and the N must not silently equal the original either (it removes a
+    # transition's contribution)
+    s_base = get_bear_probs_seqs(None, [base], 0, **kwargs)
+    assert not np.allclose(s_n, s_base)
