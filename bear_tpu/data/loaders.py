@@ -141,13 +141,16 @@ def load_dense(
                 kmers=kmers, codes=codes, counts=counts, alphabet=alphabet
             )
     # Fallback: irregular rows (varying context length etc.) — per line.
+    # Shorter contexts are '['-padded to the longest (the canonical table
+    # form; encode_kmers rejects ragged input).
     kmers = []
     rows = []
     for raw in lines:
         kmer, mat = raw.decode("ascii").split("\t")
         kmers.append(kmer)
         rows.append(mat.replace("[", "").replace("]", "").split(","))
-    kmers = np.array(kmers)
+    maxlen = max(len(k) for k in kmers)
+    kmers = np.array(["[" * (maxlen - len(k)) + k for k in kmers])
     counts = np.array(rows, dtype=dtype).reshape(len(kmers), num_ds, A1)
     codes = alphabets.encode_kmers(kmers, alphabet)
     return CountDataset(kmers=kmers, codes=codes, counts=counts, alphabet=alphabet)
@@ -192,6 +195,11 @@ def load_files(
     """Load and concatenate multiple count files (the reference interleaves
     with tf.data at train_bear_net.py:79-86; order within an epoch does not
     affect the objective)."""
+    if not files:
+        raise ValueError(
+            "no count files to load — check files_path/start_token "
+            "(discover_files matched nothing)"
+        )
     loader = load_sparse if sparse else load_dense
     parts = [loader(f, alphabet, num_ds, dtype=dtype) for f in files]
     ds = parts[0]

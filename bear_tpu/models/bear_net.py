@@ -123,9 +123,15 @@ def make_optimizer(optimizer_name: str, learning_rate: float):
 @dataclass
 class TrainResult:
     params: dict
-    losses: np.ndarray  # ELBO estimate at each optimizer apply (loss_save)
+    losses: np.ndarray  # positive loss (-ELBO) at each optimizer apply
     opt_state: object = None  # final optimizer state (the reference loses
     # this across restarts; pass back as opt_state_restart to resume exactly)
+
+    @property
+    def elbos(self) -> np.ndarray:
+        """ELBO estimates per apply — the reference's loss_save contract
+        (bear_net.py:307), what its loss.png plots."""
+        return -self.losses
 
     @property
     def h(self) -> float:
@@ -145,6 +151,11 @@ def _stack_batches(codes, counts, batch_size, pad_multiple=1):
     padded/reshaped on device — the counting engine's to_device_dataset
     handoff never round-trips through the host."""
     n = codes.shape[0]
+    if n == 0:
+        raise ValueError(
+            "empty dataset: no k-mer rows to train/evaluate on (the ELBO "
+            "scale num_kmers/batch would divide by zero)"
+        )
     bsz = int(batch_size)
     if pad_multiple > 1:
         bsz = ((bsz + pad_multiple - 1) // pad_multiple) * pad_multiple
@@ -164,6 +175,23 @@ def _stack_batches(codes, counts, batch_size, pad_multiple=1):
         counts_p.reshape(n_steps, bsz, *counts.shape[1:]),
         sizes.astype(np.dtype(counts.dtype)),
     )
+
+
+def _stack_one(arr, batch_size, pad_multiple=1):
+    """Pad/stack ONE array to [n_steps, B, ...] with the same geometry as
+    _stack_batches (avoids re-padding the codes array just to discard it)."""
+    n = arr.shape[0]
+    bsz = int(batch_size)
+    if pad_multiple > 1:
+        bsz = ((bsz + pad_multiple - 1) // pad_multiple) * pad_multiple
+    n_steps = max(1, -(-n // bsz))
+    padded = n_steps * bsz
+    if isinstance(arr, jax.Array):
+        arr_p = jnp.pad(arr, ((0, padded - n),) + ((0, 0),) * (arr.ndim - 1))
+    else:
+        arr_p = np.zeros((padded,) + arr.shape[1:], dtype=arr.dtype)
+        arr_p[:n] = arr
+    return arr_p.reshape(n_steps, bsz, *arr.shape[1:])
 
 
 # Flatten batch stacks at rest once the TPU tile padding of the [B, width]
@@ -294,7 +322,7 @@ def train(
     codes_s, counts_s, sizes = _stack_batches(codes, counts, batch_size, n_dev)
     ref_s = None
     if ref_counts is not None:
-        _, ref_s, _ = _stack_batches(codes, ref_counts, batch_size, n_dev)
+        ref_s = _stack_one(ref_counts, batch_size, n_dev)
     steps_per_epoch = codes_s.shape[0]
     total_steps = steps_per_epoch * int(epochs)
     n_apply = total_steps // int(acc_steps)
@@ -499,10 +527,10 @@ def evaluation(
         n_dev = int(np.prod(list(mesh.shape.values())))
     codes_s, counts_test_s, _ = _stack_batches(codes, counts_test, batch_size, n_dev)
     if use_train:
-        _, counts_train_s, _ = _stack_batches(codes, counts_train, batch_size, n_dev)
+        counts_train_s = _stack_one(counts_train, batch_size, n_dev)
     ref_s = None
     if ref_counts is not None:
-        _, ref_s, _ = _stack_batches(codes, ref_counts, batch_size, n_dev)
+        ref_s = _stack_one(ref_counts, batch_size, n_dev)
 
     # Flat at-rest batch storage for large stacks (see train/_flat_prep).
     lag_w, counts_w = codes_s.shape[2], counts_test_s.shape[2]
@@ -527,6 +555,16 @@ def evaluation(
             counts_train_s = jax.device_put(jnp.asarray(counts_train_s), sh)
         if ref_s is not None:
             ref_s = jax.device_put(jnp.asarray(ref_s), sh)
+    else:
+        # Device arrays up front: numpy stacks would otherwise be captured
+        # as jit closure CONSTANTS (re-embedded per trace; multi-GB at
+        # genome scale) — train() does the same.
+        codes_s = jnp.asarray(codes_s)
+        counts_test_s = jnp.asarray(counts_test_s)
+        if use_train:
+            counts_train_s = jnp.asarray(counts_train_s)
+        if ref_s is not None:
+            ref_s = jnp.asarray(ref_s)
 
     base_key = jax.random.key(seed)
 

@@ -89,7 +89,7 @@ def main(config: configparser.ConfigParser, mesh=None):
         )
         params = result.params
         opt_state = result.opt_state
-        save_loss_curve(result.losses, out_folder)
+        save_loss_curve(result.elbos, out_folder)
     else:
         assert run.restart, "train=False requires restart=True"
         params = bear_net.params_from_list(params_restart, dtype=dtype)

@@ -82,8 +82,17 @@ def encode_kmers(kmers, alphabet: str) -> np.ndarray:
     flat = arr.ravel()
     if flat.size == 0:
         return np.zeros(arr.shape + (0,), dtype=np.int8)
-    lag = len(flat[0])
-    byte_view = flat.view(np.uint8).reshape(flat.size, -1)[:, :lag]
+    # Fixed-width byte view over the FULL itemsize: taking the first k-mer's
+    # length would silently truncate longer k-mers; ragged inputs show up as
+    # NUL padding and are rejected explicitly (left-pad with '[' upstream).
+    byte_view = flat.view(np.uint8).reshape(flat.size, -1)
+    lag = byte_view.shape[1]
+    if np.any(byte_view == 0):
+        bad = flat[np.any(byte_view == 0, axis=-1)][0]
+        raise ValueError(
+            f"k-mers must all have the same length; {bad!r} is shorter — "
+            "left-pad short contexts with '['"
+        )
     codes = _INPUT_TABLES[alphabet][byte_view]
     if np.any(codes < 0):
         bad = flat[np.any(codes < 0, axis=-1)][0]

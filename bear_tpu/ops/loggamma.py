@@ -50,8 +50,6 @@ def log_dirichlet_draw(key, conc):
     concentrations mapped to -inf (excluded categories). Normalizing with
     logsumexp over the last axis yields log Dirichlet probabilities. The
     single shared implementation for the generation/serving samplers."""
-    import jax.numpy as jnp
-
     lg = log_gamma(key, jnp.maximum(conc, 1e-30))
     return jnp.where(conc > 0, lg, -jnp.inf)
 

@@ -60,7 +60,9 @@ class RunConfig:
     learning_rate: float
     train_ar: bool
     accumulation_steps: int
-    cache: bool
+    cache: bool  # parsed for reference-config compatibility only: the
+    # dataset is always in-memory/on-device here (the reference's tf.data
+    # .cache() knob has no equivalent cost to toggle)
     restart: bool
     restart_path: str
     # [test]

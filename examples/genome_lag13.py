@@ -111,7 +111,7 @@ def main():
             batch_size=args.batch_size, epochs=args.epochs,
             learning_rate=0.005, train_ar=False, dtype=jnp.float32,
         )
-    print(f"learned h = {res.h:.4g}; ELBO {res.losses[0]:.4g} -> {res.losses[-1]:.4g}")
+    print(f"learned h = {res.h:.4g}; ELBO {res.elbos[0]:.4g} -> {res.elbos[-1]:.4g}")
 
     with timer.stage("evaluate"):
         out = bear_net.evaluation(

@@ -36,3 +36,13 @@ def test_protein_alphabet():
 def test_bytes_input():
     codes = alphabets.encode_kmers(np.array([b"ACG"]), "dna")
     np.testing.assert_array_equal(codes[0], [0, 1, 2])
+
+
+def test_encode_kmers_rejects_ragged_lengths():
+    # Silent truncation regression: mixed-length k-mers must raise, whichever
+    # element comes first.
+    import pytest
+
+    for kmers in (["AC", "ACG"], ["ACG", "AC"]):
+        with pytest.raises(ValueError, match="same length"):
+            alphabets.encode_kmers(kmers, "dna")

@@ -302,3 +302,13 @@ def test_flat_at_rest_path_matches_tiled(monkeypatch):
         np.testing.assert_array_equal(a, b)
     for a, b in zip(ev_tiled, ev_flat):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_empty_dataset_raises():
+    import pytest
+    from bear_tpu.models import get_ar_func
+
+    ar = get_ar_func("linear", 3, 4)
+    with pytest.raises(ValueError, match="empty dataset"):
+        bear_net.train(np.zeros((0, 3), np.int8), np.zeros((0, 5)),
+                       num_kmers=0, ar_func=ar, batch_size=8, epochs=1)

@@ -102,3 +102,11 @@ def test_load_dense_ragged_rows_rejected(tmp_path):
     p.write_text("AC\t[[1,2,3,4]]\nGT\t[[5,6,7,8,9,10]]\n")
     with pytest.raises(Exception):
         load_dense(str(p), "dna", 1)
+
+
+def test_load_files_empty_list_raises():
+    import pytest
+    from bear_tpu.data import load_files
+
+    with pytest.raises(ValueError, match="no count files"):
+        load_files([], "dna", 1)
