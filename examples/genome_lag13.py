@@ -56,7 +56,14 @@ def main():
 
     from bear_tpu.counting.engine import ReadChunk, TransitionCounter
     from bear_tpu.models import bear_net, get_ar_func
+    from bear_tpu.utils.cli_common import enable_compilation_cache
     from bear_tpu.utils.profiling import StageTimer
+
+    enable_compilation_cache(os.environ.get(
+        "BEAR_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    ))
 
     timer = StageTimer()
     rng = np.random.default_rng(0)
