@@ -164,6 +164,27 @@ def _device_gather_counts(dev, rows, off: int, G: int, R5: int, A1: int = 5):
     return out, (jnp.max(out) if out.size else jnp.zeros((), jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _sized_nonzero(v, size: int):
+    return jnp.nonzero(v, size=size, fill_value=0)[0].astype(jnp.int32)
+
+
+def device_nonzero(v) -> jnp.ndarray:
+    """Nonzero indices of a device vector WITHOUT the eager jnp.nonzero
+    host round trip (which materializes the whole vector on the host —
+    measured 52 s vs 0.9 s for an 89M-entry lag-13 row-total vector over a
+    tunneled link). Two phases: a scalar count fetch, then a jitted sized
+    nonzero bucketed to the next power of two (so distinct counts reuse a
+    handful of compilations); the exact-length trim happens on the host
+    over at most 2x the true indices."""
+    n = int(jnp.count_nonzero(v))
+    if n == 0:
+        return jnp.zeros(0, jnp.int32)
+    n_pad = 1 << (n - 1).bit_length()
+    padded = _sized_nonzero(v, n_pad)
+    return jnp.asarray(np.asarray(padded)[:n])
+
+
 @functools.partial(jax.jit, static_argnames=("lag", "A"))
 def decode_rows(rows, lag: int, A: int = 4):
     """Device-side inverse of context_to_row: table row indices -> int8 k-mer
@@ -596,7 +617,7 @@ class TransitionCounter:
             R5 = rows_total * self.A1
             off = self._offsets[lag]
             row_tot = _device_row_totals(self._dev, off, G, R5, self.A1)
-            rows = jnp.nonzero(row_tot)[0].astype(jnp.int32)
+            rows = device_nonzero(row_tot)
             counts_i, cmax = _device_gather_counts(
                 self._dev, rows, off, G, R5, self.A1
             )
