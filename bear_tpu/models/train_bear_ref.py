@@ -80,6 +80,7 @@ def main(config: configparser.ConfigParser, mesh=None):
             mesh=mesh,
             writer=writer,
         )
+        writer.close()
         params = result.params
         opt_state = result.opt_state
         save_loss_curve(result.elbos, out_folder)

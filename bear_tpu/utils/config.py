@@ -151,5 +151,17 @@ class RunConfig:
 
         if self.precision == "float64":
             jax.config.update("jax_enable_x64", True)
+            if jax.default_backend() == "tpu":
+                import warnings
+
+                warnings.warn(
+                    "precision=float64 on TPU uses emulated f64 arithmetic, "
+                    "which is IMPRECISE (and NaNs the reference-BEAR path at "
+                    "the published protocol). float32 reproduces the "
+                    "published table on TPU (h 0.0142, stop rate 149.3 "
+                    "measured on v5e); use float64 on CPU for exact parity "
+                    "runs.",
+                    stacklevel=2,
+                )
             return jnp.float64
         return jnp.float32
