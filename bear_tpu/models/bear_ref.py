@@ -73,8 +73,13 @@ def make_ref_ar_func(lag, alphabet_size, make_net_func, af_kwargs=None, dtype=jn
         ] + net.init(key)
 
     def apply(params, kmers_oh, ref_counts):
-        tau = jnp.exp(params[0])
-        nw = jnp.exp(params[1])
+        # Clamp the signed exponents to ±40 (e^40 ≈ 2e17): exp overflow of
+        # tau/nu turns the mixture into inf/inf = NaN. Converged values sit
+        # near log(1/30) and -log(100), so the clamp is inert in any sane
+        # region — it only stops a parameter that imprecise arithmetic (e.g.
+        # TPU-emulated float64) has already sent running from exploding.
+        tau = jnp.exp(jnp.clip(params[0], -40.0, 40.0))
+        nw = jnp.exp(jnp.clip(params[1], -40.0, 40.0))
         g = net.apply(params[2:], kmers_oh)
         return (nw * g + counts_to_probs(ref_counts, tau, alphabet_size)) / (nw + 1.0)
 
