@@ -1,9 +1,11 @@
 """Scalar metrics writer.
 
 The reference logs one TensorBoard scalar ('elbo') per accumulation step
-(bear_net.py:303-305). TF isn't a dependency here; scalars go to a JSONL file
-(works with any dashboard, trivially greppable) and, when TensorBoard's
-tensorboardX/flax writers are available, can be tee'd there by the caller.
+(bear_net.py:303-305). TF isn't a dependency here; scalars always go to a
+JSONL file (works with any dashboard, trivially greppable). Real TensorBoard
+event files are additionally written when requested — ``tensorboard=True``
+or env ``BEAR_TPU_TENSORBOARD=1`` — via torch's SummaryWriter (opt-in: the
+torch import costs seconds per CLI run and most runs never open TB).
 """
 
 from __future__ import annotations
@@ -15,12 +17,23 @@ import time
 
 class MetricsWriter:
     """Append-only scalars.jsonl writer with the writer.scalar(tag, value, step)
-    interface used by bear_net.train."""
+    interface used by bear_net.train; optionally tees to TensorBoard."""
 
-    def __init__(self, out_folder: str, filename: str = "scalars.jsonl"):
+    def __init__(self, out_folder: str, filename: str = "scalars.jsonl",
+                 tensorboard: bool | None = None):
         os.makedirs(out_folder, exist_ok=True)
         self.path = os.path.join(out_folder, filename)
         self._fh = open(self.path, "a")
+        if tensorboard is None:
+            tensorboard = os.environ.get("BEAR_TPU_TENSORBOARD", "") == "1"
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(out_folder, "tb"))
+            except Exception:
+                self._tb = None  # jsonl still written
 
     def scalar(self, tag: str, value: float, step: int):
         self._fh.write(
@@ -29,12 +42,18 @@ class MetricsWriter:
             )
             + "\n"
         )
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
 
     def flush(self):
         self._fh.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self):
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def save_loss_curve(losses, out_folder: str, filename: str = "loss.png"):

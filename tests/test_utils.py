@@ -88,3 +88,18 @@ def test_multihost_single_process_noops():
 
     tc = TransitionCounter(lags=[2])
     multihost.allreduce_tables(tc)  # no-op at process_count == 1
+
+
+def test_metrics_writer_tensorboard(tmp_path):
+    # Opt-in TensorBoard tee: event files appear alongside scalars.jsonl.
+    from bear_tpu.utils.metrics import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path), tensorboard=True)
+    w.scalar("elbo", 1.5, step=1)
+    w.scalar("elbo", 2.5, step=2)
+    w.close()
+    assert (tmp_path / "scalars.jsonl").exists()
+    tb_dir = tmp_path / "tb"
+    assert tb_dir.exists() and any(
+        f.name.startswith("events") for f in tb_dir.iterdir()
+    )
