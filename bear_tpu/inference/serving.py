@@ -30,9 +30,9 @@ from bear_tpu.ops import alphabets
 from bear_tpu.ops.loggamma import log_dirichlet_draw
 
 
-def _context_rows_and_next(codes, lengths, lag):
+def _context_rows_and_next(codes, lengths, lag, A=4):
     """Vectorized context-row/next-symbol extraction for '['-padded,
-    ']'-terminated sequences: codes [B, L] int32 (0..3), lengths [B].
+    ']'-terminated sequences: codes [B, L] int32 (0..A-1), lengths [B].
 
     Returns rows [B, L+1], nxt [B, L+1], mask [B, L+1] — one entry per
     transition position j=0..len (j==len is the stop)."""
@@ -43,38 +43,38 @@ def _context_rows_and_next(codes, lengths, lag):
     codes32 = codes.astype(jnp.int32)
 
     code_acc = jnp.zeros((B, P), dtype=jnp.int32)
-    pow4 = 1
+    powA = 1
     for i in range(1, lag + 1):
         shifted = jnp.pad(codes32, ((0, 0), (i, 0)))[:, :P]
-        code_acc = code_acc + shifted * pow4
-        pow4 *= 4
+        code_acc = code_acc + shifted * powA
+        powA *= A
     n_pad = jnp.maximum(0, lag - j)
-    rows = (4 ** (lag - n_pad) - 1) // 3 + code_acc
+    rows = (A ** (lag - n_pad) - 1) // (A - 1) + code_acc
 
     codes_ext = jnp.pad(codes32, ((0, 0), (0, 1)))
-    nxt = jnp.where(j < lengths, codes_ext, 4)
+    nxt = jnp.where(j < lengths, codes_ext, A)
     mask = j <= lengths  # includes the stop transition
     return rows, nxt, mask
 
 
-def _rows_to_onehot_contexts(rows, lag, dtype):
+def _rows_to_onehot_contexts(rows, lag, dtype, A=4):
     """Device-side inverse of the row index: [..,] rows -> one-hot
-    [.., lag, 5] '['-padded contexts (integer-exact suffix-length decode)."""
-    # suffix length m: number of boundaries (4^k - 1)/3 <= row, k = 1..lag
+    [.., lag, A+1] '['-padded contexts (integer-exact suffix-length decode)."""
+    # suffix length m: number of boundaries (A^k - 1)/(A-1) <= row, k = 1..lag
     m = jnp.zeros(rows.shape, dtype=jnp.int32)
     for k in range(1, lag + 1):
-        m = m + (rows >= (4**k - 1) // 3).astype(jnp.int32)
-    code = rows - (4**m - 1) // 3
+        m = m + (rows >= (A**k - 1) // (A - 1)).astype(jnp.int32)
+    code = rows - (A**m - 1) // (A - 1)
     digs = []
     rem = code
     for _ in range(lag):
-        digs.append(rem % 4)
-        rem = rem // 4
+        digs.append(rem % A)
+        rem = rem // A
     digits = jnp.stack(digs[::-1], axis=-1)  # leftmost..rightmost residues
     pos = jnp.arange(lag, dtype=jnp.int32)
     is_pad = pos < (lag - m)[..., None]
-    classes = jnp.where(is_pad, 4, digits)
-    return alphabets.one_hot(classes, 5, dtype)
+    classes = jnp.where(is_pad, A, digits)
+    return alphabets.one_hot(classes, A + 1, dtype)
 
 
 class BearServer:
@@ -91,11 +91,16 @@ class BearServer:
     """
 
     def __init__(self, table, lag: int, *, h: Optional[float] = None,
-                 ar_apply=None, van: Optional[float] = None, dtype=jnp.float32):
+                 ar_apply=None, van: Optional[float] = None,
+                 dtype=jnp.float32, alphabet: str = "dna"):
         assert (ar_apply is None) != (van is None), "specify exactly one of ar_apply / van"
-        assert np.shape(table)[0] == table_rows(lag)
+        A = alphabets.alphabet_size(alphabet)
+        assert np.shape(table)[0] == table_rows(lag, A), (
+            f"table rows {np.shape(table)[0]} != rows(lag={lag}, A={A})"
+        )
         self._table = jnp.asarray(np.asarray(table), dtype=dtype)
         self._lag = lag
+        self._alphabet = alphabet
 
         def concentrations(rows, counts):
             # No extra epsilon: get_pdf forms concs = ar/h + counts with
@@ -105,19 +110,19 @@ class BearServer:
             # -inf masking and the MAP path's log.
             if ar_apply is None:
                 return counts + van
-            oh = _rows_to_onehot_contexts(rows, lag, dtype)
+            oh = _rows_to_onehot_contexts(rows, lag, dtype, A)
             probs = ar_apply(oh)
             return probs / h + counts
 
         def log_prob_map(table_arr, codes, lengths):
-            rows, nxt, mask = _context_rows_and_next(codes, lengths, lag)
+            rows, nxt, mask = _context_rows_and_next(codes, lengths, lag, A)
             conc = concentrations(rows, table_arr[rows])
             logp = jnp.log(conc / jnp.sum(conc, axis=-1, keepdims=True))
             picked = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
             return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
 
         def log_prob_sampled(table_arr, codes, lengths, key):
-            rows, nxt, mask = _context_rows_and_next(codes, lengths, lag)
+            rows, nxt, mask = _context_rows_and_next(codes, lengths, lag, A)
             conc = concentrations(rows, table_arr[rows])
             B = rows.shape[0]
             seq_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
@@ -149,7 +154,9 @@ class BearServer:
         """Convenience host API: list of strings -> [B] scores. Pads to
         ``pad_to`` (or the max length rounded up to 64) so repeated calls
         reuse the compiled kernel."""
-        codes_list = [alphabets.encode_kmers(np.array([s]), "dna")[0] for s in seqs]
+        codes_list = [
+            alphabets.encode_kmers(np.array([s]), self._alphabet)[0] for s in seqs
+        ]
         maxlen = max(len(c) for c in codes_list)
         L = pad_to or (-(-maxlen // 64) * 64)
         B = len(seqs)

@@ -90,3 +90,28 @@ def test_batch_padding_consistency():
     single = server.score(["TTTAT"], mode="map")
     batch = server.score(["TTTAT", "TTCATTTT", "TTTTT"], mode="map")
     np.testing.assert_allclose(batch[0], single[0], rtol=1e-12)
+
+
+def test_protein_serving_matches_analysis_path():
+    # Protein BearServer (base-20 tables) matches get_bear_probs_seqs — a
+    # serving surface the DNA-only reference cannot offer at all.
+    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+    from bear_tpu.inference import get_bear_probs_seqs
+    from bear_tpu.ops import alphabets as _alpha
+
+    rng = np.random.default_rng(9)
+    lag = 2
+    mat = rng.integers(0, 20, (150, 30)).astype(np.int8)
+    tc = TransitionCounter(lags=[lag], n_groups=1, alphabet="prot")
+    tc.add_chunk(ReadChunk(mat, np.full(150, 30, np.int32),
+                           np.zeros(150, np.int32), np.ones(150, bool),
+                           np.zeros(150, np.int32)))
+    ds = tc.to_dataset(lag)
+    srv = BearServer(tc.tables[lag][0], lag=lag, van=1.0, alphabet="prot")
+    res = _alpha.residues("prot")
+    seqs = ["".join(rng.choice(list(res), 12)) for _ in range(5)]
+    got = srv.score(seqs, mode="map")
+    want = get_bear_probs_seqs(None, seqs, 0, vans=[1.0], lag=lag,
+                               alphabet_name="prot", data=ds,
+                               get_map=True)[:, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
