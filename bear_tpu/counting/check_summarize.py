@@ -4,7 +4,8 @@ in-memory recount of the input sequences.
 Equivalent of the reference's tests/check_summarize.py (a reusable
 large-scale oracle, not just a unit test): re-reads the input CSV, recounts
 every k-mer transition for every lag with a plain Python dict, and compares
-exactly against the TSV shards — forward and (with -r) reverse.
+exactly against the TSV shards — forward and (with -r) reverse, for any
+supported alphabet (--alphabet dna/rna/prot).
 
 ``python -m bear_tpu.counting.check_summarize file out_prefix -l L [-r]``
 """
@@ -20,28 +21,34 @@ from collections import defaultdict
 import numpy as np
 
 from bear_tpu.counting import fastx
+from bear_tpu.ops import alphabets as _alpha
 
-ALPHABET = {"A": 0, "C": 1, "G": 2, "T": 3, "]": 4}
 _RC = str.maketrans("ACGT", "TGCA")
 
 
-def brute_force(entries, max_lag: int, n_groups: int, reverse: bool):
+def brute_force(entries, max_lag: int, n_groups: int, reverse: bool,
+                alphabet: str = "dna"):
+    res = _alpha.residues(alphabet)
+    A1 = len(res) + 1
+    sym = {ch: i for i, ch in enumerate(res)}
+    sym["]"] = len(res)
     out = [
-        defaultdict(lambda: np.zeros((n_groups, 5), dtype=np.int64))
+        defaultdict(lambda: np.zeros((n_groups, A1), dtype=np.int64))
         for _ in range(max_lag)
     ]
-    letters = np.array(list("ACGT"))
+    letters = np.array(list(res))
     for path, group, ftype in entries:
         for _, seq in fastx.iter_seqs(path, ftype):
-            # normalize exactly as the counting engine does (non-ACGT -> A)
-            seq = "".join(letters[fastx.encode_seq(seq)])
+            # normalize exactly as the counting engine does
+            # (out-of-alphabet letters -> residue 0)
+            seq = "".join(letters[fastx.encode_seq(seq, alphabet)])
             variants = [seq, seq.translate(_RC)[::-1]] if reverse else [seq]
             for s in variants:
                 for li in range(max_lag):
                     lag = li + 1
                     full = "[" * lag + s + "]"
                     for j in range(lag, len(full)):
-                        out[li][full[j - lag : j]][group][ALPHABET[full[j]]] += 1
+                        out[li][full[j - lag : j]][group][sym[full[j]]] += 1
     return out
 
 
@@ -59,14 +66,20 @@ def read_outputs(out_prefix: str, max_lag: int):
     return found
 
 
-def check(input_csv: str, out_prefix: str, max_lag: int, reverse: bool) -> int:
+def check(input_csv: str, out_prefix: str, max_lag: int, reverse: bool,
+          alphabet: str = "dna", skip_forward: bool = False) -> int:
+    if skip_forward and not reverse:
+        raise ValueError("-nf without -r leaves nothing to check")
+    if reverse and alphabet not in ("dna", "rna"):
+        raise ValueError("-r (reverse complement) requires a 4-letter alphabet")
     entries = fastx.read_input_csv(input_csv)
     n_groups = max(g for _, g, _ in entries) + 1
     n_checked = 0
-    for rev, prefix in [(False, out_prefix)] + (
+    passes = ([] if skip_forward else [(False, out_prefix)]) + (
         [(True, out_prefix + "_rev")] if reverse else []
-    ):
-        oracle = brute_force(entries, max_lag, n_groups, rev)
+    )
+    for rev, prefix in passes:
+        oracle = brute_force(entries, max_lag, n_groups, rev, alphabet)
         found = read_outputs(prefix, max_lag)
         for li in range(max_lag):
             want = {k: m for k, m in oracle[li].items() if m.sum() > 0}
@@ -89,7 +102,8 @@ def check(input_csv: str, out_prefix: str, max_lag: int, reverse: bool) -> int:
 
 
 def main(args) -> int:
-    return check(args.file, args.out_prefix, args.l, args.r)
+    return check(args.file, args.out_prefix, args.l, args.r,
+                 alphabet=args.alphabet, skip_forward=args.nf)
 
 
 def cli():

@@ -37,6 +37,7 @@ per flush window and the host accumulator is int64.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Sequence
 
@@ -63,12 +64,23 @@ def resolve_method(method: str, new_transitions: int) -> str:
     return "sorted" if new_transitions >= SORTED_MIN_TRANSITIONS else "scatter"
 
 
-def _dtype_holds_big_counts(dtype) -> bool:
-    """True if `dtype` can represent integers >= 2^24 exactly ON DEVICE:
-    a 64-bit float only counts if jax_enable_x64 is on — without it, astype
-    silently downcasts to float32 (the exact rounding the range guards
-    exist to prevent)."""
-    return np.dtype(dtype).itemsize == 8 and bool(jax.config.jax_enable_x64)
+def _exact_count_limit(dtype) -> int:
+    """Largest integer `dtype` represents exactly ON DEVICE. 64-bit types
+    degrade to their 32-bit versions without jax_enable_x64 (astype silently
+    downcasts — the exact rounding the range guards exist to prevent)."""
+    dt = np.dtype(dtype)
+    if dt.itemsize == 8 and not jax.config.jax_enable_x64:
+        dt = np.dtype("float32" if dt.kind == "f" else "int32")
+    # exact ints up to 2^(mantissa+1): f32 2^24, bf16 2^8, f64 2^53.
+    # ml_dtypes floats (bfloat16 etc., numpy kind 'V') need ml_dtypes.finfo.
+    import ml_dtypes
+
+    for finfo in (np.finfo, ml_dtypes.finfo):
+        try:
+            return 1 << (finfo(dt).nmant + 1)
+        except ValueError:
+            continue
+    return int(np.iinfo(dt).max)
 
 
 def extract_nonzero(dev, chunk: int = NONZERO_CHUNK):
@@ -453,7 +465,9 @@ class TransitionCounter:
                 for idx, vals in extract_nonzero(dev):
                     self._scatter_host(idx, vals)
             else:
-                dense = np.asarray(dev).astype(np.int64)
+                # int32 view; += promotes per-slice (an eager .astype(int64)
+                # would allocate a 2x-table-size transient)
+                dense = np.asarray(dev)
                 for l in self.lags:
                     off = self._offsets[l]
                     self._host[l] += dense[off : off + self._host[l].size]
@@ -470,14 +484,20 @@ class TransitionCounter:
                 self._host[l][idx[sel] - bounds[i]] += vals[sel]
 
     def add_chunk(self, chunk: ReadChunk):
+        if self.reverse and np.any(np.asarray(chunk.skip) != 0):
+            # RC of a continuation segment would need right-side context;
+            # reverse counting of segmented sequences is handled by the
+            # caller emitting RC segments (chunk_reads(reverse=True)).
+            # Checked BEFORE the forward add so a failed chunk leaves the
+            # tables untouched (a post-add error would double-count on
+            # retry), and as a real error, not an -O-strippable assert.
+            raise ValueError(
+                "reverse=True requires whole-read chunks (skip == 0); "
+                "for segmented long sequences use chunk_reads(reverse=True)"
+            )
         self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped, chunk.groups)
         if self.reverse:
             rc, rlen = reverse_complement_codes(chunk.codes, chunk.lengths)
-            # RC of a continuation segment would need right-side context;
-            # reverse counting of segmented sequences is handled by the
-            # caller emitting RC segments. Chunks built by chunk_reads for
-            # whole reads always have skip == 0.
-            assert np.all(chunk.skip == 0), "reverse=True requires whole-read chunks"
             self._add(rc, rlen, chunk.skip, chunk.stopped, chunk.groups)
 
     def _add(self, codes, lengths, skip, stopped, groups):
@@ -527,6 +547,8 @@ class TransitionCounter:
         reference can only restart whole summarize stages, summarize.py
         -s12/-s3; here any chunk boundary is a resume point)."""
         self.flush()
+        if not path.endswith(".npz"):
+            path += ".npz"  # np.savez appends it; keep load_state symmetric
         np.savez_compressed(
             path,
             lags=np.array(self.lags),
@@ -538,6 +560,8 @@ class TransitionCounter:
 
     @classmethod
     def load_state(cls, path: str) -> "TransitionCounter":
+        if not path.endswith(".npz") and not os.path.exists(path):
+            path += ".npz"
         data = np.load(path)
         tc = cls(
             lags=[int(l) for l in data["lags"]],
@@ -621,13 +645,12 @@ class TransitionCounter:
             counts_i, cmax = _device_gather_counts(
                 self._dev, rows, off, G, R5, self.A1
             )
-            if not _dtype_holds_big_counts(dtype) and int(cmax) >= 1 << 24:
+            if int(cmax) > _exact_count_limit(dtype):
                 raise ValueError(
-                    f"a count reached {int(cmax):,}, beyond exact float32 "
-                    "integer range (2^24) — pass dtype=jnp.float64 AND "
-                    "enable jax_enable_x64 (without x64, float64 silently "
-                    "downcasts to float32 and the no-clamp guarantee would "
-                    "round)"
+                    f"a count reached {int(cmax):,}, beyond {np.dtype(dtype).name}'s "
+                    f"exact integer range ({_exact_count_limit(dtype):,}) — use "
+                    "dtype=jnp.float64 with jax_enable_x64 (the no-clamp "
+                    "guarantee would otherwise silently round)"
                 )
             counts = counts_i.astype(dtype)
         else:
@@ -636,11 +659,11 @@ class TransitionCounter:
             rows = jnp.asarray(rows_np.astype(np.int32))
             counts_np = self.tables[lag][:, rows_np, :].transpose(1, 0, 2)
             cmax = counts_np.max() if counts_np.size else 0
-            if not _dtype_holds_big_counts(dtype) and cmax >= 1 << 24:
+            if cmax > _exact_count_limit(dtype):
                 raise ValueError(
-                    f"a count reached {cmax:,}, beyond exact float32 integer "
-                    "range (2^24) — pass dtype=jnp.float64 and enable "
-                    "jax_enable_x64"
+                    f"a count reached {cmax:,}, beyond {np.dtype(dtype).name}'s "
+                    f"exact integer range ({_exact_count_limit(dtype):,}) — use "
+                    "dtype=jnp.float64 with jax_enable_x64"
                 )
             counts = jnp.asarray(counts_np.astype(np.dtype(dtype)))
         return decode_rows(rows, lag, self.A), counts
@@ -652,6 +675,7 @@ class TransitionCounter:
         n_bin_bits: int = 0,
         seed: int = 0,
         shuffle: bool = False,
+        rows: Optional[np.ndarray] = None,
     ):
         """Write reference-format TSVs: ``{out_prefix}_lag_{l}_file_{b}.tsv``
         rows ``kmer\\t[[g0 counts],[g1 counts],...]`` sharded uniformly at
@@ -660,7 +684,8 @@ class TransitionCounter:
         shuffle=True randomizes the row order inside each shard — absorbing
         the tutorial's external ``shuf`` step (docs/usage.rst:192-196), which
         non-vanilla training requires."""
-        rows = self.nonzero_rows(lag)
+        if rows is None:
+            rows = self.nonzero_rows(lag)
         tab = self.tables[lag]
         per_row = tab[:, rows, :].transpose(1, 0, 2)  # [n, G, A+1]
         return write_tsv_shards(
@@ -690,6 +715,15 @@ def write_tsv_shards(out_prefix: str, lag: int, rows: np.ndarray,
         else np.zeros(len(rows), int)
     )
     paths = [f"{out_prefix}_lag_{lag}_file_{b}.tsv" for b in range(n_bins)]
+    # Remove stale higher-numbered shards from an earlier run with the same
+    # prefix: glob consumers (check_summarize, multi-file training) would
+    # otherwise silently merge old counts in.
+    import glob as _glob
+
+    for stale in _glob.glob(f"{out_prefix}_lag_{lag}_file_*.tsv"):
+        suffix = stale.rsplit("_file_", 1)[1][:-4]
+        if suffix.isdigit() and int(suffix) >= n_bins:
+            os.remove(stale)
     kmers = rows_to_contexts(rows, lag, alphabet)
     n_groups = per_row_counts.shape[1]
     from bear_tpu.counting import fastx as _fastx

@@ -113,7 +113,14 @@ def read_input_csv(path: str) -> list[tuple[str, int, str]]:
                 )
             if not os.path.isabs(f):
                 f = os.path.join(base, f)
-            entries.append((f, int(group), ftype))
+            g = int(group)
+            if g < 0:
+                raise ValueError(
+                    f"negative group id {g} for {f!r}: group ids must be "
+                    ">= 0 (negative rows would be silently dropped by the "
+                    "counting scatter)"
+                )
+            entries.append((f, g, ftype))
     return entries
 
 

@@ -115,10 +115,14 @@ def run(args) -> int:
                            method=args.method, kmer_shards=args.kmer_shards,
                            alphabet=args.alphabet)
     print("Writing...", datetime.datetime.now())
-    total_rows = sum(len(counter.nonzero_rows(l)) for l in counter.lags)
+    # one dense-table scan per lag: reuse the rows for both the shard-count
+    # heuristic and the export itself
+    rows_by_lag = {l: counter.nonzero_rows(l) for l in counter.lags}
+    total_rows = sum(len(r) for r in rows_by_lag.values())
     n_bin_bits = compute_n_bin_bits(total_rows, counter.n_groups, args.mf)
     for l in counter.lags:
-        counter.export_tsv(args.out_prefix, l, n_bin_bits, shuffle=args.shuffle)
+        counter.export_tsv(args.out_prefix, l, n_bin_bits,
+                           shuffle=args.shuffle, rows=rows_by_lag[l])
     print("Finished.", datetime.datetime.now())
     return 2**n_bin_bits
 

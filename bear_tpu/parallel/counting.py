@@ -471,6 +471,8 @@ class KmerShardedTransitionCounter:
         """Checkpoint the sparse accumulated counts (resume point for long
         counting jobs; see TransitionCounter.save_state)."""
         self.flush()
+        if not path.endswith(".npz"):
+            path += ".npz"  # np.savez appends it; keep load_state symmetric
         arrays = {}
         for l in self.lags:
             keys, vals = self._consolidated(l)
@@ -503,11 +505,12 @@ class KmerShardedTransitionCounter:
             self._consolidated_lags.discard(l)
 
     def export_tsv(self, out_prefix: str, lag: int, n_bin_bits: int = 0,
-                   seed: int = 0, shuffle: bool = False):
+                   seed: int = 0, shuffle: bool = False, rows=None):
         """Reference-format TSV export (see engine.write_tsv_shards)."""
         from bear_tpu.counting.engine import write_tsv_shards
 
-        rows = self.nonzero_rows(lag)
+        if rows is None:
+            rows = self.nonzero_rows(lag)
         return write_tsv_shards(
             out_prefix, lag, rows, self.counts_for_rows(lag, rows),
             n_bin_bits, seed=seed, shuffle=shuffle, alphabet=self.alphabet,

@@ -549,3 +549,89 @@ def test_to_device_dataset_guards(monkeypatch):
         tc.to_dataset(2, alphabet="prot")
     with pytest.raises(ValueError, match="base-4"):
         tc.to_device_dataset(2, alphabet="prot")
+
+
+def test_stale_shard_files_removed(tmp_path):
+    # A re-run with fewer shards must remove the previous run's higher-
+    # numbered shard files (glob consumers would silently merge them).
+    rng = np.random.default_rng(3)
+    seqs = random_seqs(rng, 20)
+    tc = TransitionCounter(lags=[3], n_groups=1)
+    for ch in chunk_reads(((fastx.encode_seq(s), 0) for s in seqs), 3):
+        tc.add_chunk(ch)
+    tc.export_tsv(str(tmp_path / "o"), 3, n_bin_bits=2)  # files 0-3
+    assert (tmp_path / "o_lag_3_file_3.tsv").exists()
+    tc.export_tsv(str(tmp_path / "o"), 3, n_bin_bits=0)  # file 0 only
+    assert (tmp_path / "o_lag_3_file_0.tsv").exists()
+    assert not (tmp_path / "o_lag_3_file_1.tsv").exists()
+    assert not (tmp_path / "o_lag_3_file_3.tsv").exists()
+
+
+def test_save_state_extension_symmetry(tmp_path):
+    tc = TransitionCounter(lags=[2], n_groups=1)
+    for ch in chunk_reads(iter([(fastx.encode_seq("ACGTT"), 0)]), 2):
+        tc.add_chunk(ch)
+    tc.save_state(str(tmp_path / "ckpt"))  # no .npz given
+    tc2 = TransitionCounter.load_state(str(tmp_path / "ckpt"))  # still loads
+    np.testing.assert_array_equal(tc.tables[2], tc2.tables[2])
+
+
+def test_reverse_segmented_chunk_rejected_before_add():
+    tc = TransitionCounter(lags=[2], n_groups=1, reverse=True)
+    bad = engine.ReadChunk(
+        codes=np.zeros((1, 8), np.int8),
+        lengths=np.array([8], np.int32),
+        skip=np.array([2], np.int32),  # continuation segment
+        stopped=np.array([True]),
+        groups=np.array([0], np.int32),
+    )
+    with pytest.raises(ValueError, match="whole-read"):
+        tc.add_chunk(bad)
+    tc.validate(expected_transitions=0)  # nothing was counted
+
+
+def test_negative_group_rejected(tmp_path):
+    fa = tmp_path / "r.fa"
+    fa.write_text(">a\nACGT\n")
+    csv_p = tmp_path / "in.csv"
+    csv_p.write_text(f"{fa},-1,fa\n")
+    with pytest.raises(ValueError, match="negative group"):
+        fastx.read_input_csv(str(csv_p))
+
+
+def test_exact_count_limit_guard_dtypes():
+    from bear_tpu.counting.engine import _exact_count_limit
+
+    assert _exact_count_limit(jnp.float32) == 1 << 24
+    assert _exact_count_limit(jnp.bfloat16) == 1 << 8
+    assert _exact_count_limit(jnp.int32) == (1 << 31) - 1
+    tc = TransitionCounter(lags=[2], n_groups=1)
+    for ch in chunk_reads(iter([(fastx.encode_seq("ACGTACG"), 0)]), 2):
+        tc.add_chunk(ch)
+    tc.flush()
+    tc._host[2][0] += 300  # beyond bf16's 2^8 exact range
+    with pytest.raises(ValueError, match="bfloat16"):
+        tc.to_device_dataset(2, dtype=jnp.bfloat16)
+
+
+def test_check_summarize_protein_and_nf(tmp_path):
+    from bear_tpu.counting.check_summarize import check
+    from bear_tpu.counting.summarize import build_parser, main as summarize_main
+    from bear_tpu.ops import alphabets as _alpha
+
+    rng = np.random.default_rng(9)
+    res = _alpha.residues("prot")
+    fa = tmp_path / "p.fa"
+    with open(fa, "w") as f:
+        for i in range(10):
+            f.write(f">p{i}\n" + "".join(rng.choice(list(res), 12)) + "\n")
+    csv_p = tmp_path / "in.csv"
+    csv_p.write_text(f"{fa},0,fa\n")
+    summarize_main(build_parser().parse_args(
+        [str(csv_p), str(tmp_path / "o"), "-l", "2", "--alphabet", "prot"]
+    ))
+    assert check(str(csv_p), str(tmp_path / "o"), 2, reverse=False,
+                 alphabet="prot") == 0
+    with pytest.raises(ValueError, match="nothing to check"):
+        check(str(csv_p), str(tmp_path / "o"), 2, reverse=False,
+              alphabet="prot", skip_forward=True)
