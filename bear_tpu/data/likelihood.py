@@ -28,7 +28,8 @@ def bmm_likelihood(counts, alpha, batch_size: int = 1 << 16):
     [num_ds, num_alpha] log-likelihoods (matches reference
     dataloader.bmm_likelihood's output shape).
     """
-    counts = np.asarray(counts)
+    if not isinstance(counts, jax.Array):
+        counts = np.asarray(counts)
     alpha_j = jnp.asarray(alpha)
 
     @jax.jit
@@ -37,10 +38,19 @@ def bmm_likelihood(counts, alpha, batch_size: int = 1 << 16):
 
     # Host-side batching keeps memory bounded for genome-scale datasets; the
     # cross-batch accumulation is float64 on the host so evidence totals stay
-    # exact even when device compute is float32 (x64 off).
+    # exact even when device compute is float32 (x64 off). The tail batch is
+    # zero-padded to batch_size (zero count rows contribute exactly 0) so the
+    # whole call uses ONE compilation.
     total = np.zeros((counts.shape[1], np.shape(alpha)[0]), dtype=np.float64)
-    for start in range(0, counts.shape[0], batch_size):
-        total += np.asarray(
-            step(jnp.asarray(counts[start : start + batch_size])), dtype=np.float64
-        )
+    n = counts.shape[0]
+    for start in range(0, n, batch_size):
+        batch = counts[start : start + batch_size]
+        if batch.shape[0] < batch_size and n > batch_size:
+            pad = batch_size - batch.shape[0]
+            batch = (
+                jnp.pad(batch, ((0, pad), (0, 0), (0, 0)))
+                if isinstance(batch, jax.Array)
+                else np.pad(batch, ((0, pad), (0, 0), (0, 0)))
+            )
+        total += np.asarray(step(jnp.asarray(batch)), dtype=np.float64)
     return total

@@ -85,9 +85,9 @@ def main(argv=None) -> int:
             kwargs["get_map"] = False
         scores = get_bear_probs_seqs(args.model_dir, seqs, **kwargs)
 
-    # Model stacking order (get_var_probs.py:136-153): raw AR first when
-    # get_map, then BEAR at the fitted h, then each BMM prior.
-    model_names = (["AR"] if args.map else []) + ["BEAR"] + [f"BMM(van={v})" for v in vans]
+    from bear_tpu.inference.scoring import model_column_names
+
+    model_names = model_column_names(vans, get_map=args.map)
     if scores.ndim == 3:
         scores = scores.mean(-1)  # mean over mc samples
     print("target\t" + "\t".join(model_names))

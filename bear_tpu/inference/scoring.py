@@ -281,6 +281,17 @@ def get_pdf(
 # --- model loading --------------------------------------------------------
 
 
+def model_column_names(vans, get_map: bool = False, n_h: int = 1):
+    """Names of the stacked model columns in get_pdf/get_bear_probs outputs,
+    in the stacking order (get_var_probs.py:136-153): raw AR first when
+    get_map, then one BEAR column per h, then one BMM column per van prior.
+    The single source of truth for CLI/report headers."""
+    names = ["AR"] if get_map else []
+    names += ["BEAR"] if n_h == 1 else [f"BEAR(h{i})" for i in range(n_h)]
+    names += [f"BMM(van={v})" for v in vans]
+    return names
+
+
 def load_bear(path: str, double_softmax: bool = True):
     """Load a trained model directory (config.cfg + results.pickle) into a
     scoring-ready ar_apply closure (reference get_var_probs.py:59-82).

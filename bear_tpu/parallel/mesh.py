@@ -31,6 +31,12 @@ def data_parallel_mesh(n_devices: int | None = None, axis_name: str = "data") ->
     """1D mesh over the first n (default all) devices."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices, have {len(devices)} — a "
+                "silently smaller mesh would surface later as an opaque "
+                "batch-divisibility error"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
@@ -39,7 +45,10 @@ def grid_mesh(shape: dict) -> Mesh:
     """N-D mesh from {axis_name: size}, e.g. {'data': 2, 'kmer': 4}."""
     sizes = list(shape.values())
     n = int(np.prod(sizes))
-    devices = np.array(jax.devices()[:n]).reshape(sizes)
+    avail = jax.devices()
+    if n > len(avail):
+        raise ValueError(f"mesh {shape} needs {n} devices, have {len(avail)}")
+    devices = np.array(avail[:n]).reshape(sizes)
     return Mesh(devices, tuple(shape.keys()))
 
 

@@ -19,14 +19,26 @@ from typing import Sequence
 import numpy as np
 
 
-def initialize(coordinator_address=None, num_processes=None, process_id=None):
+def initialize(coordinator_address=None, num_processes=None, process_id=None,
+               auto_detect: bool = False):
     """Initialize jax.distributed. MUST be the first JAX-related call in the
     process (jax.distributed.initialize refuses to run after the XLA backend
-    has started). No-op when no coordinator is configured (single-process) or
-    when already initialized."""
+    has started). No-op when already initialized or when no coordinator is
+    configured (single-process).
+
+    auto_detect=True forwards a no-arg call to jax.distributed.initialize so
+    jax's own cluster detection (TPU pod metadata, SLURM, GKE) can run —
+    without it an unconfigured environment is treated as single-process.
+    """
     import jax
 
-    if coordinator_address is None and not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return  # documented no-op on re-initialization
+    if (
+        coordinator_address is None
+        and not os.environ.get("JAX_COORDINATOR_ADDRESS")
+        and not auto_detect
+    ):
         return  # single-process run: nothing to do
     try:
         jax.distributed.initialize(
@@ -35,7 +47,9 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        # jax wording: "distributed.initialize should only be called once."
+        if "already" not in msg and "once" not in msg:
             raise
 
 
@@ -64,11 +78,15 @@ def _allgather_i64(arr: np.ndarray) -> np.ndarray:
 def allreduce_tables(counter) -> None:
     """Merge a counter's host-side counts across all processes, in place.
 
-    TransitionCounter / ShardedTransitionCounter (dense int64 host tables):
-    one exact allgather + host sum per lag. KmerShardedTransitionCounter
-    (sparse host accumulator): the consolidated (key, count) pairs are
-    length-padded, allgathered, and re-consolidated, so every host ends with
-    the global sparse counts. Exact in int64 either way.
+    IDEMPOTENT and streaming-safe: only the counts accumulated since the
+    previous allreduce (the per-host DELTA) cross the wire, so calling this
+    once per flush — or repeatedly at the end — never double-counts
+    previously merged totals. After every call each host holds the global
+    counts. Exact in int64.
+
+    TransitionCounter / ShardedTransitionCounter: dense delta allgather +
+    sum per lag. KmerShardedTransitionCounter: sparse (key, count) deltas,
+    length-padded and allgathered.
     """
     import jax
 
@@ -78,24 +96,47 @@ def allreduce_tables(counter) -> None:
 
     counter.flush()
     if hasattr(counter, "_sparse"):
+        baselines = getattr(counter, "_allreduce_baseline", None)
+        if baselines is None:
+            baselines = counter._allreduce_baseline = {}
         for l in counter.lags:
             keys, vals = counter._consolidated(l)
+            b_keys, b_vals = baselines.get(
+                l, (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            )
+            # local delta: counts only grow, and baseline keys are a subset
+            # of the current keys, so subtract baseline values in place.
+            d_vals = vals.copy()
+            if len(b_keys):
+                pos = np.searchsorted(keys, b_keys)
+                d_vals[pos] -= b_vals
+            nz = d_vals > 0
+            d_keys, d_vals = keys[nz], d_vals[nz]
             n_all = np.asarray(
                 multihost_utils.process_allgather(
-                    np.array([len(keys)], np.uint32)
+                    np.array([len(d_keys)], np.uint32)
                 )
             ).reshape(-1)
             n_max = int(n_all.max())
             pad = lambda a: np.pad(a, (0, n_max - len(a)))
-            keys_all = _allgather_i64(pad(keys))
-            vals_all = _allgather_i64(pad(vals))
-            parts = [
+            keys_all = _allgather_i64(pad(d_keys))
+            vals_all = _allgather_i64(pad(d_vals))
+            parts = [(b_keys, b_vals)] if len(b_keys) else []
+            parts += [
                 (keys_all[p, : n_all[p]], vals_all[p, : n_all[p]])
                 for p in range(len(n_all))
                 if n_all[p]
             ]
             counter._sparse[l] = parts
+            counter._consolidated_lags.discard(l)
+            baselines[l] = counter._consolidated(l)
         return
+    baselines = getattr(counter, "_allreduce_baseline", None)
+    if baselines is None:
+        baselines = counter._allreduce_baseline = {}
     for l in counter.lags:
+        base = baselines.get(l, 0)
+        delta = counter._host[l] - base
         # [process_count, table] on every host, summed exactly in int64.
-        counter._host[l] = _allgather_i64(counter._host[l]).sum(axis=0)
+        counter._host[l] = base + _allgather_i64(delta).sum(axis=0)
+        baselines[l] = counter._host[l].copy()

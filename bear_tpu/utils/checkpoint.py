@@ -23,8 +23,12 @@ def save_results(out_folder: str, params_list: List[np.ndarray], extra: Optional
     if extra:
         payload.update(extra)
     path = os.path.join(out_folder, "results.pickle")
-    with open(path, "wb") as fh:
+    # Atomic replace: a crash mid-dump must not destroy the previous good
+    # checkpoint (open('wb') truncates immediately).
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
         pickle.dump(payload, fh)
+    os.replace(tmp, path)
     return path
 
 

@@ -33,8 +33,7 @@ def write_eval_results(config, out_folder, prefix, out):
     config["results"][f"{prefix}accuracy_BEAR"] = str(float(acc_ear))
     config["results"][f"{prefix}accuracy_AR"] = str(float(acc_ar))
     config["results"][f"{prefix}accuracy_BMM"] = json.dumps(np.asarray(acc_van).tolist())
-    with open(os.path.join(out_folder, "config.cfg"), "w") as cw:
-        config.write(cw)
+    write_config(config, out_folder)
 
 
 def write_config(config, out_folder):

@@ -110,7 +110,10 @@ class RunConfig:
     @classmethod
     def read(cls, path: str) -> tuple["RunConfig", configparser.ConfigParser]:
         config = configparser.ConfigParser()
-        config.read(path)
+        if not config.read(path):
+            # configparser.read silently ignores unreadable files; the
+            # resulting KeyError('general') would hide the real problem
+            raise FileNotFoundError(f"config file not found/unreadable: {path}")
         if "results" not in config:
             config["results"] = {}
         return cls.from_configparser(config), config
