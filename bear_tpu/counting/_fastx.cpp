@@ -15,6 +15,10 @@
 #include <string>
 #include <vector>
 
+#ifdef BEAR_HAS_ZLIB
+#include <zlib.h>
+#endif
+
 namespace {
 
 struct Parsed {
@@ -44,10 +48,38 @@ void append_encoded(Parsed* out, const char* s, size_t n) {
   }
 }
 
-bool read_line(FILE* f, std::string& line) {
+// Line source over either stdio or zlib. With BEAR_HAS_ZLIB the file is
+// opened through gzopen, which reads gzip members transparently and passes
+// plain files through unchanged — one code path for .fastq and .fastq.gz.
+struct Stream {
+#ifdef BEAR_HAS_ZLIB
+  gzFile f = nullptr;
+  bool open(const char* path) {
+    f = gzopen(path, "rb");
+    if (f) gzbuffer(f, 1 << 20);
+    return f != nullptr;
+  }
+  void close() {
+    if (f) gzclose(f);
+  }
+  char* gets(char* buf, int n) { return gzgets(f, buf, n); }
+#else
+  FILE* f = nullptr;
+  bool open(const char* path) {
+    f = fopen(path, "rb");
+    return f != nullptr;
+  }
+  void close() {
+    if (f) fclose(f);
+  }
+  char* gets(char* buf, int n) { return fgets(buf, n, f); }
+#endif
+};
+
+bool read_line(Stream& f, std::string& line) {
   line.clear();
   char buf[1 << 16];
-  while (fgets(buf, sizeof(buf), f)) {
+  while (f.gets(buf, sizeof(buf))) {
     size_t n = strlen(buf);
     bool eol = n > 0 && buf[n - 1] == '\n';
     if (eol) --n;
@@ -58,7 +90,7 @@ bool read_line(FILE* f, std::string& line) {
   return !line.empty();
 }
 
-Parsed* parse_fasta(FILE* f) {
+Parsed* parse_fasta(Stream& f) {
   auto* out = new Parsed();
   out->offsets.push_back(0);
   std::string line;
@@ -76,7 +108,7 @@ Parsed* parse_fasta(FILE* f) {
   return out;
 }
 
-Parsed* parse_fastq(FILE* f) {
+Parsed* parse_fastq(Stream& f) {
   auto* out = new Parsed();
   out->offsets.push_back(0);
   std::string header, seq, plus, qual;
@@ -98,11 +130,20 @@ extern "C" {
 // Parse a file. type: 0 = fasta, 1 = fastq. Returns an opaque handle
 // (nullptr on failure to open).
 void* bear_fastx_parse(const char* path, int type) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return nullptr;
+  Stream f;
+  if (!f.open(path)) return nullptr;
   Parsed* out = type == 1 ? parse_fastq(f) : parse_fasta(f);
-  fclose(f);
+  f.close();
   return out;
+}
+
+// 1 when the library was built against zlib (gzip inputs read natively).
+int bear_fastx_supports_gzip(void) {
+#ifdef BEAR_HAS_ZLIB
+  return 1;
+#else
+  return 0;
+#endif
 }
 
 int64_t bear_fastx_num_seqs(void* handle) {

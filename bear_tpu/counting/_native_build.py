@@ -43,6 +43,10 @@ class NativeFastx:
                 ctypes.c_int64,                  # n_cols
                 ctypes.c_char_p,                 # out buffer
             ]
+        self.supports_gzip = bool(
+            hasattr(lib, "bear_fastx_supports_gzip")
+            and lib.bear_fastx_supports_gzip()
+        )
         self._has_fill = hasattr(lib, "bear_fill_chunks")
         if self._has_fill:
             lib.bear_fill_chunks.restype = None
@@ -136,16 +140,16 @@ def build(force: bool = False) -> str | None:
     so = _so_path()
     if not force and os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so, src],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return so
-    except Exception:
-        return None
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so, src]
+    # Preferred build links zlib for transparent gzip input; fall back to a
+    # plain build (gzip files then route through the Python gzip path).
+    for cmd in (base + ["-DBEAR_HAS_ZLIB", "-lz"], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return so
+        except Exception:
+            continue
+    return None
 
 
 def load() -> NativeFastx | None:

@@ -57,9 +57,28 @@ def encode_seq(seq: str, alphabet: str = "dna") -> np.ndarray:
     return _encode_table(alphabet)[buf]
 
 
+def is_gzip(path: str) -> bool:
+    """True for gzip inputs, detected by magic bytes (suffix-independent)."""
+    try:
+        with open(path, "rb") as fh:
+            return fh.read(2) == b"\x1f\x8b"
+    except OSError:
+        return False
+
+
+def _open_text(path: str):
+    """Open a possibly-gzipped text file for reading (new capability: the
+    reference's stage 1 requires uncompressed input — summarize.py:201)."""
+    if is_gzip(path):
+        import gzip
+
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
 def iter_fasta(path: str) -> Iterator[Tuple[str, str]]:
     name, parts = None, []
-    with open(path, "r") as fh:
+    with _open_text(path) as fh:
         for line in fh:
             line = line.rstrip("\r\n")  # CRLF-safe: '\r' would encode as 'A'
             if not line:
@@ -75,7 +94,7 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, str]]:
 
 
 def iter_fastq(path: str) -> Iterator[Tuple[str, str]]:
-    with open(path, "r") as fh:
+    with _open_text(path) as fh:
         while True:
             header = fh.readline()
             if not header:
@@ -131,7 +150,7 @@ def stream_encoded(
     encodes DNA only; other alphabets use the NumPy LUT encoder."""
     native = _native() if alphabet == "dna" else None
     for path, group, ftype in entries:
-        if native is not None:
+        if native is not None and (native.supports_gzip or not is_gzip(path)):
             yield from native.stream_encoded(path, ftype, group)
         else:
             for _, seq in iter_seqs(path, ftype):

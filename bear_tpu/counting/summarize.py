@@ -80,25 +80,29 @@ def run_counting(
             lags=lags, n_groups=n_groups, method=method, alphabet=alphabet
         )
     native = fastx._native() if alphabet == "dna" else None
-    if native is not None:
-        # Production path: C++ parse+encode per file, then fully vectorized
-        # chunk packing — no per-read Python anywhere.
-        for path, group, ftype in entries:
+    for entry in entries:
+        path, group, ftype = entry
+        if native is not None and (
+            native.supports_gzip or not fastx.is_gzip(path)
+        ):
+            # Production path: C++ parse+encode per file (gzip decoded
+            # in-stream when the lib links zlib), then fully vectorized
+            # chunk packing — no per-read Python anywhere.
             codes_flat, offsets = native.parse(path, ftype)
             for chunk in engine.chunks_from_packed(
                 codes_flat, offsets, group, counter.max_lag,
                 batch_size, segment_len, reverse=reverse,
             ):
                 counter.add_chunk(chunk)
-    else:
-        for chunk in engine.chunk_reads(
-            fastx.stream_encoded(entries, alphabet),
-            counter.max_lag,
-            batch_size,
-            segment_len,
-            reverse=reverse,
-        ):
-            counter.add_chunk(chunk)
+        else:
+            for chunk in engine.chunk_reads(
+                fastx.stream_encoded([entry], alphabet),
+                counter.max_lag,
+                batch_size,
+                segment_len,
+                reverse=reverse,
+            ):
+                counter.add_chunk(chunk)
     return counter
 
 

@@ -635,3 +635,62 @@ def test_check_summarize_protein_and_nf(tmp_path):
     with pytest.raises(ValueError, match="nothing to check"):
         check(str(csv_p), str(tmp_path / "o"), 2, reverse=False,
               alphabet="prot", skip_forward=True)
+
+
+def test_gzip_inputs_match_plain(tmp_path, monkeypatch):
+    # Transparent gzip input (new capability: the reference's stage 1 opens
+    # inputs with plain open(), summarize.py:201). Exercises all three
+    # routes: native+zlib, native-without-zlib (gz file falls back to the
+    # Python reader), and pure-Python.
+    import gzip
+
+    rng = np.random.default_rng(11)
+    fa_txt = "".join(f">s{i}\n{s}\n" for i, s in enumerate(random_seqs(rng, 4)))
+    fq_txt = "".join(
+        f"@q{i}\n{s}\n+\n{'F' * len(s)}\n" for i, s in enumerate(random_seqs(rng, 3))
+    )
+    (tmp_path / "a.fa").write_text(fa_txt)
+    (tmp_path / "b.fq").write_text(fq_txt)
+    with gzip.open(tmp_path / "a.fa.gz", "wt") as fh:
+        fh.write(fa_txt)
+    with gzip.open(tmp_path / "b.fq.gz", "wt") as fh:
+        fh.write(fq_txt)
+
+    assert fastx.is_gzip(str(tmp_path / "a.fa.gz"))
+    assert not fastx.is_gzip(str(tmp_path / "a.fa"))
+    assert list(fastx.iter_fasta(str(tmp_path / "a.fa.gz"))) == list(
+        fastx.iter_fasta(str(tmp_path / "a.fa"))
+    )
+    assert list(fastx.iter_fastq(str(tmp_path / "b.fq.gz"))) == list(
+        fastx.iter_fastq(str(tmp_path / "b.fq"))
+    )
+
+    def write_csv(name, files):
+        p = tmp_path / name
+        p.write_text("\n".join(f"{tmp_path / f},{g},{t}" for f, g, t in files) + "\n")
+        return str(p)
+
+    csv_plain = write_csv("plain.csv", [("a.fa", 0, "fa"), ("b.fq", 1, "fq")])
+    csv_gz = write_csv("gz.csv", [("a.fa.gz", 0, "fa"), ("b.fq.gz", 1, "fq")])
+
+    from bear_tpu.counting.summarize import run_counting
+
+    max_lag = 4
+    ref_tables = run_counting(csv_plain, lags=range(1, max_lag + 1)).tables
+
+    def assert_same(counter):
+        for l in range(1, max_lag + 1):
+            np.testing.assert_array_equal(counter.tables[l], ref_tables[l])
+
+    assert_same(run_counting(csv_gz, lags=range(1, max_lag + 1)))
+
+    native = fastx._native()
+    if native is not None:
+        # Simulate a zlib-less native build: gz files must fall back to the
+        # Python reader while plain files keep the native path.
+        monkeypatch.setattr(native, "supports_gzip", False)
+        assert_same(run_counting(csv_gz, lags=range(1, max_lag + 1)))
+        monkeypatch.undo()
+
+    monkeypatch.setattr(fastx, "_NATIVE", False)  # pure-Python route
+    assert_same(run_counting(csv_gz, lags=range(1, max_lag + 1)))
