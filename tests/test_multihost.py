@@ -192,3 +192,12 @@ def test_streaming_allreduce_idempotent(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "OK" in out, out
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+def test_multihost_counting_example():
+    # The user-facing N-host harness end to end (2 procs, tiny synthetic set).
+    import examples.multihost_counting as mh
+
+    assert mh.main(["--nproc", "2", "--lag", "2",
+                    "--reads-per-file", "50", "--read-len", "30"]) == 0
