@@ -365,7 +365,20 @@ def test_native_parser_matches_python(tmp_path):
     fa.write_text(">a desc\nACGTNacgt\nGGG\n>b\nTTTT\n")
     fq = tmp_path / "x.fq"
     fq.write_text("@a\nACGT\n+\nFFFF\n@b\nGG\n+\nFF\n")
-    for path, ftype in [(fa, "fa"), (fq, "fq")]:
+    # CRLF (Windows-edited inputs) and gzip variants of the same records.
+    fa_crlf = tmp_path / "crlf.fa"
+    fa_crlf.write_bytes(fa.read_text().replace("\n", "\r\n").encode())
+    import gzip as _gzip
+
+    fq_gz = tmp_path / "x.fq.gz"
+    with _gzip.open(fq_gz, "wt") as fh:
+        fh.write(fq.read_text())
+    gz_cases = (
+        [(fq_gz, "fq")]
+        if getattr(native, "supports_gzip", False)
+        else []
+    )
+    for path, ftype in [(fa, "fa"), (fq, "fq"), (fa_crlf, "fa")] + gz_cases:
         via_native = list(native.stream_encoded(str(path), ftype, 7))
         via_python = [
             (fastx.encode_seq(seq), 7) for _, seq in fastx.iter_seqs(str(path), ftype)
