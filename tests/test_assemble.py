@@ -90,3 +90,29 @@ def test_bear_mode_and_map(tmp_path):
     # MAP mode: all replicas may still differ via Gumbel sampling of the same
     # MAP distribution, but sequences are valid ACGT strings of right length.
     assert all(len(s) == 12 and set(s) <= set("ACGT") for s in gen_map[0])
+
+
+def test_assemble_cli_end_to_end(tmp_path):
+    # CLI: count a toy read set (reverse=True), BMM-extend seeds, write
+    # fasta + entropy outputs.
+    import os
+
+    from bear_tpu.inference.assemble_cli import main as cli_main
+
+    reads = tmp_path / "reads.fa"
+    reads.write_text(">r0\nACGTACGTACGT\n>r1\nTTGACCGTAACG\n")
+    (tmp_path / "in.csv").write_text(f"{reads},0,fa\n")
+    seeds = tmp_path / "seeds.fa"
+    seeds.write_text(">s0\nACGT\n")
+    out = tmp_path / "gen"
+    rc = cli_main([str(seeds), "--counts-csv", str(tmp_path / "in.csv"),
+                   "--van", "0.5", "--lag", "2", "--right", "15",
+                   "--num", "3", "--out", str(out)])
+    assert rc == 0
+    fastas = [f for f in os.listdir(out) if f.endswith((".fa", ".fasta"))]
+    assert fastas, os.listdir(out)
+    from bear_tpu.counting import fastx
+
+    gen = list(fastx.iter_fasta(os.path.join(out, fastas[0])))
+    assert len(gen) == 3
+    assert all(s.startswith("ACGT") and len(s) == 4 + 15 for _, s in gen)
