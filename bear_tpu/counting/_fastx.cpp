@@ -63,6 +63,15 @@ struct Stream {
     if (f) gzclose(f);
   }
   char* gets(char* buf, int n) { return gzgets(f, buf, n); }
+  // gzgets returns NULL for both EOF and errors; a truncated gzip member
+  // reports Z_BUF_ERROR ("unexpected end of file") and a corrupt one
+  // Z_DATA_ERROR — without this check they would parse as silently shorter
+  // files (the Python gzip fallback raises on the same inputs).
+  bool ok() {
+    int errnum = Z_OK;
+    gzerror(f, &errnum);
+    return errnum == Z_OK || errnum == Z_STREAM_END;
+  }
 #else
   FILE* f = nullptr;
   bool open(const char* path) {
@@ -73,8 +82,13 @@ struct Stream {
     if (f) fclose(f);
   }
   char* gets(char* buf, int n) { return fgets(buf, n, f); }
+  bool ok() { return !ferror(f); }
 #endif
 };
+
+// Why the last bear_fastx_parse returned nullptr: 0 none, 1 open failure,
+// 2 read/decode error (truncated or corrupt input).
+thread_local int g_last_error = 0;
 
 bool read_line(Stream& f, std::string& line) {
   line.clear();
@@ -130,12 +144,24 @@ extern "C" {
 // Parse a file. type: 0 = fasta, 1 = fastq. Returns an opaque handle
 // (nullptr on failure to open).
 void* bear_fastx_parse(const char* path, int type) {
+  g_last_error = 0;
   Stream f;
-  if (!f.open(path)) return nullptr;
+  if (!f.open(path)) {
+    g_last_error = 1;
+    return nullptr;
+  }
   Parsed* out = type == 1 ? parse_fastq(f) : parse_fasta(f);
+  bool ok = f.ok();
   f.close();
+  if (!ok) {
+    delete out;
+    g_last_error = 2;
+    return nullptr;
+  }
   return out;
 }
+
+int bear_fastx_last_error(void) { return g_last_error; }
 
 // 1 when the library was built against zlib (gzip inputs read natively).
 int bear_fastx_supports_gzip(void) {

@@ -47,6 +47,9 @@ class NativeFastx:
             hasattr(lib, "bear_fastx_supports_gzip")
             and lib.bear_fastx_supports_gzip()
         )
+        if hasattr(lib, "bear_fastx_last_error"):
+            lib.bear_fastx_last_error.restype = ctypes.c_int
+            lib.bear_fastx_last_error.argtypes = []
         self._has_fill = hasattr(lib, "bear_fill_chunks")
         if self._has_fill:
             lib.bear_fill_chunks.restype = None
@@ -65,6 +68,13 @@ class NativeFastx:
         t = 1 if file_type == "fq" else 0
         handle = self.lib.bear_fastx_parse(path.encode(), t)
         if not handle:
+            err = (self.lib.bear_fastx_last_error()
+                   if hasattr(self.lib, "bear_fastx_last_error") else 1)
+            if err == 2:
+                raise OSError(
+                    f"read/decode error in {path!r} (truncated or corrupt "
+                    "input — e.g. an incomplete .gz)"
+                )
             raise FileNotFoundError(path)
         try:
             n = self.lib.bear_fastx_num_seqs(handle)

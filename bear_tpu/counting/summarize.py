@@ -28,6 +28,48 @@ import numpy as np
 from bear_tpu.counting import engine, fastx
 
 
+def iter_chunks(entries, max_lag: int, batch_size: int = 1024,
+                segment_len: int = 1 << 16, reverse: bool = False,
+                alphabet: str = "dna", stats: dict | None = None):
+    """Yield ReadChunks over FILE,GROUP,TYPE ``entries`` — the one place that
+    routes files between the native parser and the Python fallback.
+
+    Native-capable files (DNA, and gzip only when the lib links zlib) go
+    through the C++ parse + vectorized chunk packing per file; everything
+    else is batched through ONE Python-reader stream so small files share
+    padded chunks. ``stats`` (optional dict) accumulates ``bases``/``reads``
+    across all files.
+    """
+    native = fastx._native() if alphabet == "dna" else None
+    fallback = []
+    for entry in entries:
+        path, group, ftype = entry
+        if native is not None and (
+            native.supports_gzip or not fastx.is_gzip(path)
+        ):
+            codes_flat, offsets = native.parse(path, ftype)
+            if stats is not None:
+                stats["bases"] = stats.get("bases", 0) + len(codes_flat)
+                stats["reads"] = stats.get("reads", 0) + len(offsets) - 1
+            yield from engine.chunks_from_packed(
+                codes_flat, offsets, group, max_lag,
+                batch_size, segment_len, reverse=reverse,
+            )
+        else:
+            fallback.append(entry)
+    if fallback:
+        def _stream():
+            for arr, group in fastx.stream_encoded(fallback, alphabet):
+                if stats is not None:
+                    stats["bases"] = stats.get("bases", 0) + len(arr)
+                    stats["reads"] = stats.get("reads", 0) + 1
+                yield arr, group
+
+        yield from engine.chunk_reads(
+            _stream(), max_lag, batch_size, segment_len, reverse=reverse,
+        )
+
+
 def run_counting(
     input_csv: str,
     lags,
@@ -79,30 +121,9 @@ def run_counting(
         counter = engine.TransitionCounter(
             lags=lags, n_groups=n_groups, method=method, alphabet=alphabet
         )
-    native = fastx._native() if alphabet == "dna" else None
-    for entry in entries:
-        path, group, ftype = entry
-        if native is not None and (
-            native.supports_gzip or not fastx.is_gzip(path)
-        ):
-            # Production path: C++ parse+encode per file (gzip decoded
-            # in-stream when the lib links zlib), then fully vectorized
-            # chunk packing — no per-read Python anywhere.
-            codes_flat, offsets = native.parse(path, ftype)
-            for chunk in engine.chunks_from_packed(
-                codes_flat, offsets, group, counter.max_lag,
-                batch_size, segment_len, reverse=reverse,
-            ):
-                counter.add_chunk(chunk)
-        else:
-            for chunk in engine.chunk_reads(
-                fastx.stream_encoded([entry], alphabet),
-                counter.max_lag,
-                batch_size,
-                segment_len,
-                reverse=reverse,
-            ):
-                counter.add_chunk(chunk)
+    for chunk in iter_chunks(entries, counter.max_lag, batch_size,
+                             segment_len, reverse=reverse, alphabet=alphabet):
+        counter.add_chunk(chunk)
     return counter
 
 

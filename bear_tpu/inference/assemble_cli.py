@@ -76,6 +76,13 @@ def main(argv=None) -> int:
     from bear_tpu.counting.summarize import run_counting
     from bear_tpu.inference.assemble import assemble_no_ends
 
+    entries = fastx.read_input_csv(args.counts_csv)
+    n_groups = max(group for _, group, _ in entries) + 1
+    if not 0 <= args.group < n_groups:
+        raise SystemExit(
+            f"--group {args.group} out of range: {args.counts_csv} defines "
+            f"groups 0..{n_groups - 1}"
+        )
     counter = run_counting(args.counts_csv, lags=[lag], reverse=True,
                            alphabet=alphabet_name)
     table = counter.tables[lag][args.group]

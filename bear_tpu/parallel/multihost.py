@@ -75,6 +75,18 @@ def _allgather_i64(arr: np.ndarray) -> np.ndarray:
     return (hi_all << 32) + lo_all
 
 
+def allreduce_sum_i64(arr) -> np.ndarray:
+    """Exact int64 sum of an array across all processes (every host gets the
+    total). Useful for count-conservation checks alongside
+    :func:`allreduce_tables`."""
+    import jax
+
+    arr = np.asarray(arr, dtype=np.int64)
+    if jax.process_count() == 1:
+        return arr
+    return _allgather_i64(arr).sum(axis=0)
+
+
 def allreduce_tables(counter) -> None:
     """Merge a counter's host-side counts across all processes, in place.
 

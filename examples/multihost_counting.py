@@ -54,7 +54,7 @@ def make_synthetic(workdir: str, n_files: int, reads_per_file: int,
                 qual = b"F" * read_len
                 for ri, row in enumerate(lut[codes]):
                     fh.write(b"@r%d\n%s\n+\n%s\n" % (ri, row.tobytes(), qual))
-            out.write(f"{path},0,fq\n")
+            out.write(f"{path},{fi % 2},fq\n")  # two count groups
     return csv
 
 
@@ -70,42 +70,38 @@ def worker(args) -> None:
                          num_processes=args.nproc, process_id=args.pid)
 
     from bear_tpu.counting import engine, fastx
+    from bear_tpu.counting.summarize import iter_chunks
 
     entries = fastx.read_input_csv(args.csv)
     mine = multihost.host_shard(entries)
-    lags = range(1, args.lag + 1)
-    counter = engine.TransitionCounter(lags=lags, n_groups=1)
+    n_groups = max(group for _, group, _ in entries) + 1  # global, all ranks
+    counter = engine.TransitionCounter(lags=range(1, args.lag + 1),
+                                       n_groups=n_groups)
+    stats = {"bases": 0, "reads": 0}
     t0 = time.time()
-    native = fastx._native()
-    local_bases = 0
-    for path, group, ftype in mine:
-        if native is not None and (native.supports_gzip or not fastx.is_gzip(path)):
-            codes_flat, offsets = native.parse(path, ftype)
-            local_bases += len(codes_flat)
-            for chunk in engine.chunks_from_packed(
-                codes_flat, offsets, group, counter.max_lag, 1024, 1 << 16
-            ):
-                counter.add_chunk(chunk)
-        else:
-            for chunk in engine.chunk_reads(
-                fastx.stream_encoded([(path, group, ftype)]), counter.max_lag, 1024
-            ):
-                counter.add_chunk(chunk)
+    for chunk in iter_chunks(mine, counter.max_lag, stats=stats):
+        counter.add_chunk(chunk)
     count_s = time.time() - t0
     t0 = time.time()
     multihost.allreduce_tables(counter)
     merge_s = time.time() - t0
 
+    # Count conservation: at every lag each read of length n emits n+1
+    # transitions (n next-base + 1 stop), short reads included.
+    g_bases, g_reads = multihost.allreduce_sum_i64(
+        [stats["bases"], stats["reads"]]
+    )
+    expected = int(g_bases + g_reads)
+    counter.validate(expected_transitions=expected)
+
     totals = {l: int(t.sum()) for l, t in counter.tables.items()}
     if args.pid == 0:
-        n_transitions = sum(totals.values())
         print(f"[rank 0] hosts={args.nproc} lags=1..{args.lag} "
-              f"global transitions={n_transitions}")
+              f"global transitions={sum(totals.values())} "
+              f"(= {expected}/lag, conservation verified)")
         print(f"[rank 0] local count {count_s:.2f}s, table merge {merge_s:.2f}s")
-        print(f"[rank 0] local feed {local_bases / max(count_s, 1e-9) / 1e6:.1f} "
+        print(f"[rank 0] local feed {stats['bases'] / max(count_s, 1e-9) / 1e6:.1f} "
               f"Mbases/s; aggregate ~{args.nproc}x with balanced shards")
-    # every rank holds identical globals after the allreduce
-    counter.validate(expected_transitions=None)
     print(f"[rank {args.pid}] OK totals={totals}")
 
 
@@ -122,7 +118,8 @@ def launch(args) -> int:
         env["JAX_PLATFORMS"] = "cpu"
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
            "--csv", csv, "--lag", str(args.lag), "--nproc", str(args.nproc),
-           "--coordinator", f"127.0.0.1:{port}"] + (["--cpu"] if args.cpu else [])
+           "--coordinator", f"127.0.0.1:{port}",
+           "--cpu" if args.cpu else "--no-cpu"]
     procs = [subprocess.Popen(cmd + ["--pid", str(i)], env=env)
              for i in range(args.nproc)]
     try:
@@ -131,7 +128,8 @@ def launch(args) -> int:
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    return max(codes)
+    # signal-killed workers have NEGATIVE returncodes; any nonzero is failure
+    return 0 if all(c == 0 for c in codes) else 1
 
 
 def main(argv=None) -> int:
@@ -145,9 +143,10 @@ def main(argv=None) -> int:
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--timeout", type=int, default=900)
-    ap.add_argument("--cpu", action="store_true", default=True,
-                    help="run on host CPU devices (default; TPU pods pass "
-                         "real coordinator/pid per host instead)")
+    ap.add_argument("--cpu", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="run on host CPU devices (default; --no-cpu keeps "
+                         "each host's own accelerators, for real pod runs)")
     ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--pid", type=int, default=0, help=argparse.SUPPRESS)

@@ -707,3 +707,24 @@ def test_gzip_inputs_match_plain(tmp_path, monkeypatch):
 
     monkeypatch.setattr(fastx, "_NATIVE", False)  # pure-Python route
     assert_same(run_counting(csv_gz, lags=range(1, max_lag + 1)))
+
+
+def test_gzip_truncated_raises(tmp_path):
+    # A truncated .gz must fail loudly on every route, not parse as a
+    # silently shorter file.
+    import gzip
+
+    rng = np.random.default_rng(5)
+    fq_txt = "".join(
+        f"@q{i}\n{s}\n+\n{'F' * len(s)}\n" for i, s in enumerate(random_seqs(rng, 200))
+    )
+    blob = gzip.compress(fq_txt.encode())
+    bad = tmp_path / "trunc.fq.gz"
+    bad.write_bytes(blob[: len(blob) // 2])
+
+    native = fastx._native()
+    if native is not None and native.supports_gzip:
+        with pytest.raises(OSError, match="truncated or corrupt"):
+            native.parse(str(bad), "fq")
+    with pytest.raises(EOFError):
+        list(fastx.iter_fastq(str(bad)))
