@@ -41,22 +41,37 @@ def iter_chunks(entries, max_lag: int, batch_size: int = 1024,
     across all files.
     """
     native = fastx._native() if alphabet == "dna" else None
-    fallback = []
+    native_entries, fallback = [], []
     for entry in entries:
-        path, group, ftype = entry
+        path, _, _ = entry
         if native is not None and (
             native.supports_gzip or not fastx.is_gzip(path)
         ):
-            codes_flat, offsets = native.parse(path, ftype)
-            if stats is not None:
-                stats["bases"] = stats.get("bases", 0) + len(codes_flat)
-                stats["reads"] = stats.get("reads", 0) + len(offsets) - 1
-            yield from engine.chunks_from_packed(
-                codes_flat, offsets, group, max_lag,
-                batch_size, segment_len, reverse=reverse,
-            )
+            native_entries.append(entry)
         else:
             fallback.append(entry)
+    if native_entries:
+        # Depth-1 prefetch: the NEXT file parses (C++, GIL released — gzip
+        # inflate included) while this file's chunks pack and dispatch, so
+        # parse latency hides behind device work. Holds at most two files'
+        # codes in host RAM.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(native.parse, native_entries[0][0],
+                              native_entries[0][2])
+            for i, (path, group, ftype) in enumerate(native_entries):
+                codes_flat, offsets = fut.result()
+                if i + 1 < len(native_entries):
+                    fut = pool.submit(native.parse, native_entries[i + 1][0],
+                                      native_entries[i + 1][2])
+                if stats is not None:
+                    stats["bases"] = stats.get("bases", 0) + len(codes_flat)
+                    stats["reads"] = stats.get("reads", 0) + len(offsets) - 1
+                yield from engine.chunks_from_packed(
+                    codes_flat, offsets, group, max_lag,
+                    batch_size, segment_len, reverse=reverse,
+                )
     if fallback:
         def _stream():
             for arr, group in fastx.stream_encoded(fallback, alphabet):
