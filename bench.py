@@ -242,6 +242,40 @@ def bench_loggamma():
     return dict(samples_per_sec=n * concs.size / dt)
 
 
+def bench_serving():
+    """BearServer on-device batch scoring (beyond-reference capability):
+    MAP log-probs, lag 10, 256 bp sequences, batch 4096, BMM posterior."""
+    from bear_tpu.counting.engine import table_rows
+    from bear_tpu.inference.serving import BearServer
+
+    lag, B, L = 10, 4096, 256
+    rng = np.random.default_rng(0)
+    table = rng.poisson(0.05, size=(table_rows(lag), 5)).astype(np.float32)
+    server = BearServer(table, lag, van=0.5, dtype=jnp.float32)
+    codes = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8))
+    lengths = jnp.full((B,), L, jnp.int32)
+
+    REPS = 8  # one scanned region >> per-dispatch tunnel variance
+
+    @jax.jit
+    def score_many(table_arr, codes, lengths):
+        def body(acc, _):
+            return acc + jnp.sum(server._map_fn(table_arr, codes, lengths)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
+        return acc
+
+    acc = score_many(server._table, codes, lengths)  # compile
+    _ = float(acc)  # fetch barrier
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = score_many(server._table, codes, lengths)
+        _ = float(acc)
+        dt = min(dt, time.perf_counter() - t0)
+    return dict(seqs_per_sec=REPS * B / dt, bases_per_sec=REPS * B * L / dt)
+
+
 def _install_watchdog(seconds: int):
     """Emit the JSON line with an error and exit if the whole bench exceeds
     `seconds` — a wedged device tunnel otherwise hangs jax.devices() forever
@@ -299,6 +333,10 @@ def main():
     except Exception as e:
         results["assemble_error"] = repr(e)
     try:
+        results["serving"] = bench_serving()
+    except Exception as e:
+        results["serving_error"] = repr(e)
+    try:
         results["ysd1"] = bench_ysd1_train()
     except Exception as e:
         results["ysd1_error"] = repr(e)
@@ -316,6 +354,7 @@ def main():
         "loggamma_samples_per_sec": round((results.get("loggamma") or {}).get("samples_per_sec", 0.0)),
         "host_pack_mbases_per_sec": round((results.get("host_pack") or {}).get("mbases_per_sec", 0.0)),
         "assemble_letters_per_sec": round((results.get("assemble") or {}).get("letters_per_sec", 0.0)),
+        "serving_map_seqs_per_sec": round((results.get("serving") or {}).get("seqs_per_sec", 0.0)),
         "bmm_heldout_perplexity": ysd1.get("bmm_heldout_perplexity"),
         "bear_heldout_perplexity": ysd1.get("bear_heldout_perplexity"),
         "learned_h": ysd1.get("h"),
@@ -323,7 +362,8 @@ def main():
         "device": str(jax.devices()[0]),
     }
     for k in ("lag13_error", "counting_error", "loggamma_error",
-              "host_pack_error", "assemble_error", "ysd1_error"):
+              "host_pack_error", "assemble_error", "serving_error",
+              "ysd1_error"):
         if k in results:
             line[k] = results[k]
     print(json.dumps(line))
