@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import os
 
 import numpy as np
 
@@ -94,6 +95,7 @@ def run_counting(
     method: str = "auto",
     kmer_shards: int = 1,
     alphabet: str = "dna",
+    checkpoint: str | None = None,
 ):
     """Count transitions for all requested lags over the input file set.
     Returns an engine.TransitionCounter, or a
@@ -108,6 +110,10 @@ def run_counting(
     beyond one chip's HBM/int32 range.
     alphabet: 'dna' (default), 'rna', or 'prot' — protein counting is a
     capability the reference's DNA-only KMC pipeline lacks.
+    checkpoint: optional path; counts checkpoint after every completed
+    input file and a re-run resumes from the last finished file (elastic
+    recovery for genome-scale jobs — the reference can only restart whole
+    summarize stages, summarize.py -s12/-s3). Atomic (write + rename).
     """
     if reverse and alphabet not in ("dna", "rna"):
         raise ValueError("-r (reverse complement) requires a 4-letter alphabet")
@@ -136,9 +142,50 @@ def run_counting(
         counter = engine.TransitionCounter(
             lags=lags, n_groups=n_groups, method=method, alphabet=alphabet
         )
-    for chunk in iter_chunks(entries, counter.max_lag, batch_size,
-                             segment_len, reverse=reverse, alphabet=alphabet):
-        counter.add_chunk(chunk)
+    if checkpoint is None:
+        for chunk in iter_chunks(entries, counter.max_lag, batch_size,
+                                 segment_len, reverse=reverse,
+                                 alphabet=alphabet):
+            counter.add_chunk(chunk)
+        return counter
+
+    if kmer_shards > 1:
+        raise ValueError("checkpoint is not supported with --kmer-shards > 1")
+    import json
+
+    ckpt = checkpoint if checkpoint.endswith(".npz") else checkpoint + ".npz"
+    files_json = ckpt + ".files.json"
+    done: set[str] = set()
+    if os.path.exists(ckpt) and os.path.exists(files_json):
+        counter = engine.TransitionCounter.load_state(ckpt)
+        if (tuple(counter.lags) != tuple(sorted(set(int(l) for l in lags)))
+                or counter.n_groups != n_groups
+                or counter.reverse != reverse
+                or counter.alphabet != alphabet):
+            raise ValueError(
+                f"checkpoint {ckpt} was written with different counting "
+                "parameters (lags/groups/reverse/alphabet); delete it or "
+                "use a fresh path"
+            )
+        with open(files_json) as fh:
+            done = set(json.load(fh))
+        print(f"resuming from {ckpt}: {len(done)} files already counted")
+    for entry in entries:
+        if entry[0] in done:
+            continue
+        # One file per stream: the file is the resume unit.
+        for chunk in iter_chunks([entry], counter.max_lag, batch_size,
+                                 segment_len, reverse=reverse,
+                                 alphabet=alphabet):
+            counter.add_chunk(chunk)
+        done.add(entry[0])
+        tmp = ckpt + ".tmp"
+        counter.save_state(tmp)  # save_state appends .npz
+        os.replace(tmp + ".npz", ckpt)
+        tmp_json = files_json + ".tmp"
+        with open(tmp_json, "w") as fh:
+            json.dump(sorted(done), fh)
+        os.replace(tmp_json, files_json)
     return counter
 
 
@@ -151,9 +198,12 @@ def compute_n_bin_bits(total_rows: int, n_groups: int, mf_gb: float) -> int:
 
 def run(args) -> int:
     print("Counting...", datetime.datetime.now())
+    ckpt = getattr(args, "checkpoint", None)
+    if ckpt and args.r:
+        ckpt += "_rev"  # the reverse pass is a separate counting job
     counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r,
                            method=args.method, kmer_shards=args.kmer_shards,
-                           alphabet=args.alphabet)
+                           alphabet=args.alphabet, checkpoint=ckpt)
     print("Writing...", datetime.datetime.now())
     # one dense-table scan per lag: reuse the rows for both the shard-count
     # heuristic and the export itself
@@ -219,6 +269,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--kmer-shards", default=1, type=int, dest="kmer_shards",
         help="Shard count tables over this many devices (tensor parallelism;"
              " needed for lag 14-15 tables beyond one chip).",
+    )
+    parser.add_argument(
+        "--checkpoint", default=None,
+        help="Checkpoint counts after every completed input file; a re-run "
+             "with the same flag resumes from the last finished file "
+             "(elastic recovery the reference's -s12/-s3 stage restarts "
+             "cannot do).",
     )
     return parser
 

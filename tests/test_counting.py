@@ -728,3 +728,41 @@ def test_gzip_truncated_raises(tmp_path):
             native.parse(str(bad), "fq")
     with pytest.raises(EOFError):
         list(fastx.iter_fastq(str(bad)))
+
+
+def test_counting_checkpoint_resume(tmp_path):
+    # --checkpoint: a job killed between files resumes from the last
+    # completed file and ends with exactly the full-run tables.
+    from bear_tpu.counting.summarize import run_counting
+
+    rng = np.random.default_rng(13)
+    csv_lines = []
+    all_seqs = []
+    for fi in range(3):
+        seqs = random_seqs(rng, 3)
+        all_seqs += [(s, fi % 2) for s in seqs]
+        p = tmp_path / f"f{fi}.fa"
+        p.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+        csv_lines.append(f"{p},{fi % 2},fa")
+    full_csv = tmp_path / "all.csv"
+    full_csv.write_text("\n".join(csv_lines) + "\n")
+    part_csv = tmp_path / "part.csv"
+    part_csv.write_text("\n".join(csv_lines[:2]) + "\n")
+
+    lag = 3
+    ckpt = str(tmp_path / "count.ckpt")
+    # "crash" after two files (simulated by only feeding two)...
+    run_counting(str(part_csv), lags=range(1, lag + 1), checkpoint=ckpt)
+    # ...then resume with the full file list: only f2 is recounted.
+    resumed = run_counting(str(full_csv), lags=range(1, lag + 1), checkpoint=ckpt)
+    oracle = brute_force_counts(all_seqs, lag, 2)
+    assert_tables_match(resumed, oracle, lag, 2)
+
+    # a second identical invocation is a no-op (all files done)
+    again = run_counting(str(full_csv), lags=range(1, lag + 1), checkpoint=ckpt)
+    assert_tables_match(again, oracle, lag, 2)
+
+    # mismatched parameters are refused
+    with pytest.raises(ValueError, match="different counting parameters"):
+        run_counting(str(full_csv), lags=range(1, lag + 1), reverse=True,
+                     checkpoint=ckpt)
