@@ -96,6 +96,7 @@ def run_counting(
     kmer_shards: int = 1,
     alphabet: str = "dna",
     checkpoint: str | None = None,
+    stats: dict | None = None,
 ):
     """Count transitions for all requested lags over the input file set.
     Returns an engine.TransitionCounter, or a
@@ -145,7 +146,7 @@ def run_counting(
     if checkpoint is None:
         for chunk in iter_chunks(entries, counter.max_lag, batch_size,
                                  segment_len, reverse=reverse,
-                                 alphabet=alphabet):
+                                 alphabet=alphabet, stats=stats):
             counter.add_chunk(chunk)
         return counter
 
@@ -170,13 +171,15 @@ def run_counting(
         with open(files_json) as fh:
             done = set(json.load(fh))
         print(f"resuming from {ckpt}: {len(done)} files already counted")
+        if stats is not None and done:
+            stats["partial"] = True  # resumed: stats won't cover old files
     for entry in entries:
         if entry[0] in done:
             continue
         # One file per stream: the file is the resume unit.
         for chunk in iter_chunks([entry], counter.max_lag, batch_size,
                                  segment_len, reverse=reverse,
-                                 alphabet=alphabet):
+                                 alphabet=alphabet, stats=stats):
             counter.add_chunk(chunk)
         done.add(entry[0])
         tmp = ckpt + ".tmp"
@@ -201,9 +204,21 @@ def run(args) -> int:
     ckpt = getattr(args, "checkpoint", None)
     if ckpt and args.r:
         ckpt += "_rev"  # the reverse pass is a separate counting job
+    stats = {"bases": 0, "reads": 0}
     counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r,
                            method=args.method, kmer_shards=args.kmer_shards,
-                           alphabet=args.alphabet, checkpoint=ckpt)
+                           alphabet=args.alphabet, checkpoint=ckpt, stats=stats)
+    # Count conservation: every read of length n emits n+1 transitions at
+    # every lag (x2 with -r). Skipped after a checkpoint resume (this run's
+    # stats don't cover the previously counted files).
+    if not stats.get("partial"):
+        # -r doubles counts in the READ STREAM (each read also emitted as its
+        # RC); the counter itself stays forward-only, so scale here.
+        expected = (stats["bases"] + stats["reads"]) * (2 if args.r else 1)
+        counter.validate(expected_transitions=expected)
+        print(f"Counted {stats['reads']} reads / {stats['bases']} bases "
+              f"({stats['bases'] + stats['reads']} transitions per lag"
+              f"{' x2 rc' if args.r else ''}; conservation verified)")
     print("Writing...", datetime.datetime.now())
     # one dense-table scan per lag: reuse the rows for both the shard-count
     # heuristic and the export itself
