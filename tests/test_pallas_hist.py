@@ -122,3 +122,21 @@ def test_kernel_negative_keys_dropped(interpret):
                                 group=256)
     )
     assert out.sum() == 6 and (out[:6] == 1).all()
+
+
+def test_sorted_window_update_int8_variant(interpret):
+    # int8 one-hot matmul variant (2x MXU peak on v5e) must be exact too.
+    import jax.numpy as jnp
+
+    from bear_tpu.counting import pallas_hist as ph
+
+    rng = np.random.default_rng(3)
+    total = ph.padded_size(5 * 4**6)
+    idx = rng.integers(0, 5 * 4**6, size=50_000).astype(np.int32)
+    ref = np.zeros(total, np.int64)
+    np.add.at(ref, idx, 1)
+    out = ph.sorted_window_update(
+        jnp.zeros(total, jnp.int32), jnp.asarray(idx),
+        group=512, window=4096, oh_dtype=jnp.int8,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
