@@ -116,3 +116,49 @@ def test_assemble_cli_end_to_end(tmp_path):
     gen = list(fastx.iter_fasta(os.path.join(out, fastas[0])))
     assert len(gen) == 3
     assert all(s.startswith("ACGT") and len(s) == 4 + 15 for _, s in gen)
+
+
+def test_assemble_cli_with_model_dir(tmp_path):
+    # CLI --model-dir route: train the TEST config model, then extend seeds
+    # under its BEAR posterior (exercises load_bear -> assemble end to end).
+    import configparser
+    import os
+
+    import pytest
+
+    from tests.conftest import reference_data_available
+
+    if not reference_data_available():
+        pytest.skip("reference data mount not available")
+
+    from bear_tpu.models import train_bear_net
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bear_tpu", "models", "config_files", "bear_test.cfg",
+    )
+    config = configparser.ConfigParser()
+    config.read(cfg_path)
+    config["general"]["out_folder"] = str(tmp_path / "model") + "*"
+    train_bear_net.main(config)
+    model_dir = config["results"]["out_folder"]
+
+    from bear_tpu.inference.assemble_cli import main as cli_main
+
+    reads = tmp_path / "reads.fa"
+    reads.write_text(">r0\nACGTACGTACGTACGT\n>r1\nTTGACCGTAACGGTCA\n")
+    (tmp_path / "in.csv").write_text(f"{reads},0,fa\n")
+    seeds = tmp_path / "seeds.fa"
+    seeds.write_text(">s0\nACGTACG\n")
+    out = tmp_path / "gen"
+    rc = cli_main([str(seeds), "--counts-csv", str(tmp_path / "in.csv"),
+                   "--model-dir", model_dir, "--right", "10",
+                   "--num", "2", "--out", str(out)])
+    assert rc == 0
+    fastas = [f for f in os.listdir(out) if f.endswith((".fa", ".fasta"))]
+    assert fastas
+    # --lag mismatch is refused upfront
+    with pytest.raises(SystemExit, match="model lag"):
+        cli_main([str(seeds), "--counts-csv", str(tmp_path / "in.csv"),
+                  "--model-dir", model_dir, "--lag", "2",
+                  "--out", str(tmp_path / "x")])
