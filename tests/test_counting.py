@@ -766,3 +766,60 @@ def test_counting_checkpoint_resume(tmp_path):
     with pytest.raises(ValueError, match="different counting parameters"):
         run_counting(str(full_csv), lags=range(1, lag + 1), reverse=True,
                      checkpoint=ckpt)
+
+
+def test_counting_fuzz_configurations(tmp_path):
+    # Randomized end-to-end sweep over configuration space: file formats
+    # (fa/fq, gz/plain), groups, non-contiguous lag sets, reverse, and
+    # segmentation — every combination must match the brute-force oracle.
+    import gzip
+
+    from bear_tpu.counting.summarize import run_counting
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        n_files = int(rng.integers(2, 5))
+        n_groups = int(rng.integers(1, 4))
+        lags = sorted(set(int(l) for l in rng.integers(1, 7, size=3)))
+        reverse = bool(rng.integers(0, 2))
+        seg = int(rng.choice([64, 1 << 16]))
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        csv_lines, all_seqs = [], []
+        for fi in range(n_files):
+            seqs = random_seqs(rng, int(rng.integers(1, 5)), lo=3, hi=120)
+            g = int(rng.integers(0, n_groups))
+            all_seqs += [(s, g) for s in seqs]
+            ftype = rng.choice(["fa", "fq"])
+            use_gz = bool(rng.integers(0, 2))
+            name = f"f{fi}.{ftype}" + (".gz" if use_gz else "")
+            body = (
+                "".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs))
+                if ftype == "fa"
+                else "".join(f"@s{i}\n{s}\n+\n{'F'*len(s)}\n" for i, s in enumerate(seqs))
+            )
+            p = d / name
+            if use_gz:
+                with gzip.open(p, "wt") as fh:
+                    fh.write(body)
+            else:
+                p.write_text(body)
+            csv_lines.append(f"{p},{g},{ftype}")
+        csv = d / "in.csv"
+        csv.write_text("\n".join(csv_lines) + "\n")
+        counter = run_counting(str(csv), lags=lags, reverse=reverse,
+                               segment_len=seg)
+        max_lag = max(lags)
+        oracle = brute_force_counts(all_seqs, max_lag, counter.n_groups,
+                                    reverse=reverse)
+        for lag in lags:
+            table = counter.tables[lag]
+            for kmer, mat in oracle[lag - 1].items():
+                row = context_to_row(kmer, lag)
+                np.testing.assert_array_equal(
+                    table[:, row, :], mat,
+                    err_msg=f"trial {trial} lag {lag} kmer {kmer}",
+                )
+            assert int(table.sum()) == sum(
+                m.sum() for m in oracle[lag - 1].values()
+            )
