@@ -365,14 +365,18 @@ def train(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from bear_tpu.parallel.mesh import put_global
+
         # Flat sharding over 'data' stays row-aligned: B is padded to a
         # multiple of the mesh size, so each device's contiguous span is
-        # whole rows times the row width.
+        # whole rows times the row width. put_global handles meshes that
+        # span multiple processes (each host holds the full replicated
+        # dataset and contributes only its addressable shards).
         batch_sharding = NamedSharding(mesh, P(None, "data"))
-        codes_s = jax.device_put(jnp.asarray(codes_s), batch_sharding)
-        counts_s = jax.device_put(jnp.asarray(counts_s), batch_sharding)
+        codes_s = put_global(codes_s, batch_sharding)
+        counts_s = put_global(counts_s, batch_sharding)
         if ref_s is not None:
-            ref_s = jax.device_put(jnp.asarray(ref_s), batch_sharding)
+            ref_s = put_global(ref_s, batch_sharding)
     else:
         codes_s = jnp.asarray(codes_s)
         counts_s = jnp.asarray(counts_s)
@@ -385,35 +389,40 @@ def train(
     # The whole run is one scan over optimizer applies; each apply holds an
     # inner scan accumulating acc_steps gradient sums (the reference's
     # accumulator variables, bear_net.py:259-261, 296-315).
-    def apply_step(carry, apply_idx):
-        p, o = carry
-        start = apply_idx * acc_steps
+    # The data stacks enter run() as ARGUMENTS, not closure constants:
+    # multi-process global arrays may not be closed over, and as args large
+    # stacks are never re-embedded into the program per trace.
+    def run(p, o, codes_s, counts_s, ref_s, sizes):
+        def apply_step(carry, apply_idx):
+            p, o = carry
+            start = apply_idx * acc_steps
 
-        def inner(inner_carry, k):
-            acc, loss_sum = inner_carry
-            idx = (start + k) % steps_per_epoch
-            loss, grads = grad_fn(
-                p,
-                at_batch(codes_s, idx, lag_w),
-                at_batch(counts_s, idx, counts_w),
-                None if ref_s is None else at_batch(ref_s, idx, counts_w),
-                sizes[idx],
+            def inner(inner_carry, k):
+                acc, loss_sum = inner_carry
+                idx = (start + k) % steps_per_epoch
+                loss, grads = grad_fn(
+                    p,
+                    at_batch(codes_s, idx, lag_w),
+                    at_batch(counts_s, idx, counts_w),
+                    None if ref_s is None else at_batch(ref_s, idx, counts_w),
+                    sizes[idx],
+                )
+                return (jax.tree.map(jnp.add, acc, grads), loss_sum + loss), None
+
+            (grads, loss_sum), _ = jax.lax.scan(
+                inner, (zero_grads, jnp.zeros((), dtype)), jnp.arange(acc_steps)
             )
-            return (jax.tree.map(jnp.add, acc, grads), loss_sum + loss), None
+            updates, o = optimizer.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            # ELBO estimate recorded at each apply (reference bear_net.py:303-307).
+            return (p, o), -loss_sum / acc_steps
 
-        (grads, loss_sum), _ = jax.lax.scan(
-            inner, (zero_grads, jnp.zeros((), dtype)), jnp.arange(acc_steps)
-        )
-        updates, o = optimizer.update(grads, o, p)
-        p = optax.apply_updates(p, updates)
-        # ELBO estimate recorded at each apply (reference bear_net.py:303-307).
-        return (p, o), -loss_sum / acc_steps
-
-    @jax.jit
-    def run(p, o):
         return jax.lax.scan(apply_step, (p, o), jnp.arange(n_apply))
 
-    (params, opt_state), elbos = run(params, opt_state)
+    run = jax.jit(run)
+    (params, opt_state), elbos = run(
+        params, opt_state, codes_s, counts_s, ref_s, sizes
+    )
     elbos = np.asarray(elbos)
     if writer is not None:
         for i, e in enumerate(elbos):
@@ -548,13 +557,15 @@ def evaluation(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from bear_tpu.parallel.mesh import put_global
+
         sh = NamedSharding(mesh, P(None, "data"))
-        codes_s = jax.device_put(jnp.asarray(codes_s), sh)
-        counts_test_s = jax.device_put(jnp.asarray(counts_test_s), sh)
+        codes_s = put_global(codes_s, sh)
+        counts_test_s = put_global(counts_test_s, sh)
         if use_train:
-            counts_train_s = jax.device_put(jnp.asarray(counts_train_s), sh)
+            counts_train_s = put_global(counts_train_s, sh)
         if ref_s is not None:
-            ref_s = jax.device_put(jnp.asarray(ref_s), sh)
+            ref_s = put_global(ref_s, sh)
     else:
         # Device arrays up front: numpy stacks would otherwise be captured
         # as jit closure CONSTANTS (re-embedded per trace; multi-GB at
@@ -568,31 +579,34 @@ def evaluation(
 
     base_key = jax.random.key(seed)
 
-    def batch_metrics(step):
-        codes_b = at_batch(codes_s, step, lag_w)
-        ct_b = at_batch(counts_test_s, step, counts_w)
-        tr_b = at_batch(counts_train_s, step, counts_w) if use_train else None
-        if ref_s is not None:
-            oh = alphabets.one_hot(codes_b, A1, dtype)
-            ref_b = at_batch(ref_s, step, counts_w)
-            ar_probs = ar_func.apply(ar_params, oh, ref_b)
-        elif ar_func.apply_codes is not None:
-            ar_probs = ar_func.apply_codes(ar_params, codes_b)
-        else:
-            oh = alphabets.one_hot(codes_b, A1, dtype)
-            ar_probs = ar_func.apply(ar_params, oh)
-        return _evaluation_step(
-            ct_b,
-            ar_probs,
-            h_arr,
-            van_reg,
-            jax.random.fold_in(base_key, step),
-            counts_train=tr_b,
-            dtype=dtype,
-        )
+    # Data stacks are jit ARGUMENTS (multi-process global arrays may not be
+    # closed over; also avoids re-embedding large stacks as constants).
+    def run(codes_s, counts_test_s, counts_train_s, ref_s):
+        def batch_metrics(step):
+            codes_b = at_batch(codes_s, step, lag_w)
+            ct_b = at_batch(counts_test_s, step, counts_w)
+            tr_b = (
+                at_batch(counts_train_s, step, counts_w) if use_train else None
+            )
+            if ref_s is not None:
+                oh = alphabets.one_hot(codes_b, A1, dtype)
+                ref_b = at_batch(ref_s, step, counts_w)
+                ar_probs = ar_func.apply(ar_params, oh, ref_b)
+            elif ar_func.apply_codes is not None:
+                ar_probs = ar_func.apply_codes(ar_params, codes_b)
+            else:
+                oh = alphabets.one_hot(codes_b, A1, dtype)
+                ar_probs = ar_func.apply(ar_params, oh)
+            return _evaluation_step(
+                ct_b,
+                ar_probs,
+                h_arr,
+                van_reg,
+                jax.random.fold_in(base_key, step),
+                counts_train=tr_b,
+                dtype=dtype,
+            )
 
-    @jax.jit
-    def run():
         def body(carry, step):
             out = batch_metrics(step)
             return jax.tree.map(jnp.add, carry, out), None
@@ -603,7 +617,10 @@ def evaluation(
         carry, _ = jax.lax.scan(body, zeros, jnp.arange(codes_s.shape[0]))
         return carry
 
-    ll_ear, ll_arm, ll_van, c_ear, c_arm, c_van, total = run()
+    run = jax.jit(run)
+    ll_ear, ll_arm, ll_van, c_ear, c_arm, c_van, total = run(
+        codes_s, counts_test_s, counts_train_s, ref_s
+    )
     return (
         np.asarray(ll_ear),
         np.asarray(ll_arm),

@@ -99,9 +99,11 @@ def train_variational_h(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from bear_tpu.parallel.mesh import put_global
+
         sh = NamedSharding(mesh, P(None, "data"))
-        codes_s = jax.device_put(jnp.asarray(codes_s), sh)
-        counts_s = jax.device_put(jnp.asarray(counts_s), sh)
+        codes_s = put_global(codes_s, sh)
+        counts_s = put_global(counts_s, sh)
     else:
         codes_s = jnp.asarray(codes_s)
         counts_s = jnp.asarray(counts_s)
@@ -127,25 +129,29 @@ def train_variational_h(
     grad_fn = jax.value_and_grad(loss_fn)
     base_key = jax.random.key(seed + 1)
 
-    def step(carry, t):
-        p, o = carry
-        idx = t % steps_per_epoch
-        eps = jax.random.normal(jax.random.fold_in(base_key, t), (), dtype=dtype)
-        loss, grads = grad_fn(
-            p,
-            jax.lax.dynamic_index_in_dim(codes_s, idx, keepdims=False),
-            jax.lax.dynamic_index_in_dim(counts_s, idx, keepdims=False),
-            sizes[idx],
-            eps,
-        )
-        updates, o = optimizer.update(grads, o, p)
-        return (optax.apply_updates(p, updates), o), loss
+    # Data stacks enter as jit ARGUMENTS (multi-process global arrays may not
+    # be closed over; see bear_net.train).
+    def run(p, o, codes_s, counts_s, sizes):
+        def step(carry, t):
+            p, o = carry
+            idx = t % steps_per_epoch
+            eps = jax.random.normal(
+                jax.random.fold_in(base_key, t), (), dtype=dtype
+            )
+            loss, grads = grad_fn(
+                p,
+                jax.lax.dynamic_index_in_dim(codes_s, idx, keepdims=False),
+                jax.lax.dynamic_index_in_dim(counts_s, idx, keepdims=False),
+                sizes[idx],
+                eps,
+            )
+            updates, o = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
 
-    @jax.jit
-    def run(p, o):
         return jax.lax.scan(step, (p, o), jnp.arange(total_steps))
 
-    (params, _), losses = run(params, opt_state)
+    run = jax.jit(run)
+    (params, _), losses = run(params, opt_state, codes_s, counts_s, sizes)
     return VBearResult(
         params=jax.tree.map(lambda x: np.asarray(x), params),
         losses=np.asarray(losses),

@@ -63,3 +63,22 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def put_global(x, sharding: NamedSharding):
+    """device_put that also works when the sharding spans devices of OTHER
+    processes (multi-host training over a global mesh).
+
+    Every process passes the SAME full (globally consistent) host array —
+    BEAR datasets are replicated per host by design (counts are merged with
+    :func:`bear_tpu.parallel.multihost.allreduce_tables`, so each host holds
+    the global table) — and only this process's addressable shards are
+    materialized on its local devices. Single-process shardings take the
+    plain ``jax.device_put`` fast path.
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )

@@ -194,6 +194,116 @@ def test_streaming_allreduce_idempotent(tmp_path):
         assert "OK" in out, out
 
 
+TRAIN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    from bear_tpu.parallel import multihost
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    multihost.initialize(coordinator_address=f"127.0.0.1:{{port}}",
+                         num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 2 * nproc  # 2 local cpu devices per host
+    import numpy as np
+    from bear_tpu.counting import TransitionCounter, chunk_reads, fastx
+    from bear_tpu.parallel import mesh as pmesh
+    from bear_tpu.models import bear_net, get_ar_func
+
+    # Deterministic global work list; group is assigned BEFORE sharding so
+    # every host agrees on the (sequence, dataset-column) pairing.
+    rng = np.random.default_rng(7)
+    seqs = ["".join(rng.choice(list("ACGT"), size=rng.integers(15, 30)))
+            for _ in range(40)]
+    pairs = [(s, i % 2) for i, s in enumerate(seqs)]
+    mine = multihost.host_shard(pairs)
+    assert 0 < len(mine) < len(pairs)
+    tc = TransitionCounter(lags=[3], n_groups=2)
+    for chunk in chunk_reads(((fastx.encode_seq(s), g) for s, g in mine), 3):
+        tc.add_chunk(chunk)
+    multihost.allreduce_tables(tc)   # every host now holds the global table
+    ds = tc.to_dataset(3)
+    mesh = pmesh.data_parallel_mesh()  # global mesh over BOTH hosts' devices
+    ar = get_ar_func("linear", 3, 4)
+    res = bear_net.train(
+        ds.codes, ds.counts[:, 0].astype(np.float32), len(ds.codes), ar,
+        batch_size=64, epochs=50, learning_rate=0.05, seed=11, mesh=mesh,
+    )
+    ev = bear_net.evaluation(
+        ds.codes, ds.counts.astype(np.float32), 0, 1, "dna", res.h, ar,
+        [np.asarray(p) for p in res.params["ar"]],
+        np.array([1.0], np.float32), mesh=mesh,
+    )
+    print("RESULT", repr(float(res.h)), repr(float(res.losses[-1])),
+          repr(float(ev[0])), flush=True)
+    print(f"proc {{pid}} OK")
+    """
+).format(repo=REPO)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+def test_two_process_training(tmp_path):
+    """count -> allreduce -> data-parallel train/eval over a GLOBAL 2-process
+    mesh: both processes must agree bit-for-bit (same global computation) and
+    match a single-process run of the identical protocol."""
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(TRAIN_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = []
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "OK" in out, out
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
+        results.append([float(x) for x in line.split()[1:]])
+    # Both processes ran the same global program on the same global arrays.
+    assert results[0] == results[1], results
+
+    # Single-process oracle: identical data and protocol, no mesh. Different
+    # device count changes reduction order/padding, hence the tolerance.
+    import numpy as np
+    from bear_tpu.counting import TransitionCounter, chunk_reads, fastx
+    from bear_tpu.models import bear_net, get_ar_func
+
+    rng = np.random.default_rng(7)
+    seqs = ["".join(rng.choice(list("ACGT"), size=rng.integers(15, 30)))
+            for _ in range(40)]
+    tc = TransitionCounter(lags=[3], n_groups=2)
+    for chunk in chunk_reads(
+        ((fastx.encode_seq(s), i % 2) for i, s in enumerate(seqs)), 3
+    ):
+        tc.add_chunk(chunk)
+    ds = tc.to_dataset(3)
+    ar = get_ar_func("linear", 3, 4)
+    res = bear_net.train(
+        ds.codes, ds.counts[:, 0].astype(np.float32), len(ds.codes), ar,
+        batch_size=64, epochs=50, learning_rate=0.05, seed=11,
+    )
+    ev = bear_net.evaluation(
+        ds.codes, ds.counts.astype(np.float32), 0, 1, "dna", res.h, ar,
+        [np.asarray(p) for p in res.params["ar"]],
+        np.array([1.0], np.float32),
+    )
+    expected = [float(res.h), float(res.losses[-1]), float(ev[0])]
+    np.testing.assert_allclose(results[0], expected, rtol=5e-3)
+
+
 @pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
 def test_multihost_counting_example():
     # The user-facing N-host harness end to end (2 procs, tiny synthetic set).
@@ -201,3 +311,12 @@ def test_multihost_counting_example():
 
     assert mh.main(["--nproc", "2", "--lag", "2",
                     "--reads-per-file", "50", "--read-len", "30"]) == 0
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+def test_multihost_train_example():
+    # The user-facing N-host count->merge->train harness (2 procs).
+    import examples.multihost_train as mh
+
+    assert mh.main(["--nproc", "2", "--lag", "3", "--reads-per-file", "200",
+                    "--read-len", "50", "--epochs", "8"]) == 0
