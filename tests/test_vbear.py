@@ -66,3 +66,26 @@ def test_vbear_ysd1():
     # Published EB point estimate: h = 0.0433 (docs table).
     assert abs(vb.h - 0.0433) / 0.0433 < 0.25, (vb.h, sigma)
     assert sigma < 0.25
+
+
+def test_vbear_shard_invariance():
+    # 8-device data-parallel mesh must reproduce the single-device run
+    # (same seed, same reparameterized draws; only reduction order differs).
+    from bear_tpu.parallel.mesh import data_parallel_mesh
+
+    rng = np.random.default_rng(3)
+    n, A1 = 256, 5
+    p = rng.dirichlet(np.full(A1, 0.4), size=n)
+    counts = np.stack([rng.multinomial(25, pi) for pi in p]).astype(np.float64)
+    codes = rng.integers(0, 4, (n, 3)).astype(np.int8)
+    ar = _uniform_ar(3, A1)
+    kwargs = dict(
+        num_kmers=n, ar_func=ar, batch_size=64, epochs=40,
+        learning_rate=0.05, dtype=jnp.float64, seed=5,
+    )
+    single = train_variational_h(codes, counts, **kwargs)
+    sharded = train_variational_h(codes, counts, mesh=data_parallel_mesh(8), **kwargs)
+    np.testing.assert_allclose(
+        sharded.h_posterior, single.h_posterior, rtol=1e-8
+    )
+    np.testing.assert_allclose(sharded.losses, single.losses, rtol=1e-8)
