@@ -55,16 +55,35 @@ def _l2_normalize(x, axis):
 
 
 def _normalize_layer(layer, axis=-1):
-    """Scale-free layer normalization (reference ar_funcs.py:5-20)."""
-    mean = jnp.mean(layer, axis=axis, keepdims=True)
-    var = jnp.var(layer, axis=axis, keepdims=True)
-    return (layer - mean) / jnp.sqrt(var + 1e-5)
+    """Scale-free layer normalization (reference ar_funcs.py:5-20).
+
+    Statistics are computed in at least float32 (mean/variance of a bfloat16
+    activation would lose most of its bits to cancellation); the result is
+    cast back to the activation dtype."""
+    ct = jnp.promote_types(layer.dtype, jnp.float32)
+    x = layer.astype(ct)
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    var = jnp.var(x, axis=axis, keepdims=True)
+    return ((x - mean) / jnp.sqrt(var + 1e-5)).astype(layer.dtype)
 
 
-def make_ar_func_linear(lag, alphabet_size, dtype=jnp.float32) -> ARFunc:
+def _cast_params(params, compute_dtype):
+    """Mixed precision: parameters stay in their stored (master) dtype and are
+    cast once at the start of the forward pass; gradients flow back through
+    the cast to full-precision master weights (the optimizer never sees the
+    compute dtype)."""
+    if compute_dtype is None:
+        return params
+    return [p.astype(compute_dtype) for p in params]
+
+
+def make_ar_func_linear(lag, alphabet_size, dtype=jnp.float32, compute_dtype=None) -> ARFunc:
     """Linear AR function: softmax of a per-position linear map
     (reference ar_funcs.py:23-46; init 0.05 * l2-normalized normal over the
-    input-letter axis)."""
+    input-letter axis).
+
+    compute_dtype (e.g. jnp.bfloat16) runs the matmul in that dtype; logits
+    are cast back to the parameter dtype before the softmax."""
     A1 = alphabet_size + 1
 
     def init(key):
@@ -72,14 +91,17 @@ def make_ar_func_linear(lag, alphabet_size, dtype=jnp.float32) -> ARFunc:
         return [0.05 * _l2_normalize(mat, axis=1)]
 
     def apply(params, kmers_oh):
-        (mat,) = params
-        logits = jnp.einsum("...jk,jkl->...l", kmers_oh, mat)
-        return jax.nn.softmax(logits)
+        out_dt = params[0].dtype
+        (mat,) = _cast_params(params, compute_dtype)
+        logits = jnp.einsum("...jk,jkl->...l", kmers_oh.astype(mat.dtype), mat)
+        return jax.nn.softmax(logits.astype(out_dt))
 
     def apply_codes(params, codes):
-        (mat,) = params
+        out_dt = params[0].dtype
+        (mat,) = _cast_params(params, compute_dtype)
         oh = flat_one_hot(codes, A1, mat.dtype)
-        return jax.nn.softmax(oh @ mat.reshape(lag * A1, A1))
+        logits = oh @ mat.reshape(lag * A1, A1)
+        return jax.nn.softmax(logits.astype(out_dt))
 
     return ARFunc(init=init, apply=apply, name="linear", apply_codes=apply_codes)
 
@@ -91,11 +113,16 @@ def make_ar_func_cnn(
     num_filters=30,
     kmer_layer1_width=16,
     dtype=jnp.float32,
+    compute_dtype=None,
 ) -> ARFunc:
     """CNN AR function (reference ar_funcs.py:49-99): conv over the lag axis,
     two normalized dense layers with elu, softmax head. Param order matches
     the reference's list (ar_funcs.py:98-99): [filters, intercept0, weights1,
-    intercept1, weights2, intercept2, scale0, scale1]."""
+    intercept1, weights2, intercept2, scale0, scale1].
+
+    compute_dtype (e.g. jnp.bfloat16) runs the conv/dense activations in that
+    dtype (normalization statistics stay float32, see _normalize_layer);
+    final logits are cast back to the parameter dtype before the softmax."""
     filter_width = int(filter_width)
     num_filters = int(num_filters)
     kmer_layer1_width = int(kmer_layer1_width)
@@ -134,7 +161,7 @@ def make_ar_func_cnn(
             scale1,
         ]
 
-    def _head(params, conv, lead):
+    def _head(params, conv, lead, out_dt):
         (_, intercept0, weights1, intercept1, weights2, intercept2,
          scale0, scale1) = params
         nn0 = scale0 * _normalize_layer(conv) + intercept0
@@ -146,12 +173,14 @@ def make_ar_func_cnn(
             + intercept1
         )
         nn2 = jnp.tensordot(jax.nn.elu(nn1), weights2, axes=[[-1], [0]]) + intercept2
-        return jax.nn.softmax(nn2).reshape(lead + (A1,))
+        return jax.nn.softmax(nn2.astype(out_dt)).reshape(lead + (A1,))
 
     def apply(params, kmers_oh):
+        out_dt = params[0].dtype
+        params = _cast_params(params, compute_dtype)
         filters = params[0]
         lead = kmers_oh.shape[:-2]
-        x = kmers_oh.reshape((-1, lag, A1))
+        x = kmers_oh.astype(filters.dtype).reshape((-1, lag, A1))
         # VALID conv over the lag axis ('NWC' x 'WIO' -> 'NWC'); batched over
         # k-mers — XLA maps this onto the MXU as a batched matmul.
         conv = jax.lax.conv_general_dilated(
@@ -161,9 +190,11 @@ def make_ar_func_cnn(
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        return _head(params, conv, lead)
+        return _head(params, conv, lead, out_dt)
 
     def apply_codes(params, codes):
+        out_dt = params[0].dtype
+        params = _cast_params(params, compute_dtype)
         filters = params[0]
         lead = codes.shape[:-1]
         oh = flat_one_hot(codes.reshape((-1, lag)), A1, filters.dtype)
@@ -180,14 +211,15 @@ def make_ar_func_cnn(
             axis=1,
         ).reshape(lag * A1, conv_len * num_filters)
         conv = (oh @ wconv).reshape(-1, conv_len, num_filters)
-        return _head(params, conv, lead)
+        return _head(params, conv, lead, out_dt)
 
     return ARFunc(init=init, apply=apply, name="cnn", apply_codes=apply_codes)
 
 
-def make_ar_func_stop(lag, alphabet_size, dtype=jnp.float32) -> ARFunc:
+def make_ar_func_stop(lag, alphabet_size, dtype=jnp.float32, compute_dtype=None) -> ARFunc:
     """Constant stop-predicting AR function — the ``g`` of the reference
-    model (reference ar_funcs.py:102-127). No parameters."""
+    model (reference ar_funcs.py:102-127). No parameters (compute_dtype is
+    accepted for interface uniformity; there is nothing to compute)."""
     stop = np.zeros(alphabet_size + 1)
     stop[-1] = 1.0
     stop_const = jnp.asarray(stop, dtype=dtype)
@@ -211,6 +243,7 @@ def make_ar_func_attention(
     num_heads=4,
     mlp_width=128,
     dtype=jnp.float32,
+    compute_dtype=None,
 ) -> ARFunc:
     """Single-block self-attention AR function (bear_tpu extension — the
     reference ships linear/cnn/stop only). Embeds the one-hot context with a
@@ -237,7 +270,7 @@ def make_ar_func_attention(
         b_out = jnp.zeros((A1,), dtype=dtype)
         return [embed, pos, wqkv, wo, w1, b1, w2, b2, w_out, b_out]
 
-    def _block(params, x, lead):
+    def _block(params, x, lead, out_dt):
         embed, pos, wqkv, wo, w1, b1, w2, b2, w_out, b_out = params
         h = _normalize_layer(x)
         q, k, v = (jnp.einsum("nld,de->nle", h, wqkv[i]) for i in range(3))
@@ -256,15 +289,19 @@ def make_ar_func_attention(
         y = _normalize_layer(x)
         x = x + jax.nn.gelu(y @ w1 + b1) @ w2 + b2
         logits = x[:, -1, :] @ w_out + b_out
-        return jax.nn.softmax(logits).reshape(lead + (A1,))
+        return jax.nn.softmax(logits.astype(out_dt)).reshape(lead + (A1,))
 
     def apply(params, kmers_oh):
+        out_dt = params[0].dtype
+        params = _cast_params(params, compute_dtype)
         embed, pos = params[0], params[1]
         lead = kmers_oh.shape[:-2]
-        x = kmers_oh.reshape((-1, lag, A1)) @ embed + pos  # [N, lag, D]
-        return _block(params, x, lead)
+        x = kmers_oh.astype(embed.dtype).reshape((-1, lag, A1)) @ embed + pos
+        return _block(params, x, lead, out_dt)
 
     def apply_codes(params, codes):
+        out_dt = params[0].dtype
+        params = _cast_params(params, compute_dtype)
         embed, pos = params[0], params[1]
         lead = codes.shape[:-1]
         oh = flat_one_hot(codes.reshape((-1, lag)), A1, embed.dtype)
@@ -272,7 +309,7 @@ def make_ar_func_attention(
         # kron(I_lag, embed) maps slot (j, letter) to output block j.
         w = jnp.kron(jnp.eye(lag, dtype=embed.dtype), embed)  # [lag*A1, lag*D]
         x = (oh @ w).reshape(-1, lag, d_model) + pos
-        return _block(params, x, lead)
+        return _block(params, x, lead, out_dt)
 
     return ARFunc(init=init, apply=apply, name="attention",
                   apply_codes=apply_codes)
@@ -286,6 +323,20 @@ AR_FUNCS = {
 }
 
 
-def get_ar_func(name: str, lag: int, alphabet_size: int, af_kwargs=None, dtype=jnp.float32) -> ARFunc:
-    """AR function by config name (reference train_bear_net.py:103)."""
-    return AR_FUNCS[name](lag, alphabet_size, **(af_kwargs or {}), dtype=dtype)
+def get_ar_func(
+    name: str,
+    lag: int,
+    alphabet_size: int,
+    af_kwargs=None,
+    dtype=jnp.float32,
+    compute_dtype=None,
+) -> ARFunc:
+    """AR function by config name (reference train_bear_net.py:103).
+
+    compute_dtype=jnp.bfloat16 selects mixed precision: master weights and
+    the likelihood stay in ``dtype``; the AR network's matmuls/activations run
+    in bfloat16 (MXU-native) with float32 normalization statistics and a
+    float32 softmax."""
+    return AR_FUNCS[name](
+        lag, alphabet_size, **(af_kwargs or {}), dtype=dtype, compute_dtype=compute_dtype
+    )

@@ -64,6 +64,7 @@ def main(config: configparser.ConfigParser, mesh=None):
         _alph.alphabet_size(run.alphabet),
         run.af_kwargs,
         dtype=dtype,
+        compute_dtype=run.compute_dtype(),
     )
 
     params_restart, opt_state_restart = load_restart(run)

@@ -72,6 +72,11 @@ class RunConfig:
     # [model]
     ar_func_name: str
     af_kwargs: dict = field(default_factory=dict)
+    # optional [model] compute_precision: '' (full precision, default) or
+    # 'bfloat16' — run the AR network's forward pass in bfloat16 on the MXU
+    # while master weights, likelihood, and softmax stay in `precision`
+    # (bear_tpu extension; the reference has no mixed-precision mode).
+    compute_precision: str = ""
 
     @classmethod
     def from_configparser(cls, config: configparser.ConfigParser) -> "RunConfig":
@@ -105,6 +110,7 @@ class RunConfig:
             van_reg=json.loads(te["van_reg"]),
             ar_func_name=mo["ar_func_name"],
             af_kwargs=json.loads(mo["af_kwargs"]),
+            compute_precision=mo.get("compute_precision", ""),
         )
 
     @classmethod
@@ -168,3 +174,19 @@ class RunConfig:
                 )
             return jnp.float64
         return jnp.float32
+
+    def compute_dtype(self):
+        """Optional mixed-precision compute dtype for the AR network
+        ([model] compute_precision); None means compute in ``precision``."""
+        import jax.numpy as jnp
+
+        if self.compute_precision in ("", "none"):
+            return None
+        if self.compute_precision == "bfloat16":
+            return jnp.bfloat16
+        if self.compute_precision == "float32":
+            return jnp.float32
+        raise ValueError(
+            f"unknown compute_precision {self.compute_precision!r} "
+            "(expected '', 'bfloat16' or 'float32')"
+        )

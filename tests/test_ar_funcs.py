@@ -174,3 +174,69 @@ def test_apply_codes_leading_dims():
     oh = alphabets.one_hot(codes, 5, jnp.float32)
     np.testing.assert_allclose(np.asarray(ar.apply(params, oh)),
                                np.asarray(out), rtol=1e-6, atol=1e-6)
+
+
+def test_compute_dtype_bfloat16_close_to_full_precision():
+    # Mixed precision: bfloat16 compute must (a) return float32 probabilities
+    # that sum to 1 exactly as a float32 softmax does, (b) stay close to the
+    # full-precision forward, (c) keep gradients in the master dtype.
+    from bear_tpu.models.ar_funcs import AR_FUNCS
+
+    rng = np.random.default_rng(7)
+    lag, A = 7, 4
+    codes = jnp.asarray(rng.integers(0, A, (64, lag)).astype(np.int8))
+    for name in ("linear", "cnn", "attention"):
+        kwargs = {"filter_width": 3, "num_filters": 8} if name == "cnn" else {}
+        if name == "attention":
+            kwargs = {"d_model": 16, "num_heads": 2, "mlp_width": 32}
+        ar32 = AR_FUNCS[name](lag, A, **kwargs, dtype=jnp.float32)
+        ar16 = AR_FUNCS[name](lag, A, **kwargs, dtype=jnp.float32,
+                              compute_dtype=jnp.bfloat16)
+        params = ar32.init(jax.random.key(1))
+        p32 = np.asarray(jax.jit(ar32.apply_codes)(params, codes))
+        p16j = jax.jit(ar16.apply_codes)(params, codes)
+        assert p16j.dtype == jnp.float32, name
+        p16 = np.asarray(p16j)
+        np.testing.assert_allclose(p16.sum(-1), 1.0, rtol=1e-5, err_msg=name)
+        # bf16 has ~2-3 significant digits; probabilities are O(0.2) here.
+        np.testing.assert_allclose(p16, p32, atol=0.03, err_msg=name)
+        # Both one-hot and codes paths agree under mixed precision too.
+        from bear_tpu.ops import alphabets
+        oh = alphabets.one_hot(codes, A + 1, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(ar16.apply)(params, oh)), p16, atol=0.02,
+            err_msg=name)
+
+        def loss(p):
+            return jnp.sum(jnp.log(ar16.apply_codes(p, codes) + 1e-7))
+
+        g = jax.jit(jax.grad(loss))(params)
+        for gp, pp in zip(g, params):
+            assert gp.dtype == pp.dtype, name
+            assert np.all(np.isfinite(np.asarray(gp))), name
+
+
+def test_compute_dtype_trains():
+    # A short bfloat16-compute training run must move the loss like the
+    # float32 run does (same data, same protocol).
+    from bear_tpu.models import bear_net
+    from bear_tpu.models.ar_funcs import make_ar_func_cnn
+
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, 4, (128, 6)).astype(np.int8)
+    counts = rng.poisson(4.0, (128, 5)).astype(np.float32)
+
+    def run(compute_dtype):
+        ar = make_ar_func_cnn(6, 4, filter_width=3, num_filters=8,
+                              compute_dtype=compute_dtype)
+        return bear_net.train(
+            codes, counts, num_kmers=128, ar_func=ar, batch_size=64,
+            epochs=30, learning_rate=0.01, seed=3,
+        )
+
+    r32, r16 = run(None), run(jnp.bfloat16)
+    assert np.isfinite(r16.losses).all()
+    assert r16.losses[-1] < r16.losses[0]
+    # Final losses agree to ~1% relative (the objectives differ only by
+    # bf16 rounding inside the AR network).
+    np.testing.assert_allclose(r16.losses[-1], r32.losses[-1], rtol=1e-2)

@@ -76,3 +76,28 @@ def test_run_restart(tmp_path):
     config2["train"]["restart_path"] = first_out
     exit_code, *_ = train_bear_net.main(config2)
     assert exit_code == 1
+
+
+@needs_ref
+def test_run_net_bfloat16_compute(tmp_path):
+    # Mixed-precision CLI run ([model] compute_precision = bfloat16): the AR
+    # net computes in bf16, master weights/likelihood stay float32; results
+    # must be finite and the BMM column (bf16-independent) must still match
+    # the independent computation exactly.
+    from bear_tpu.models import train_bear_net
+    from bear_tpu.utils.config import bundled_ysd1_path
+
+    config = configparser.ConfigParser()
+    config.read(CFG)
+    config["general"]["out_folder"] = str(tmp_path) + "*"
+    config["general"]["precision"] = "float32"
+    config["model"]["compute_precision"] = "bfloat16"
+    exit_code, ll_van, _ = train_bear_net.main(config)
+    assert exit_code == 1
+    assert np.isfinite(float(config["results"]["h"]))
+    assert np.isfinite(float(config["results"]["heldout_perplex_BEAR"]))
+
+    ds = load_dense(bundled_ysd1_path(), "dna", 3)
+    alpha = np.array([0.1, 1.0, 10.0]) + EPSILON
+    calc = np.asarray(bmm_likelihood(ds.counts, alpha))
+    np.testing.assert_allclose(calc[0], ll_van, rtol=1e-4)
