@@ -299,8 +299,36 @@ def _install_watchdog(seconds: int):
     threading.Thread(target=_abort, daemon=True).start()
 
 
+def _wait_for_device(budget_s: int) -> bool:
+    """The dev tunnel has multi-hour outages and two failure modes (hard
+    wedge: any in-process jax call blocks forever; fast-fail: backend init
+    raises). Probe in a SUBPROCESS (immune to the wedge) and wait up to
+    budget_s for the device to come back before benching, rather than
+    recording zeros for a transient outage. Returns True when a probe
+    succeeds."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "assert float(jax.jit(lambda: jnp.zeros(()) + 1)()) == 1.0")
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=300,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        time.sleep(90)
+
+
 def main():
-    _install_watchdog(int(os.environ.get("BEAR_TPU_BENCH_TIMEOUT", "2400")))
+    # Watchdog = outage-wait budget + the pre-outage bench budget (2400 s).
+    _install_watchdog(int(os.environ.get("BEAR_TPU_BENCH_TIMEOUT", "3900")))
+    # Wait out a transient tunnel outage (bounded well inside the watchdog).
+    _wait_for_device(int(os.environ.get("BEAR_TPU_BENCH_WAIT", "1500")))
     # Persistent XLA compilation cache: repeated bench runs (the driver runs
     # this every round) skip the multi-minute remote compilations.
     from bear_tpu.utils.cli_common import enable_compilation_cache
