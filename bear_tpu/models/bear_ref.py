@@ -58,13 +58,18 @@ def prepare_ref_counts(ref_column, alphabet_size, dtype):
     return (ref + EPSILON) * not_stop
 
 
-def make_ref_ar_func(lag, alphabet_size, make_net_func, af_kwargs=None, dtype=jnp.float32) -> ARFunc:
+def make_ref_ar_func(lag, alphabet_size, make_net_func, af_kwargs=None,
+                     dtype=jnp.float32, compute_dtype=None) -> ARFunc:
     """Wrap a net AR function with the reference-guided mixture.
 
     Params order matches the reference checkpoint layout
     (bear_ref.py:69): [tau_signed, net_weight_signed] + net_params.
-    apply takes (params, one_hot_kmers, ref_counts)."""
-    net = make_net_func(lag, alphabet_size, **(af_kwargs or {}), dtype=dtype)
+    apply takes (params, one_hot_kmers, ref_counts).
+
+    compute_dtype applies to the inner ``g`` net only (mixed precision); the
+    JC mixture itself is a handful of elementwise ops and stays in dtype."""
+    net = make_net_func(lag, alphabet_size, **(af_kwargs or {}), dtype=dtype,
+                        compute_dtype=compute_dtype)
 
     def init(key) -> List[jax.Array]:
         return [
@@ -97,6 +102,7 @@ def train(
     alphabet="dna",
     lag=None,
     dtype=jnp.float32,
+    compute_dtype=None,
     **kwargs,
 ) -> bear_net.TrainResult:
     """Train a reference-guided BEAR/AR model (reference bear_ref.py:262-389).
@@ -104,12 +110,15 @@ def train(
     Parameters mirror bear_net.train, plus:
     ref_column : [N, alphabet_size+1] raw reference counts column.
     net_func_factory : e.g. ar_funcs.make_ar_func_stop — the ``g`` net.
+    compute_dtype : mixed precision for the inner ``g`` net (see
+        make_ref_ar_func).
     """
     from bear_tpu.ops import alphabets as _alph
 
     A = _alph.alphabet_size(alphabet)
     lag = lag if lag is not None else np.asarray(codes).shape[-1]
-    ar_func = make_ref_ar_func(lag, A, net_func_factory, af_kwargs, dtype=dtype)
+    ar_func = make_ref_ar_func(lag, A, net_func_factory, af_kwargs, dtype=dtype,
+                               compute_dtype=compute_dtype)
     ref_counts = np.asarray(prepare_ref_counts(ref_column, A, dtype))
     return bear_net.train(
         codes,

@@ -53,7 +53,10 @@ def main(config: configparser.ConfigParser, mesh=None):
 
     A = _alph.alphabet_size(run.alphabet)
     net_factory = AR_FUNCS[run.ar_func_name]
-    ar_func = bear_ref.make_ref_ar_func(run.lag, A, net_factory, run.af_kwargs, dtype=dtype)
+    ar_func = bear_ref.make_ref_ar_func(
+        run.lag, A, net_factory, run.af_kwargs, dtype=dtype,
+        compute_dtype=run.compute_dtype(),
+    )
 
     params_restart, opt_state_restart = load_restart(run)
 
@@ -68,6 +71,7 @@ def main(config: configparser.ConfigParser, mesh=None):
             alphabet=run.alphabet,
             lag=run.lag,
             dtype=dtype,
+            compute_dtype=run.compute_dtype(),
             batch_size=batch_size,
             epochs=epochs,
             learning_rate=run.learning_rate,

@@ -78,6 +78,18 @@ def put_global(x, sharding: NamedSharding):
     """
     if sharding.is_fully_addressable:
         return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        raise ValueError(
+            "put_global input must be a host array (or a fully-addressable "
+            "device array) replicated on every process; got a jax.Array "
+            "spanning non-addressable devices — it cannot be re-sharded "
+            "from host data"
+        )
+    # Multi-host placement goes through the host by design: each process
+    # holds the SAME replicated dataset (see docstring), so a device-array
+    # input here pays one device->host copy before global placement. The
+    # zero-copy on-device handoff (TransitionCounter.to_device_dataset) is a
+    # single-process fast path.
     arr = np.asarray(x)
     return jax.make_array_from_callback(
         arr.shape, sharding, lambda idx: arr[idx]

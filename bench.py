@@ -325,10 +325,23 @@ def _wait_for_device(budget_s: int) -> bool:
 
 
 def main():
-    # Watchdog = outage-wait budget + the pre-outage bench budget (2400 s).
-    _install_watchdog(int(os.environ.get("BEAR_TPU_BENCH_TIMEOUT", "3900")))
-    # Wait out a transient tunnel outage (bounded well inside the watchdog).
-    _wait_for_device(int(os.environ.get("BEAR_TPU_BENCH_WAIT", "1500")))
+    # Watchdog = outage-wait budget + the bench budget, so an explicit
+    # BEAR_TPU_BENCH_TIMEOUT is never silently eaten by the outage wait.
+    wait_budget = int(os.environ.get("BEAR_TPU_BENCH_WAIT", "1500"))
+    bench_budget = int(os.environ.get("BEAR_TPU_BENCH_TIMEOUT", "2400"))
+    _install_watchdog(wait_budget + 600 + bench_budget)  # +600: probe overshoot
+    # Wait out a transient tunnel outage instead of recording zeros; if the
+    # device never comes back, record the zero line IMMEDIATELY with a clear
+    # error rather than wedging in-process until the watchdog.
+    if not _wait_for_device(wait_budget):
+        print(json.dumps({
+            "metric": "ysd1_lag5_train_steps_per_sec",
+            "value": 0.0,
+            "unit": "optimizer steps/s (10000-epoch YSD1 lag-5 protocol)",
+            "vs_baseline": 0.0,
+            "error": f"device unreachable after {wait_budget}s of probing",
+        }), flush=True)
+        return
     # Persistent XLA compilation cache: repeated bench runs (the driver runs
     # this every round) skip the multi-minute remote compilations.
     from bear_tpu.utils.cli_common import enable_compilation_cache

@@ -24,18 +24,14 @@ from __future__ import annotations
 
 import argparse
 import os
-import socket
 import subprocess
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+try:  # run as a script (python examples/multihost_counting.py)
+    from _common import free_port, worker_env
+except ImportError:  # imported as a package module (tests)
+    from examples._common import free_port, worker_env
 
 
 def make_synthetic(workdir: str, n_files: int, reads_per_file: int,
@@ -111,11 +107,8 @@ def launch(args) -> int:
     csv = args.csv or make_synthetic(
         workdir, n_files=max(args.nproc * 2, 4),
         reads_per_file=args.reads_per_file, read_len=args.read_len)
-    port = _free_port()
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env["PYTHONPATH"] = REPO
-    if args.cpu:
-        env["JAX_PLATFORMS"] = "cpu"
+    port = free_port()
+    env = worker_env(cpu=args.cpu)
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
            "--csv", csv, "--lag", str(args.lag), "--nproc", str(args.nproc),
            "--coordinator", f"127.0.0.1:{port}",

@@ -25,18 +25,14 @@ from __future__ import annotations
 
 import argparse
 import os
-import socket
 import subprocess
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+try:  # run as a script (python examples/multihost_train.py)
+    from _common import free_port, worker_env
+except ImportError:  # imported as a package module (tests)
+    from examples._common import free_port, worker_env
 
 
 def make_synthetic(workdir: str, n_files: int, reads_per_file: int,
@@ -53,19 +49,23 @@ def make_synthetic(workdir: str, n_files: int, reads_per_file: int,
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
     # A biased source so there is structure to learn: AR(1)-ish transitions.
     trans = rng.dirichlet(np.full(4, 0.5), size=4)
+    cum = np.cumsum(trans, axis=1)  # [4, 4] cumulative rows
     csv = os.path.join(workdir, "inputs.csv")
     with open(csv, "w") as out:
         for fi in range(n_files):
             path = os.path.join(workdir, f"reads_{fi}.fq")
+            # Vectorized Markov rollout across all reads of the file: one
+            # uniform draw per base, advanced per position via the
+            # cumulative transition rows (no per-base Python RNG calls).
+            u = rng.random((reads_per_file, read_len))
+            codes = np.empty((reads_per_file, read_len), np.int64)
+            codes[:, 0] = rng.integers(0, 4, size=reads_per_file)
+            for j in range(1, read_len):
+                codes[:, j] = (u[:, j:j + 1] > cum[codes[:, j - 1]]).sum(1)
             with open(path, "wb") as fh:
                 qual = b"F" * read_len
-                for ri in range(reads_per_file):
-                    codes = np.empty(read_len, np.int64)
-                    codes[0] = rng.integers(0, 4)
-                    for j in range(1, read_len):
-                        codes[j] = rng.choice(4, p=trans[codes[j - 1]])
-                    fh.write(b"@r%d\n%s\n+\n%s\n"
-                             % (ri, lut[codes].tobytes(), qual))
+                for ri, row in enumerate(lut[codes]):
+                    fh.write(b"@r%d\n%s\n+\n%s\n" % (ri, row.tobytes(), qual))
             out.write(f"{path},{fi % 2},fq\n")
     return csv
 
@@ -110,12 +110,18 @@ def worker(args) -> None:
         learning_rate=0.01, seed=args.seed, mesh=mesh,
     )
     train_s = time.time() - t0
+    # With a single count group (e.g. a user CSV where every file is group 0)
+    # there is no heldout column: evaluate the training column in prior mode
+    # (ds_loc_train=-1, the reference's train_test protocol) and say so.
+    heldout = n_groups > 1
     ev = bear_net.evaluation(
-        ds.codes, ds.counts.astype(np.float32), 0, 1 % n_groups, "dna",
+        ds.codes, ds.counts.astype(np.float32),
+        0 if heldout else -1, 1 if heldout else 0, "dna",
         res.h, ar, [np.asarray(p) for p in res.params["ar"]],
         np.array([1.0], np.float32), mesh=mesh,
     )
     perp_bear = float(np.asarray(ev[3]))
+    perp_label = "heldout" if heldout else "train-as-test (prior)"
 
     # ---- every rank must have learned the identical model ------------
     from jax.experimental import multihost_utils
@@ -130,7 +136,7 @@ def worker(args) -> None:
               f"lag={args.lag} kmers={len(ds.codes)}")
         print(f"[rank 0] count+merge {count_s:.2f}s, train {train_s:.2f}s "
               f"({len(res.losses) / max(train_s, 1e-9):.0f} steps/s)")
-        print(f"[rank 0] learned h={res.h:.5f} heldout BEAR perplexity="
+        print(f"[rank 0] learned h={res.h:.5f} {perp_label} BEAR perplexity="
               f"{perp_bear:.4f}; h identical on all {args.nproc} ranks")
     print(f"[rank {args.pid}] OK h={res.h!r}")
 
@@ -141,12 +147,8 @@ def launch(args) -> int:
     csv = args.csv or make_synthetic(
         workdir, n_files=max(args.nproc * 2, 4),
         reads_per_file=args.reads_per_file, read_len=args.read_len)
-    port = _free_port()
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env["PYTHONPATH"] = REPO
-    if args.cpu:
-        env["JAX_PLATFORMS"] = "cpu"
-        env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    port = free_port()
+    env = worker_env(cpu=args.cpu, cpu_devices=2)
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
            "--csv", csv, "--lag", str(args.lag), "--nproc", str(args.nproc),
            "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),

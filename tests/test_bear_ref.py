@@ -126,3 +126,30 @@ def test_run_ref_cli(tmp_path):
     np.testing.assert_allclose(
         np.exp(-calc[0] / np.sum(ds.counts[:, 0, :])), perp_van, rtol=1e-6
     )
+
+
+def test_ref_train_bfloat16_compute():
+    # Mixed precision threads through to the inner g net of the ref mixture
+    # (the JC mixture itself stays full precision); trajectory must track the
+    # float32 run closely.
+    from bear_tpu.models.ar_funcs import make_ar_func_cnn
+
+    rng = np.random.default_rng(4)
+    n = 96
+    codes = rng.integers(0, 4, (n, 6)).astype(np.int8)
+    counts = rng.poisson(8.0, (n, 5)).astype(np.float32)
+    ref_col = counts + rng.poisson(1.0, (n, 5))
+
+    def run(cd):
+        return bear_ref.train(
+            codes, counts, ref_col, num_kmers=n,
+            net_func_factory=make_ar_func_cnn,
+            af_kwargs={"filter_width": 3, "num_filters": 8},
+            batch_size=48, epochs=25, learning_rate=0.02,
+            dtype=jnp.float32, compute_dtype=cd, seed=2,
+        )
+
+    r32, r16 = run(None), run(jnp.bfloat16)
+    assert np.isfinite(r16.losses).all()
+    assert r16.losses[-1] < r16.losses[0]
+    np.testing.assert_allclose(r16.losses[-1], r32.losses[-1], rtol=1e-2)
