@@ -312,14 +312,19 @@ def _wait_for_device(budget_s: int) -> bool:
              "assert float(jax.jit(lambda: jnp.zeros(()) + 1)()) == 1.0")
     deadline = time.time() + budget_s
     while True:
+        left = deadline - time.time()
+        if left <= 0:
+            return False
         try:
-            r = subprocess.run([sys.executable, "-c", probe], timeout=300,
+            # Probe timeout adapts to the remaining budget (bounded overshoot).
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=max(60, min(300, left)),
                                capture_output=True)
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        if time.time() >= deadline:
+        if time.time() + 90 >= deadline:
             return False
         time.sleep(90)
 
