@@ -42,6 +42,11 @@ class TableCounter:
 
     no_end=True zeroes the stop column (assembly mode; ends of assemblies are
     unreliable, get_var_probs.py:212-213).
+
+    Accepts either a TransitionCounter (dense host table gathers) or a
+    KmerShardedTransitionCounter (lag 14-15 scale: rows are looked up in its
+    sparse host accumulator via counts_for_rows — the dense table is never
+    materialized).
     """
 
     def __init__(self, counter, lag: int, group: int = 0, no_end: bool = False):
@@ -51,7 +56,22 @@ class TableCounter:
                 "base-4 (DNA); got a counter over a "
                 f"{counter.A}-letter alphabet"
             )
-        self._table = counter.tables[lag][group]
+        if hasattr(counter, "counts_for_rows"):  # row-sharded sparse counter
+
+            def _sparse_gather(rows):
+                # counts_for_rows fills one slot per distinct row; queries may
+                # repeat a row (duplicate k-mers), so expand via unique+inverse.
+                uniq, inv = np.unique(rows, return_inverse=True)
+                return counter.counts_for_rows(lag, uniq)[:, group, :][inv]
+
+            self._table = None
+            self._width = counter.A1
+            self._gather = _sparse_gather
+        else:
+            table = counter.tables[lag][group]
+            self._table = table
+            self._width = table.shape[-1]
+            self._gather = lambda rows: table[rows]
         self._lag = lag
         self._no_end = no_end
 
@@ -76,10 +96,10 @@ class TableCounter:
     def __call__(self, kmers) -> np.ndarray:
         kmers = np.asarray(kmers)
         rows = self.rows(kmers).reshape(-1)
-        out = self._table[rows].astype(np.float64)
+        out = self._gather(rows).astype(np.float64)
         if self._no_end:
             out[:, -1] = 0.0
-        return out.reshape(kmers.shape + (self._table.shape[-1],))
+        return out.reshape(kmers.shape + (self._width,))
 
 
 class DatasetCounter:

@@ -260,3 +260,40 @@ def test_kmer_sharded_guards_and_empty_rows(tmp_path):
     # wrong-alphabet dataset handoff is rejected
     with pytest.raises(ValueError, match="base-20"):
         tc.to_dataset(2, alphabet="dna")
+
+
+@needs_8
+def test_table_counter_over_kmer_sharded():
+    # Scoring-path random access against a row-sharded counter must equal
+    # the dense-table path exactly — including '['-padded prefix contexts
+    # and DUPLICATE k-mers in one query (lag 14-15 scale scoring never
+    # materializes the dense table).
+    from bear_tpu.inference.scoring import TableCounter
+    from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+
+    rng = np.random.default_rng(9)
+    seqs = ["".join(rng.choice(list("ACGT"), rng.integers(15, 40))) for _ in range(23)]
+    lag = 4
+
+    single = TransitionCounter(lags=[lag], n_groups=2)
+    mesh = data_parallel_mesh(8, axis_name="kmer")
+    sharded = KmerShardedTransitionCounter(mesh, lags=[lag], n_groups=2)
+    for tc in (single, sharded):
+        enc = ((fastx.encode_seq(s), i % 2) for i, s in enumerate(seqs))
+        for chunk in chunk_reads(enc, lag, batch_size=8):
+            tc.add_chunk(chunk)
+
+    queries = np.array(
+        ["ACGT", "TTTT", "ACGT",          # duplicate full contexts
+         "A", "GC", "CGT",                 # short (prefix-padded) contexts
+         "GGGG", "A"]                      # more duplicates / unseen rows
+    )
+    for group in (0, 1):
+        dense = TableCounter(single, lag, group=group)
+        sparse = TableCounter(sharded, lag, group=group)
+        np.testing.assert_array_equal(dense(queries), sparse(queries))
+    # no_end zeroes the stop column in both paths
+    np.testing.assert_array_equal(
+        TableCounter(single, lag, no_end=True)(queries),
+        TableCounter(sharded, lag, no_end=True)(queries),
+    )
