@@ -88,17 +88,60 @@ class BearServer:
     ar_apply : jitted (one_hot [.., lag, 5] -> probs [.., 5]) closure, e.g.
         from load_bear; None with ``van`` for vanilla BEAR.
     van : BMM symmetric prior (used when ar_apply is None).
+    mesh / mesh_axis : optional device mesh: the count table is row-split
+        over ``mesh_axis`` (tensor parallelism — serving at lag 14-15 where
+        the table exceeds one chip's HBM). Each device gathers its own rows
+        and one psum per batch assembles the full gather; queries and scores
+        stay replicated.
     """
 
     def __init__(self, table, lag: int, *, h: Optional[float] = None,
                  ar_apply=None, van: Optional[float] = None,
-                 dtype=jnp.float32, alphabet: str = "dna"):
+                 dtype=jnp.float32, alphabet: str = "dna",
+                 mesh=None, mesh_axis: str = "kmer"):
         assert (ar_apply is None) != (van is None), "specify exactly one of ar_apply / van"
         A = alphabets.alphabet_size(alphabet)
         assert np.shape(table)[0] == table_rows(lag, A), (
             f"table rows {np.shape(table)[0]} != rows(lag={lag}, A={A})"
         )
-        self._table = jnp.asarray(np.asarray(table), dtype=dtype)
+        if mesh is None:
+            self._table = jnp.asarray(np.asarray(table), dtype=dtype)
+
+            def gather_rows(tbl, rows):
+                return tbl[rows]
+
+        else:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_shard = int(mesh.shape[mesh_axis])
+            rows_total = int(np.shape(table)[0])
+            local = -(-rows_total // n_shard)
+            tab = np.zeros((local * n_shard,) + tuple(np.shape(table)[1:]),
+                           dtype=np.asarray(table).dtype)
+            tab[:rows_total] = np.asarray(table)
+            self._table = jax.device_put(
+                jnp.asarray(tab, dtype=dtype),
+                NamedSharding(mesh, P(mesh_axis)),
+            )
+
+            def per_shard(tbl_local, rows):
+                # Each device owns rows [lo, lo+local); exactly one shard
+                # contributes each query row, so the psum is an exact gather.
+                lo = jax.lax.axis_index(mesh_axis).astype(jnp.int32) * local
+                loc = jnp.clip(rows - lo, 0, local - 1)
+                vals = tbl_local[loc]
+                mine = ((rows >= lo) & (rows - lo < local))[..., None]
+                return jax.lax.psum(
+                    jnp.where(mine, vals, jnp.zeros((), vals.dtype)), mesh_axis
+                )
+
+            gather_rows = shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(P(mesh_axis), P()), out_specs=P(),
+            )
+
+        self._gather_rows = gather_rows
         self._lag = lag
         self._alphabet = alphabet
 
@@ -116,14 +159,14 @@ class BearServer:
 
         def log_prob_map(table_arr, codes, lengths):
             rows, nxt, mask = _context_rows_and_next(codes, lengths, lag, A)
-            conc = concentrations(rows, table_arr[rows])
+            conc = concentrations(rows, gather_rows(table_arr, rows))
             logp = jnp.log(conc / jnp.sum(conc, axis=-1, keepdims=True))
             picked = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
             return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
 
         def log_prob_sampled(table_arr, codes, lengths, key):
             rows, nxt, mask = _context_rows_and_next(codes, lengths, lag, A)
-            conc = concentrations(rows, table_arr[rows])
+            conc = concentrations(rows, gather_rows(table_arr, rows))
             B = rows.shape[0]
             seq_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
 
@@ -169,6 +212,9 @@ class BearServer:
             return np.asarray(self.log_prob_map(codes, lengths))
         if mode == "sample":
             return np.asarray(
-                self.log_prob_sampled(codes, lengths, key or jax.random.key(0))
+                self.log_prob_sampled(
+                    codes, lengths,
+                    key if key is not None else jax.random.key(0),
+                )
             )
         raise ValueError(f"unknown mode {mode!r}")

@@ -115,3 +115,40 @@ def test_protein_serving_matches_analysis_path():
                                alphabet_name="prot", data=ds,
                                get_map=True)[:, 0]
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sharded_table_serving_matches_dense():
+    # Tensor-parallel serving: the table row-split over an 8-device mesh
+    # (one psum per batch assembles the gather) must reproduce the dense
+    # single-device scores exactly — MAP and per-sequence sampled, BMM and
+    # BEAR readings.
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bear_tpu.parallel import data_parallel_mesh
+
+    mesh = data_parallel_mesh(8, axis_name="kmer")
+    tc = _counter()
+    table = tc.tables[LAG][0]
+    seqs = ["TTTAT", "TTCAT", "TTTTTTTTTT", "A"]
+
+    dense = BearServer(table, LAG, van=1.0, dtype=jnp.float64)
+    shard = BearServer(table, LAG, van=1.0, dtype=jnp.float64,
+                       mesh=mesh, mesh_axis="kmer")
+    np.testing.assert_allclose(
+        dense.score(seqs, mode="map"), shard.score(seqs, mode="map"),
+        rtol=1e-12)
+    key = jax.random.key(7)
+    np.testing.assert_allclose(
+        dense.score(seqs, mode="sample", key=key),
+        shard.score(seqs, mode="sample", key=key), rtol=1e-12)
+
+    def ar_apply(oh):
+        return jnp.full(oh.shape[:-2] + (5,), 0.2, dtype=oh.dtype)
+
+    dense_b = BearServer(table, LAG, h=0.5, ar_apply=ar_apply, dtype=jnp.float64)
+    shard_b = BearServer(table, LAG, h=0.5, ar_apply=ar_apply, dtype=jnp.float64,
+                         mesh=mesh)
+    np.testing.assert_allclose(
+        dense_b.score(seqs, mode="map"), shard_b.score(seqs, mode="map"),
+        rtol=1e-12)
