@@ -342,7 +342,19 @@ def load_bear(path: str, double_softmax: bool = True):
         json.loads(config["model"]["af_kwargs"]),
         dtype=dtype,
     )
-    params = bear_net.params_from_list(load_params_list(path), dtype=dtype)
+    params_list = load_params_list(path)
+    expected = 1 + len(ar_func.init(jax.random.key(0)))
+    if len(params_list) != expected:
+        raise ValueError(
+            f"checkpoint at {path!r} holds {len(params_list)} parameter "
+            f"arrays but ar_func {config['model']['ar_func_name']!r} expects "
+            f"{expected} ([h_signed] + net params). Reference-guided "
+            "(train_bear_ref) model dirs carry [tau, nu] + net params and "
+            "cannot be scored via load_bear (the reference implementation "
+            "has the same limitation, get_var_probs.py:59-82); evaluate "
+            "them with bear_tpu.models.bear_ref instead"
+        )
+    params = bear_net.params_from_list(params_list, dtype=dtype)
     h = float(np.exp(np.asarray(params["h_signed"])))
 
     @jax.jit

@@ -153,3 +153,24 @@ def test_ref_train_bfloat16_compute():
     assert np.isfinite(r16.losses).all()
     assert r16.losses[-1] < r16.losses[0]
     np.testing.assert_allclose(r16.losses[-1], r32.losses[-1], rtol=1e-2)
+
+
+def test_load_bear_rejects_ref_model_dir(tmp_path):
+    # load_bear would silently mis-wire a ref checkpoint ([tau, nu] + net
+    # params) into the plain AR layout; it must refuse with a clear message.
+    import pytest
+
+    from bear_tpu.inference.scoring import load_bear
+    from bear_tpu.models import train_bear_ref
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bear_tpu", "models", "config_files", "bear_test.cfg",
+    )
+    config = configparser.ConfigParser()
+    config.read(cfg_path)
+    config["general"]["out_folder"] = str(tmp_path) + "*"
+    train_bear_ref.main(config)
+    out = config["results"]["out_folder"]
+    with pytest.raises(ValueError, match="bear_ref"):
+        load_bear(out)
