@@ -117,12 +117,26 @@ class BearServer:
             n_shard = int(mesh.shape[mesh_axis])
             rows_total = int(np.shape(table)[0])
             local = -(-rows_total // n_shard)
-            tab = np.zeros((local * n_shard,) + tuple(np.shape(table)[1:]),
-                           dtype=np.asarray(table).dtype)
-            tab[:rows_total] = np.asarray(table)
-            self._table = jax.device_put(
-                jnp.asarray(tab, dtype=dtype),
-                NamedSharding(mesh, P(mesh_axis)),
+            padded = local * n_shard
+            table_np = np.asarray(table)
+            np_dtype = np.dtype(dtype)
+            tail = tuple(table_np.shape[1:])
+
+            def _shard_cb(idx):
+                # Materialize ONE shard's row range at a time: the whole
+                # point of mesh= is a table too large for one device (and a
+                # full padded host copy would double host RAM at lag 15).
+                sl = idx[0]
+                start = sl.start or 0
+                stop = padded if sl.stop is None else sl.stop
+                out = np.zeros((stop - start,) + tail, np_dtype)
+                m = min(stop, rows_total)
+                if m > start:
+                    out[: m - start] = table_np[start:m]
+                return out
+
+            self._table = jax.make_array_from_callback(
+                (padded,) + tail, NamedSharding(mesh, P(mesh_axis)), _shard_cb
             )
 
             def per_shard(tbl_local, rows):
@@ -141,7 +155,6 @@ class BearServer:
                 in_specs=(P(mesh_axis), P()), out_specs=P(),
             )
 
-        self._gather_rows = gather_rows
         self._lag = lag
         self._alphabet = alphabet
 

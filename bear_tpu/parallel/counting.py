@@ -291,6 +291,7 @@ class KmerShardedTransitionCounter:
         self._sparse: Dict[int, list] = {l: [] for l in self.lags}
         self._consolidated_lags: set = set()  # lags whose single part is
         # already unique+sorted (skip re-sorting on repeated access)
+        self._grk_cache: Dict[int, tuple] = {}  # lag -> (keys, g, r, k)
         self._dev = None
         self._since_flush = 0
         self._count_fns = {}
@@ -403,9 +404,18 @@ class KmerShardedTransitionCounter:
             return out
         order = np.argsort(rows, kind="stable")
         rows_sorted = rows[order]
-        g = keys // A1 // table_rows(lag, self.A)
-        r = keys // A1 % table_rows(lag, self.A)
-        k = keys % A1
+        # The (g, r, k) decomposition of the consolidated keys is invariant
+        # until the next flush/merge re-consolidates; repeated queries (the
+        # scoring path issues one per call) reuse it. Validity is keyed on
+        # the identity of the consolidated keys array itself.
+        cache = self._grk_cache.get(lag)
+        if cache is None or cache[0] is not keys:
+            g = keys // A1 // table_rows(lag, self.A)
+            r = keys // A1 % table_rows(lag, self.A)
+            k = keys % A1
+            self._grk_cache[lag] = (keys, g, r, k)
+        else:
+            _, g, r, k = cache
         pos = np.searchsorted(rows_sorted, r)
         hit = (pos < len(rows_sorted)) & (rows_sorted[np.clip(pos, 0, len(rows_sorted) - 1)] == r)
         out[order[pos[hit]], g[hit], k[hit]] = vals[hit]

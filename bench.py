@@ -324,9 +324,10 @@ def _wait_for_device(budget_s: int) -> bool:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        if time.time() + 90 >= deadline:
+        left = deadline - time.time()
+        if left <= 0:
             return False
-        time.sleep(90)
+        time.sleep(min(90, left))
 
 
 def main():

@@ -155,6 +155,7 @@ def test_ref_train_bfloat16_compute():
     np.testing.assert_allclose(r16.losses[-1], r32.losses[-1], rtol=1e-2)
 
 
+@needs_ref
 def test_load_bear_rejects_ref_model_dir(tmp_path):
     # load_bear would silently mis-wire a ref checkpoint ([tau, nu] + net
     # params) into the plain AR layout; it must refuse with a clear message.
