@@ -19,4 +19,4 @@ from bear_tpu.ops.distributions import (
     ml_output_mult,
     multinomial_perm_logpmf,
 )
-from bear_tpu.ops.loggamma import log_gamma, sample_dirichlet_log
+from bear_tpu.ops.loggamma import log_gamma, log_gamma_pdf, sample_dirichlet_log

@@ -63,3 +63,11 @@ def sample_dirichlet_log(key, concs, size=()):
     """
     lg = log_gamma(key, concs, size=size)
     return lg - jax.scipy.special.logsumexp(lg, axis=-1, keepdims=True)
+
+
+def log_gamma_pdf(conc, xs):
+    """Density of log(Gamma(conc, 1)) at xs:
+    f(y) = exp(conc*y - e^y - lgamma(conc)) (reference log_gamma.py:14-15)."""
+    conc = jnp.asarray(conc)
+    xs = jnp.asarray(xs)
+    return jnp.exp(conc * xs - jnp.exp(xs) - jax.scipy.special.gammaln(conc))

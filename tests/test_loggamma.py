@@ -50,3 +50,17 @@ def test_dirichlet_log_moments():
     want = digamma(concs) - digamma(concs.sum())
     got = draws.mean(0)
     np.testing.assert_allclose(got, want, rtol=0.02)
+
+
+def test_log_gamma_pdf_matches_change_of_variables():
+    # f_Y(y) for Y = log X, X ~ Gamma(c): gamma.pdf(e^y, c) * e^y.
+    from scipy.stats import gamma as sp_gamma
+
+    from bear_tpu.ops.loggamma import log_gamma_pdf
+
+    ys = np.linspace(-8.0, 3.0, 200)
+    for c in (0.01, 0.3, 1.0, 7.5):
+        want = sp_gamma.pdf(np.exp(ys), c) * np.exp(ys)
+        np.testing.assert_allclose(
+            np.asarray(log_gamma_pdf(c, ys)), want, rtol=1e-5, atol=1e-12
+        )
