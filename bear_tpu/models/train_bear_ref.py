@@ -34,6 +34,10 @@ def main(config: configparser.ConfigParser, mesh=None):
     out_folder = run.resolve_out_folder()
     dtype = run.dtype()
     writer = MetricsWriter(out_folder)
+    if mesh is None and run.data_parallel:
+        from bear_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()  # all local devices; XLA inserts psum
 
     files = run.resolve_files()
     num_kmers = count_kmers(files, header=run.sparse)

@@ -77,6 +77,11 @@ class RunConfig:
     # while master weights, likelihood, and softmax stay in `precision`
     # (bear_tpu extension; the reference has no mixed-precision mode).
     compute_precision: str = ""
+    # optional [train] data_parallel: 'True' shards batches over ALL local
+    # devices (a data_parallel_mesh; XLA inserts the gradient psum) — the
+    # CLI equivalent of passing mesh= to bear_net.train (bear_tpu extension;
+    # the reference's MirroredStrategy had no config surface).
+    data_parallel: bool = False
 
     @classmethod
     def from_configparser(cls, config: configparser.ConfigParser) -> "RunConfig":
@@ -105,6 +110,7 @@ class RunConfig:
             cache=tr.get("cache", "True") == "True",
             restart=tr.get("restart", "False") == "True",
             restart_path=tr.get("restart_path", ""),
+            data_parallel=tr.get("data_parallel", "False") == "True",
             test=te["test"] == "True",
             train_test=te["train_test"] == "True",
             van_reg=json.loads(te["van_reg"]),

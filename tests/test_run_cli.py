@@ -101,3 +101,32 @@ def test_run_net_bfloat16_compute(tmp_path):
     alpha = np.array([0.1, 1.0, 10.0]) + EPSILON
     calc = np.asarray(bmm_likelihood(ds.counts, alpha))
     np.testing.assert_allclose(calc[0], ll_van, rtol=1e-4)
+
+
+@needs_ref
+def test_run_net_data_parallel_config(tmp_path):
+    # [train] data_parallel = True shards the CLI run over all local devices
+    # (8 virtual CPU devices in CI); results must match the single-device run
+    # exactly (shard invariance at the CLI level).
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from bear_tpu.models import train_bear_net
+
+    def run(dp, sub):
+        config = configparser.ConfigParser()
+        config.read(CFG)
+        config["general"]["out_folder"] = str(tmp_path / sub) + "*"
+        config["train"]["data_parallel"] = dp
+        train_bear_net.main(config)
+        return config
+
+    c1 = run("False", "single")
+    c8 = run("True", "mesh")
+    np.testing.assert_allclose(
+        float(c8["results"]["h"]), float(c1["results"]["h"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(c8["results"]["heldout_perplex_BEAR"]),
+        float(c1["results"]["heldout_perplex_BEAR"]), rtol=1e-6)
