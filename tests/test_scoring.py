@@ -287,3 +287,47 @@ def test_marg_scoring_ignores_out_of_alphabet_letters():
     # transition's contribution)
     s_base = get_bear_probs_seqs(None, [base], 0, **kwargs)
     assert not np.allclose(s_n, s_base)
+
+
+def test_variant_windows_equal_full_sequence_delta_fuzz():
+    # Windowed variant scoring (get_bear_probs) computes the delta from the
+    # covering (k+1)-mers only; it must equal the FULL-sequence score delta
+    # exactly (terms outside the windows cancel), for SNPs, insertions and
+    # deletions alike — MAP mode, BEAR-with-h and BMM models.
+    from bear_tpu.counting import TransitionCounter, chunk_reads, fastx
+    from bear_tpu.inference.scoring import get_bear_probs, get_bear_probs_seqs
+
+    rng = np.random.default_rng(77)
+    lag = 3
+    train_seqs = ["".join(rng.choice(list("ACGT"), rng.integers(15, 40)))
+                  for _ in range(30)]
+    tc = TransitionCounter(lags=[lag], n_groups=1)
+    enc = ((fastx.encode_seq(s), 0) for s in train_seqs)
+    for chunk in chunk_reads(enc, lag, batch_size=16):
+        tc.add_chunk(chunk)
+    ds = tc.to_dataset(lag)
+
+    wt = "".join(rng.choice(list("ACGT"), 30))
+    vars_, mutants = [], []
+    for _ in range(12):
+        pos = int(rng.integers(lag, len(wt) - lag - 2))
+        kind = rng.integers(0, 3)
+        if kind == 0:  # SNP
+            old = wt[pos]
+            new = rng.choice([b for b in "ACGT" if b != old])
+            vars_.append(f"{old}{pos}{new}")
+            mutants.append(wt[:pos] + new + wt[pos + 1:])
+        elif kind == 1:  # insertion (empty wt side)
+            ins = "".join(rng.choice(list("ACGT"), 2))
+            vars_.append(f"{wt[pos]}{pos}{wt[pos]}{ins}")
+            mutants.append(wt[:pos + 1] + ins + wt[pos + 1:])
+        else:  # deletion of 2 bases
+            vars_.append(f"{wt[pos:pos + 3]}{pos}{wt[pos]}")
+            mutants.append(wt[:pos + 1] + wt[pos + 3:])
+
+    common = dict(train_col=0, get_map=True, vans=[0.3, 2.0], lag=lag,
+                  alphabet_name="dna", data=ds, h=np.array([0.7]))
+    windowed = get_bear_probs(None, wt, vars_, **common)
+    full = get_bear_probs_seqs(None, [wt] + mutants, **common)
+    delta = full[1:] - full[0]
+    np.testing.assert_allclose(windowed, delta, rtol=1e-9, atol=1e-9)
