@@ -9,9 +9,10 @@ debbiemarkslab/BEAR (Amin, Weinstein & Marks, NeurIPS 2021):
   kernels for the hot paths.
 - ``bear_tpu.data``     — host-side loaders for the reference's dense/sparse
   transition-count TSV formats, emitting integer-coded k-mer batches.
-- ``bear_tpu.models``   — embedded AR functions (linear/CNN/stop), BEAR/AR
-  training (empirical-Bayes h), evaluation, h-scan, and the reference-guided
-  variant (bear_ref).
+- ``bear_tpu.models``   — embedded AR functions (linear/CNN/stop/attention,
+  optional bfloat16 mixed precision), BEAR/AR training (empirical-Bayes h),
+  evaluation, h-scan, the reference-guided variant (bear_ref), vBEAR
+  (variational posterior over h), and BMM-marginal lag selection.
 - ``bear_tpu.parallel`` — device-mesh utilities: data-parallel training and
   sharded count tensors via jax.sharding + psum collectives.
 - ``bear_tpu.counting`` — the TPU-native k-mer counting engine replacing
