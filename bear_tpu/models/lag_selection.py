@@ -31,6 +31,26 @@ class LagSelection:
         return float(self.alphas[int(np.argmax(self.log_marginals[i]))])
 
 
+def marginal_from_counts(counts: np.ndarray, alphas: np.ndarray) -> np.ndarray:
+    """Exact BMM log marginal likelihood of count rows for each alpha.
+
+    counts : [n, A+1] nonzero-context transition counts.
+    Returns [num_alpha] = sum_rows [lbeta(counts + alpha) - lbeta(alpha)]
+    (reference dataloader.py:111-113's per-batch term), in float64.
+    """
+    from scipy.special import gammaln
+
+    counts = np.asarray(counts, dtype=np.float64)
+    alphas = np.asarray(alphas, dtype=np.float64)
+    c = counts[:, None, :] + alphas[None, :, None]  # [n, A, A+1]
+    a = np.broadcast_to(alphas[None, :, None], c.shape)
+    return np.sum(
+        (gammaln(c).sum(-1) - gammaln(c.sum(-1)))
+        - (gammaln(a).sum(-1) - gammaln(a.sum(-1))),
+        axis=0,
+    )
+
+
 def select_lag(
     counter,
     alphas: Sequence[float] = (0.01, 0.1, 1.0),
@@ -49,23 +69,54 @@ def select_lag(
     have marginal term exactly 0), so the sweep touches num-distinct-kmers
     rows, not 4^lag.
     """
-    from scipy.special import gammaln
-
     alphas = np.asarray(list(alphas), dtype=np.float64)
     tables = counter.tables
     out = np.zeros((len(counter.lags), len(alphas)))
     for i, lag in enumerate(counter.lags):
         rows = np.nonzero(tables[lag][group].sum(axis=-1))[0]
         for start in range(0, len(rows), batch_size):
-            counts = tables[lag][group][rows[start : start + batch_size]].astype(
-                np.float64
-            )
-            c = counts[:, None, :] + alphas[None, :, None]  # [n, A, 5]
-            a = np.broadcast_to(alphas[None, :, None], c.shape)
-            # lbeta(counts + alpha) - lbeta(alpha), summed over rows
-            out[i] += np.sum(
-                (gammaln(c).sum(-1) - gammaln(c.sum(-1)))
-                - (gammaln(a).sum(-1) - gammaln(a.sum(-1))),
-                axis=0,
+            out[i] += marginal_from_counts(
+                tables[lag][group][rows[start : start + batch_size]], alphas
             )
     return LagSelection(lags=tuple(counter.lags), log_marginals=out, alphas=alphas)
+
+
+def select_lag_from_tsvs(
+    prefix: str,
+    lags: Sequence[int],
+    alphas: Sequence[float] = (0.01, 0.1, 1.0),
+    group: int = 0,
+    num_ds: int | None = None,
+    alphabet: str = "dna",
+    batch_size: int = 1 << 20,
+) -> LagSelection:
+    """Score lags from already-summarized count TSVs.
+
+    Reads ``{prefix}_lag_{l}_file_*.tsv`` (the summarize CLI's output layout,
+    reference summarize.py stage-3 naming) for each requested lag; ``group``
+    selects the dataset column. num_ds defaults to sniffing the first file's
+    column count.
+    """
+    import glob
+    import json
+
+    from bear_tpu.data.loaders import load_dense
+
+    alphas = np.asarray(list(alphas), dtype=np.float64)
+    lags = list(lags)
+    out = np.zeros((len(lags), len(alphas)))
+    for i, lag in enumerate(lags):
+        files = sorted(glob.glob(f"{prefix}_lag_{lag}_file_*.tsv"))
+        if not files:
+            raise FileNotFoundError(f"no {prefix}_lag_{lag}_file_*.tsv files")
+        if num_ds is None:
+            with open(files[0]) as fh:
+                first = fh.readline().split("\t", 1)
+                num_ds = len(json.loads(first[1])) if len(first) == 2 else 1
+        for f in files:
+            counts = load_dense(f, alphabet, num_ds).counts[:, group]
+            for start in range(0, len(counts), batch_size):
+                out[i] += marginal_from_counts(
+                    counts[start : start + batch_size], alphas
+                )
+    return LagSelection(lags=tuple(lags), log_marginals=out, alphas=alphas)

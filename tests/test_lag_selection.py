@@ -34,3 +34,49 @@ def test_iid_data_selects_lag_1():
     sel = select_lag(tc)
     assert sel.best == 1
     assert sel.best_alpha(1) in (0.01, 0.1, 1.0)
+
+
+def test_cli_counts_mode_matches_counter_sweep(tmp_path):
+    """The CLI's two routes agree: scoring exported TSVs reproduces the
+    in-memory counter sweep exactly, and the JSON output is well-formed."""
+    import json
+    import os
+
+    from bear_tpu.models import lag_select_cli
+
+    seqs = ["AACAAG" * 30] * 8
+    lags = [1, 2, 3]
+    tc = _count(seqs, lags)
+    prefix = os.path.join(tmp_path, "toy")
+    for lag in lags:
+        tc.export_tsv(prefix, lag, n_bin_bits=0)
+    # fasta + csv input for the counting route
+    fa = os.path.join(tmp_path, "seqs.fasta")
+    with open(fa, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">s{i}\n{s}\n")
+    csv = os.path.join(tmp_path, "in.csv")
+    with open(csv, "w") as fh:
+        fh.write(f"{fa},0,fa\n")
+
+    args = lag_select_cli.build_parser().parse_args(
+        [prefix, "--counts", "-l", "3", "--json"]
+    )
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        best_counts = lag_select_cli.main(args)
+    payload = json.loads(buf.getvalue())
+    assert best_counts == payload["best_lag"] == 3
+
+    args2 = lag_select_cli.build_parser().parse_args([csv, "-l", "3"])
+    with contextlib.redirect_stdout(io.StringIO()):
+        best_counted = lag_select_cli.main(args2)
+    assert best_counted == 3
+
+    sel = select_lag(tc)
+    np.testing.assert_allclose(
+        np.array(payload["log_marginals"]), sel.log_marginals[:3], rtol=1e-12
+    )
