@@ -27,24 +27,34 @@ struct Parsed {
 };
 
 // ASCII -> 2-bit code; anything outside ACGTacgt maps to 0 (A), matching the
-// Python fallback and the reference's documented non-handling of N.
+// Python fallback and the reference's documented non-handling of N. The
+// second table instead marks ambiguous bases with code 4 (for the counting
+// engine's ambig="skip" mode, which drops transitions whose window crosses
+// an ambiguous base).
 int8_t kEncode[256];
+int8_t kEncodeAmbig[256];
 
 struct EncodeInit {
   EncodeInit() {
     memset(kEncode, 0, sizeof(kEncode));
-    kEncode[(unsigned char)'A'] = 0; kEncode[(unsigned char)'a'] = 0;
-    kEncode[(unsigned char)'C'] = 1; kEncode[(unsigned char)'c'] = 1;
-    kEncode[(unsigned char)'G'] = 2; kEncode[(unsigned char)'g'] = 2;
-    kEncode[(unsigned char)'T'] = 3; kEncode[(unsigned char)'t'] = 3;
+    memset(kEncodeAmbig, 4, sizeof(kEncodeAmbig));
+    const char* bases = "AaCcGgTt";
+    for (int i = 0; i < 8; ++i) {
+      kEncode[(unsigned char)bases[i]] = (int8_t)(i / 2);
+      kEncodeAmbig[(unsigned char)bases[i]] = (int8_t)(i / 2);
+    }
   }
 } encode_init;
+
+// Active table for the current parse (parse runs are single-threaded per
+// handle; thread_local keeps concurrent parses independent).
+thread_local const int8_t* g_encode = kEncode;
 
 void append_encoded(Parsed* out, const char* s, size_t n) {
   size_t base = out->codes.size();
   out->codes.resize(base + n);
   for (size_t i = 0; i < n; ++i) {
-    out->codes[base + i] = kEncode[(unsigned char)s[i]];
+    out->codes[base + i] = g_encode[(unsigned char)s[i]];
   }
 }
 
@@ -141,10 +151,12 @@ Parsed* parse_fastq(Stream& f) {
 
 extern "C" {
 
-// Parse a file. type: 0 = fasta, 1 = fastq. Returns an opaque handle
-// (nullptr on failure to open).
-void* bear_fastx_parse(const char* path, int type) {
+// Parse a file. type: 0 = fasta, 1 = fastq. ambig: 0 = unknown bases encode
+// as 0/A (reference-compatible), 1 = unknown bases encode as 4 (ambiguity
+// marker for skip mode). Returns an opaque handle (nullptr on failure).
+void* bear_fastx_parse2(const char* path, int type, int ambig) {
   g_last_error = 0;
+  g_encode = ambig ? kEncodeAmbig : kEncode;
   Stream f;
   if (!f.open(path)) {
     g_last_error = 1;
@@ -159,6 +171,10 @@ void* bear_fastx_parse(const char* path, int type) {
     return nullptr;
   }
   return out;
+}
+
+void* bear_fastx_parse(const char* path, int type) {
+  return bear_fastx_parse2(path, type, 0);
 }
 
 int bear_fastx_last_error(void) { return g_last_error; }

@@ -50,6 +50,12 @@ class NativeFastx:
         if hasattr(lib, "bear_fastx_last_error"):
             lib.bear_fastx_last_error.restype = ctypes.c_int
             lib.bear_fastx_last_error.argtypes = []
+        self._has_parse2 = hasattr(lib, "bear_fastx_parse2")
+        if self._has_parse2:
+            lib.bear_fastx_parse2.restype = ctypes.c_void_p
+            lib.bear_fastx_parse2.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ]
         self._has_fill = hasattr(lib, "bear_fill_chunks")
         if self._has_fill:
             lib.bear_fill_chunks.restype = None
@@ -63,10 +69,17 @@ class NativeFastx:
                 ctypes.POINTER(ctypes.c_int8),   # out [B, L] zeroed
             ]
 
-    def parse(self, path: str, file_type: str):
-        """Parse a whole file -> (codes int8 [total], offsets int64 [n+1])."""
+    def parse(self, path: str, file_type: str, ambig: bool = False):
+        """Parse a whole file -> (codes int8 [total], offsets int64 [n+1]).
+        ambig=True encodes unknown bases as 4 (ambiguity marker) instead of
+        0/A; requires a library built with bear_fastx_parse2."""
         t = 1 if file_type == "fq" else 0
-        handle = self.lib.bear_fastx_parse(path.encode(), t)
+        if ambig:
+            if not self._has_parse2:
+                raise AttributeError("native library predates bear_fastx_parse2")
+            handle = self.lib.bear_fastx_parse2(path.encode(), t, 1)
+        else:
+            handle = self.lib.bear_fastx_parse(path.encode(), t)
         if not handle:
             err = (self.lib.bear_fastx_last_error()
                    if hasattr(self.lib, "bear_fastx_last_error") else 1)
@@ -134,8 +147,9 @@ class NativeFastx:
         )
         return out[:written].tobytes()
 
-    def stream_encoded(self, path: str, file_type: str, group: int):
-        codes, offsets = self.parse(path, file_type)
+    def stream_encoded(self, path: str, file_type: str, group: int,
+                       ambig: bool = False):
+        codes, offsets = self.parse(path, file_type, ambig=ambig)
         for i in range(len(offsets) - 1):
             yield codes[offsets[i] : offsets[i + 1]], group
 

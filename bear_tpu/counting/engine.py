@@ -231,6 +231,11 @@ class ReadChunk:
         overlap as context only).
     stopped : [B] whether a '$' transition is emitted at position == length.
     groups : [B] dataset group of each row.
+    fresh : optional [B] bool; None means all True. A fresh row starts at a
+        true read boundary: positions j < lag count with '['-padded prefix
+        contexts. A non-fresh row (an ambig="skip" piece after an ambiguous
+        base) instead DROPS, per lag l, transitions at positions j < l —
+        their context window would cross the ambiguous base.
     """
 
     codes: np.ndarray
@@ -238,6 +243,7 @@ class ReadChunk:
     skip: np.ndarray
     stopped: np.ndarray
     groups: np.ndarray
+    fresh: np.ndarray | None = None
 
 
 def lag_offsets(lags, n_groups, A: int = 4):
@@ -253,7 +259,8 @@ def lag_offsets(lags, n_groups, A: int = 4):
 
 
 def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
-                        n_groups, method="scatter", shard=None, A=4):
+                        n_groups, method="scatter", shard=None, A=4,
+                        fresh=None):
     """Jitted device kernel: add one chunk's transitions into the persistent
     concatenated dense table (donated, updated in place).
 
@@ -307,6 +314,8 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
     sentinel = table.shape[0]
     masked_to = 0 if (method == "scatter" and shard is None) else sentinel
     all_flat = []
+    upd_list = []
+    fresh_col = None if fresh is None else fresh.astype(bool)[:, None]
     code_acc = jnp.zeros((B, P), dtype=jnp.int32)
     pow4 = 1
     upd_one = mask.astype(jnp.int32)
@@ -317,17 +326,22 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
         pow4 *= A
         if l not in lags:
             continue
+        # Non-fresh rows (ambig pieces) drop positions whose lag-l context
+        # window would cross the ambiguous base: j < l.
+        mask_l = mask if fresh_col is None else mask & (fresh_col | (j >= l))
         n_pad = jnp.maximum(0, l - j)  # [1, P] broadcasting over rows
         offset = (A ** (l - n_pad) - 1) // (A - 1)
         row = offset + code_acc
         if shard is None:
             flat = offsets[l] + (groups32 * table_rows(l, A) + row) * A1 + nxt
-            keyed = jnp.where(mask, flat, masked_to)
+            keyed = jnp.where(mask_l, flat, masked_to)
+            if fresh_col is not None:
+                upd_list.append(mask_l.astype(jnp.int32).reshape(-1))
         else:
             shard_idx, per_lag = shard
             stride_l, local_rows_l, loc_off_l = per_lag[l]
             rloc = row - shard_idx * stride_l
-            ok = mask & (rloc >= 0) & (rloc < local_rows_l)
+            ok = mask_l & (rloc >= 0) & (rloc < local_rows_l)
             rloc = jnp.clip(rloc, 0, local_rows_l - 1)
             flat = loc_off_l + (groups32 * local_rows_l + rloc) * A1 + nxt
             keyed = jnp.where(ok, flat, masked_to)
@@ -342,6 +356,8 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
     if shard is not None:
         # Foreign/masked keys are at the (out-of-bounds) sentinel: dropped.
         return table.at[flat_cat].add(1, mode="drop")
+    if upd_list:
+        return table.at[flat_cat].add(jnp.concatenate(upd_list), mode="drop")
     upd_cat = jnp.tile(upd_one.reshape(-1), len(all_flat))
     return table.at[flat_cat].add(upd_cat, mode="drop")
 
@@ -351,10 +367,10 @@ def _count_chunk_kernel(table, codes, lengths, skip, stopped, groups, lags,
     donate_argnums=(0,),
 )
 def _count_chunk_jit(table, codes, lengths, skip, stopped, groups, lags,
-                     n_groups, method="scatter", A=4):
+                     n_groups, method="scatter", A=4, fresh=None):
     return _count_chunk_kernel(
         table, codes, lengths, skip, stopped, groups, lags, n_groups, method,
-        A=A,
+        A=A, fresh=fresh,
     )
 
 
@@ -495,12 +511,22 @@ class TransitionCounter:
                 "reverse=True requires whole-read chunks (skip == 0); "
                 "for segmented long sequences use chunk_reads(reverse=True)"
             )
-        self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped, chunk.groups)
+        self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped,
+                  chunk.groups, chunk.fresh)
         if self.reverse:
             rc, rlen = reverse_complement_codes(chunk.codes, chunk.lengths)
-            self._add(rc, rlen, chunk.skip, chunk.stopped, chunk.groups)
+            if chunk.fresh is None:
+                self._add(rc, rlen, chunk.skip, chunk.stopped, chunk.groups)
+            else:
+                # RC of an ambig piece: the true-read boundaries swap sides —
+                # the RC row may emit '[' prefixes iff the forward row ended
+                # at a true read end, and '$' iff it began at a true start.
+                self._add(rc, rlen, chunk.skip,
+                          np.asarray(chunk.fresh, dtype=bool),
+                          chunk.groups,
+                          fresh=np.asarray(chunk.stopped, dtype=bool))
 
-    def _add(self, codes, lengths, skip, stopped, groups):
+    def _add(self, codes, lengths, skip, stopped, groups, fresh=None):
         new_transitions = codes.shape[0] * (codes.shape[1] + 1)
         if self._since_flush + new_transitions > self.FLUSH_EVERY:
             self.flush()
@@ -517,6 +543,7 @@ class TransitionCounter:
             self.n_groups,
             self._resolve_method(new_transitions * n_lags),
             A=self.A,
+            fresh=None if fresh is None else jnp.asarray(fresh),
         )
         self._since_flush += new_transitions
 
@@ -772,6 +799,7 @@ def chunks_from_packed(
     segment_len: int = 1 << 16,
     reverse: bool = False,
     max_chunk_elems: int = 1 << 25,
+    ambig_code: int | None = None,
 ) -> Iterable[ReadChunk]:
     """Vectorized chunk construction from a packed read buffer — the
     production host path: the C++ parser (fastx) emits (codes_flat, offsets)
@@ -786,6 +814,12 @@ def chunks_from_packed(
     read's reverse complement. Chunks are capped at ``max_chunk_elems``
     padded elements, so long-contig segments shrink the row count instead of
     inflating the chunk (and its device-transfer size) by ~100x.
+
+    ambig_code: when set (parse with ambig=True -> code 4), reads split at
+    ambiguous bases into pieces, vectorized: the first piece keeps its
+    '['-prefix transitions, the last its '$' transition, and every transition
+    whose window crosses the ambiguous base is dropped (split_ambiguous
+    semantics). Pieces reference the original buffer (no rewrite copy).
     """
     if segment_len < max_lag:
         raise ValueError(
@@ -799,6 +833,47 @@ def chunks_from_packed(
     if n_reads == 0:
         return
     groups = np.broadcast_to(np.asarray(groups, dtype=np.int32), (n_reads,))
+    read_starts = offsets[:-1]
+    read_fresh = read_stop = None  # None = all True
+    if ambig_code is not None:
+        amb = np.flatnonzero(codes_flat == ambig_code)
+        if len(amb):
+            # Expand reads into N-free pieces. Positions amb are strictly
+            # inside their read ([off_r, off_{r+1})), so 'right' search is
+            # exact even next to empty reads.
+            cut_read = np.searchsorted(offsets, amb, side="right") - 1
+            n_cuts = np.bincount(cut_read, minlength=n_reads)
+            cut_base = np.concatenate([[0], np.cumsum(n_cuts)[:-1]])
+            per_read = n_cuts + 1
+            piece_read = np.repeat(np.arange(n_reads), per_read)
+            piece_ord = np.arange(len(piece_read)) - np.repeat(
+                np.concatenate([[0], np.cumsum(per_read)[:-1]]), per_read
+            )
+            cut_at = cut_base[piece_read] + piece_ord
+            p_starts = np.where(
+                piece_ord == 0,
+                offsets[piece_read],
+                amb[np.clip(cut_at - 1, 0, len(amb) - 1)] + 1,
+            )
+            last = piece_ord == n_cuts[piece_read]
+            p_ends = np.where(
+                last,
+                offsets[piece_read + 1],
+                amb[np.clip(cut_at, 0, len(amb) - 1)],
+            )
+            fresh_p = piece_ord == 0
+            # Keep empty pieces only for originally-empty reads (preserves
+            # the empty-read '['->'$' semantics); pieces emptied by splitting
+            # count nothing and would only waste rows.
+            keep = (p_ends > p_starts) | (fresh_p & last & (n_cuts[piece_read] == 0))
+            read_starts = p_starts[keep]
+            lengths_all = (p_ends - p_starts)[keep]
+            groups = groups[piece_read[keep]]
+            read_fresh = fresh_p[keep]
+            read_stop = last[keep]
+            n_reads = len(read_starts)
+            if n_reads == 0:
+                return
 
     from bear_tpu.counting import fastx as _fastx
 
@@ -819,8 +894,21 @@ def chunks_from_packed(
     start_in_read = np.where(first, seg_begin, seg_begin - max_lag)
     seg_lengths = seg_end - start_in_read
     skip = np.where(first, 0, max_lag).astype(np.int32)
-    stopped = seg_end == read_len
+    at_end = seg_end == read_len
     seg_groups = groups[seg_read]
+    # Per-variant boundary flags. For ambig pieces the RC swaps fresh<->stop
+    # (the true-read boundary changes sides under reversal); continuation
+    # segments are fresh=True — skip=max_lag already drops their j < lag
+    # positions, so the flag is inert there.
+    if read_fresh is None:
+        flags = {False: (at_end, None), True: (at_end, None)}
+    else:
+        flags = {
+            False: (at_end & read_stop[seg_read],
+                    read_fresh[seg_read] | ~first),
+            True: (at_end & read_fresh[seg_read],
+                   read_stop[seg_read] | ~first),
+        }
 
     variants = [(False,)] + ([(True,)] if reverse else [])
     order = np.arange(len(seg_read))
@@ -860,11 +948,11 @@ def chunks_from_packed(
             # forward-strand base and walks backward.
             if rc:
                 starts_abs = (
-                    offsets[seg_read[sel]]
+                    read_starts[seg_read[sel]]
                     + read_len[sel] - 1 - start_in_read[sel]
                 )
             else:
-                starts_abs = offsets[seg_read[sel]] + start_in_read[sel]
+                starts_abs = read_starts[seg_read[sel]] + start_in_read[sel]
             if native is not None:
                 native.fill_chunks(
                     codes_flat, starts_abs, seg_lengths[sel],
@@ -882,14 +970,51 @@ def chunks_from_packed(
             sk = np.zeros(B, dtype=np.int32)
             st = np.zeros(B, dtype=bool)
             gr = np.zeros(B, dtype=np.int32)
+            stopped_v, fresh_v = flags[rc]
             sk[: len(sel)] = skip[sel]
-            st[: len(sel)] = stopped[sel]
+            st[: len(sel)] = stopped_v[sel]
             gr[: len(sel)] = seg_groups[sel]
-            yield ReadChunk(out, lens, sk, st, gr)
+            if fresh_v is None:
+                fr = None
+            else:
+                fr = np.ones(B, dtype=bool)
+                fr[: len(sel)] = fresh_v[sel]
+                if fr.all():
+                    fr = None
+            yield ReadChunk(out, lens, sk, st, gr, fr)
+
+
+def split_ambiguous(
+    encoded: Iterable[tuple], ambig_code: int = 4
+) -> Iterable[tuple[np.ndarray, int, bool, bool]]:
+    """Split encoded reads at ambiguous bases (code ``ambig_code``) into
+    (piece, group, fresh, stop) items for chunk_reads.
+
+    Semantics (ambig="skip"): any transition whose window — the lag-l context
+    plus the next symbol — covers an ambiguous base is dropped. The first
+    piece keeps its '['-padded prefix transitions (true read start); the last
+    piece keeps its '$' stop transition (true read end); interior boundaries
+    emit neither. Per-lag sub-window validity is enforced by the kernel's
+    ``fresh`` rule. The reference pipeline folds N to A instead
+    (summarize.py:69-70) — that stays the default elsewhere.
+    """
+    for item in encoded:
+        arr, group = item[0], item[1]
+        cuts = np.flatnonzero(arr == ambig_code)
+        if len(cuts) == 0:
+            yield arr, group, True, True
+            continue
+        bounds = np.concatenate([[-1], cuts, [len(arr)]])
+        n_pieces = len(bounds) - 1
+        for i in range(n_pieces):
+            piece = arr[bounds[i] + 1 : bounds[i + 1]]
+            if len(piece) == 0:
+                continue  # nothing countable between adjacent ambig bases
+            yield piece, group, i == 0, i == n_pieces - 1
 
 
 def chunk_reads(
-    encoded: Iterable[tuple[np.ndarray, int]],
+    encoded: Iterable[tuple],
     max_lag: int,
     batch_size: int = 1024,
     segment_len: int = 1 << 16,
@@ -897,6 +1022,10 @@ def chunk_reads(
     max_chunk_elems: int = 1 << 25,
 ) -> Iterable[ReadChunk]:
     """Batch encoded reads (code_array, group) into padded ReadChunks.
+
+    Items may also be (code_array, group, fresh, stop) — the output of
+    split_ambiguous — where fresh/stop say whether the row begins/ends at a
+    true read boundary (emitting '['-padded prefixes / the '$' transition).
 
     Long sequences (genomes) are split into segments of ``segment_len`` with a
     ``max_lag`` overlap carried as context-only (skip = max_lag), so counting
@@ -908,17 +1037,22 @@ def chunk_reads(
     read BEFORE segmentation — the correct way to get forward+RC counts for
     arbitrarily long sequences (a TransitionCounter(reverse=True) can only
     RC whole-read chunks, never continuation segments, which lack their
-    right-side context).
+    right-side context). For flagged pieces the RC swaps fresh<->stop (the
+    true-read boundary changes sides under reversal).
     """
     if reverse:
         def with_rc(stream):
-            for code_arr, group in stream:
-                yield code_arr, group
-                yield (3 - code_arr[::-1]).astype(code_arr.dtype), group
+            for item in stream:
+                code_arr, group = item[0], item[1]
+                f = bool(item[2]) if len(item) > 2 else True
+                s = bool(item[3]) if len(item) > 3 else True
+                yield code_arr, group, f, s
+                yield (3 - code_arr[::-1]).astype(code_arr.dtype), group, s, f
 
         encoded = with_rc(encoded)
 
-    rows: List[tuple[np.ndarray, int, int, bool]] = []  # codes, group, skip, stopped
+    # rows: codes, group, skip, stopped, fresh
+    rows: List[tuple[np.ndarray, int, int, bool, bool]] = []
     run_maxlen = 0  # padded length of the widest pending row
 
     def emit():
@@ -941,15 +1075,18 @@ def chunk_reads(
         skip = np.zeros(B, dtype=np.int32)
         stopped = np.zeros(B, dtype=bool)
         groups = np.zeros(B, dtype=np.int32)
-        for i, (c, g, s, st) in enumerate(rows):
+        fresh = np.ones(B, dtype=bool)
+        for i, (c, g, s, st, fr) in enumerate(rows):
             codes[i, : len(c)] = c
             lengths[i] = len(c)
             skip[i] = s
             stopped[i] = st
             groups[i] = g
+            fresh[i] = fr
         rows = []
         run_maxlen = 0
-        return ReadChunk(codes, lengths, skip, stopped, groups)
+        return ReadChunk(codes, lengths, skip, stopped, groups,
+                         None if fresh.all() else fresh)
 
     def push(row):
         """Append a row; returns a chunk to yield first if adding the row
@@ -969,10 +1106,13 @@ def chunk_reads(
             f"segment_len ({segment_len}) must be >= max_lag ({max_lag}): "
             "continuation segments carry a max_lag context overlap"
         )
-    for code_arr, group in encoded:
+    for item in encoded:
+        code_arr, group = item[0], item[1]
+        p_fresh = bool(item[2]) if len(item) > 2 else True
+        p_stop = bool(item[3]) if len(item) > 3 else True
         n = len(code_arr)
         if n <= segment_len:
-            pre = push((code_arr, group, 0, True))
+            pre = push((code_arr, group, 0, p_stop, p_fresh))
             if pre is not None:
                 yield pre
         else:
@@ -981,9 +1121,14 @@ def chunk_reads(
             while start < n:
                 end = min(start + segment_len, n)
                 seg_start = start if first else start - max_lag
-                pre = push(
-                    (code_arr[seg_start:end], group, 0 if first else max_lag, end == n)
-                )
+                # Continuation segments are fresh=True: skip=max_lag already
+                # drops every j < lag position, so the flag is inert there.
+                pre = push((
+                    code_arr[seg_start:end], group,
+                    0 if first else max_lag,
+                    (end == n) and p_stop,
+                    p_fresh if first else True,
+                ))
                 if pre is not None:
                     yield pre
                 if len(rows) >= batch_size:

@@ -21,21 +21,26 @@ for _i, _ch in enumerate("ACGT"):
 # Bases outside ACGT (e.g. N) map to A — the reference pipeline is documented
 # as not handling N carefully either (summarize.py:69-70).
 
-_ENCODE_TABLES = {"dna": _ENCODE_TABLE}
+_ENCODE_TABLES = {("dna", False): _ENCODE_TABLE}
 
 
-def _encode_table(alphabet: str) -> np.ndarray:
-    """Residue -> code lookup for any supported alphabet (unknown letters
-    map to residue 0, mirroring the DNA table's N handling)."""
-    tab = _ENCODE_TABLES.get(alphabet)
+def _encode_table(alphabet: str, ambig: bool = False) -> np.ndarray:
+    """Residue -> code lookup for any supported alphabet. By default unknown
+    letters map to residue 0, mirroring the reference's N handling
+    (summarize.py:69-70); with ambig=True they map to the alphabet-size code
+    (4 for dna/rna) so the counting engine's ambig="skip" mode can drop
+    transitions whose window crosses them."""
+    tab = _ENCODE_TABLES.get((alphabet, ambig))
     if tab is None:
         from bear_tpu.ops import alphabets as _alpha
 
-        tab = np.zeros(256, dtype=np.int8)
-        for _j, _c in enumerate(_alpha.residues(alphabet)):
+        res = _alpha.residues(alphabet)
+        fill = len(res) if ambig else 0
+        tab = np.full(256, fill, dtype=np.int8)
+        for _j, _c in enumerate(res):
             tab[ord(_c)] = _j
             tab[ord(_c.lower())] = _j
-        _ENCODE_TABLES[alphabet] = tab
+        _ENCODE_TABLES[(alphabet, ambig)] = tab
     return tab
 
 _NATIVE = None
@@ -51,10 +56,11 @@ def _native():
     return _NATIVE or None
 
 
-def encode_seq(seq: str, alphabet: str = "dna") -> np.ndarray:
-    """ASCII sequence -> int8 residue codes."""
+def encode_seq(seq: str, alphabet: str = "dna", ambig: bool = False) -> np.ndarray:
+    """ASCII sequence -> int8 residue codes. ambig=True marks unknown
+    letters with the alphabet-size code instead of folding them to 0."""
     buf = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
-    return _encode_table(alphabet)[buf]
+    return _encode_table(alphabet, ambig)[buf]
 
 
 def is_gzip(path: str) -> bool:
@@ -144,14 +150,18 @@ def read_input_csv(path: str) -> list[tuple[str, int, str]]:
 
 
 def stream_encoded(
-    entries: Iterable[tuple[str, int, str]], alphabet: str = "dna"
+    entries: Iterable[tuple[str, int, str]], alphabet: str = "dna",
+    ambig: bool = False,
 ) -> Iterator[Tuple[np.ndarray, int]]:
     """Stream (code_array, group) over all input files. The C++ fast path
-    encodes DNA only; other alphabets use the NumPy LUT encoder."""
+    encodes DNA only; other alphabets use the NumPy LUT encoder. ambig=True
+    marks unknown letters with the alphabet-size code (see _encode_table)."""
     native = _native() if alphabet == "dna" else None
+    if native is not None and ambig and not getattr(native, "_has_parse2", False):
+        native = None  # stale .so without the ambiguity-marking encoder
     for path, group, ftype in entries:
         if native is not None and (native.supports_gzip or not is_gzip(path)):
-            yield from native.stream_encoded(path, ftype, group)
+            yield from native.stream_encoded(path, ftype, group, ambig=ambig)
         else:
             for _, seq in iter_seqs(path, ftype):
-                yield encode_seq(seq, alphabet), group
+                yield encode_seq(seq, alphabet, ambig=ambig), group

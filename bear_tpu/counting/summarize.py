@@ -13,6 +13,9 @@ same flags where meaningful:
 -mf     max output chunk size in GB -> number of shard files
 -mk/-p/-t/-s12/-s3  accepted for compatibility; no-ops (no KMC, no temp
         files, no multi-stage restart — counting is a single streaming pass)
+--ambig {a,skip}  ambiguous bases: fold to A (reference-compatible default,
+        summarize.py:69-70) or drop every transition whose window crosses
+        one (new capability — neither the reference nor KMC handles N)
 
 Deviation from the reference (deliberate): counts above 2^32 do not clamp
 (KMC's 4-billion cutoff, summarize.py:66-67).
@@ -31,7 +34,8 @@ from bear_tpu.counting import engine, fastx
 
 def iter_chunks(entries, max_lag: int, batch_size: int = 1024,
                 segment_len: int = 1 << 16, reverse: bool = False,
-                alphabet: str = "dna", stats: dict | None = None):
+                alphabet: str = "dna", stats: dict | None = None,
+                ambig: str = "a"):
     """Yield ReadChunks over FILE,GROUP,TYPE ``entries`` — the one place that
     routes files between the native parser and the Python fallback.
 
@@ -40,8 +44,21 @@ def iter_chunks(entries, max_lag: int, batch_size: int = 1024,
     else is batched through ONE Python-reader stream so small files share
     padded chunks. ``stats`` (optional dict) accumulates ``bases``/``reads``
     across all files.
+
+    ambig: "a" folds unknown bases to A/residue-0 (reference-compatible,
+    summarize.py:69-70); "skip" drops every transition whose window crosses
+    an ambiguous base (engine.split_ambiguous semantics — a correctness
+    capability neither the reference nor KMC has).
     """
+    if ambig not in ("a", "skip"):
+        raise ValueError(f"ambig must be 'a' or 'skip', got {ambig!r}")
+    skip_ambig = ambig == "skip"
     native = fastx._native() if alphabet == "dna" else None
+    if native is not None and skip_ambig and not getattr(native, "_has_parse2", False):
+        native = None  # stale .so without the ambiguity-marking encoder
+    from bear_tpu.ops import alphabets as _alpha
+
+    ambig_code = len(_alpha.residues(alphabet))
     native_entries, fallback = [], []
     for entry in entries:
         path, _, _ = entry
@@ -60,29 +77,42 @@ def iter_chunks(entries, max_lag: int, batch_size: int = 1024,
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(native.parse, native_entries[0][0],
-                              native_entries[0][2])
+                              native_entries[0][2], skip_ambig)
             for i, (path, group, ftype) in enumerate(native_entries):
                 codes_flat, offsets = fut.result()
                 if i + 1 < len(native_entries):
                     fut = pool.submit(native.parse, native_entries[i + 1][0],
-                                      native_entries[i + 1][2])
+                                      native_entries[i + 1][2], skip_ambig)
                 if stats is not None:
                     stats["bases"] = stats.get("bases", 0) + len(codes_flat)
                     stats["reads"] = stats.get("reads", 0) + len(offsets) - 1
+                    if skip_ambig:
+                        stats["ambig"] = stats.get("ambig", 0) + int(
+                            np.count_nonzero(codes_flat == ambig_code)
+                        )
                 yield from engine.chunks_from_packed(
                     codes_flat, offsets, group, max_lag,
                     batch_size, segment_len, reverse=reverse,
+                    ambig_code=ambig_code if skip_ambig else None,
                 )
     if fallback:
         def _stream():
-            for arr, group in fastx.stream_encoded(fallback, alphabet):
+            for arr, group in fastx.stream_encoded(fallback, alphabet,
+                                                   ambig=skip_ambig):
                 if stats is not None:
                     stats["bases"] = stats.get("bases", 0) + len(arr)
                     stats["reads"] = stats.get("reads", 0) + 1
+                    if skip_ambig:
+                        stats["ambig"] = stats.get("ambig", 0) + int(
+                            np.count_nonzero(arr == ambig_code)
+                        )
                 yield arr, group
 
+        stream = _stream()
+        if skip_ambig:
+            stream = engine.split_ambiguous(stream, ambig_code)
         yield from engine.chunk_reads(
-            _stream(), max_lag, batch_size, segment_len, reverse=reverse,
+            stream, max_lag, batch_size, segment_len, reverse=reverse,
         )
 
 
@@ -97,6 +127,7 @@ def run_counting(
     alphabet: str = "dna",
     checkpoint: str | None = None,
     stats: dict | None = None,
+    ambig: str = "a",
 ):
     """Count transitions for all requested lags over the input file set.
     Returns an engine.TransitionCounter, or a
@@ -115,6 +146,8 @@ def run_counting(
     input file and a re-run resumes from the last finished file (elastic
     recovery for genome-scale jobs — the reference can only restart whole
     summarize stages, summarize.py -s12/-s3). Atomic (write + rename).
+    ambig: "a" (default) folds unknown bases to A (reference-compatible);
+    "skip" drops transitions whose window crosses an ambiguous base.
     """
     if reverse and alphabet not in ("dna", "rna"):
         raise ValueError("-r (reverse complement) requires a 4-letter alphabet")
@@ -146,7 +179,8 @@ def run_counting(
     if checkpoint is None:
         for chunk in iter_chunks(entries, counter.max_lag, batch_size,
                                  segment_len, reverse=reverse,
-                                 alphabet=alphabet, stats=stats):
+                                 alphabet=alphabet, stats=stats,
+                                 ambig=ambig):
             counter.add_chunk(chunk)
         return counter
 
@@ -179,7 +213,8 @@ def run_counting(
         # One file per stream: the file is the resume unit.
         for chunk in iter_chunks([entry], counter.max_lag, batch_size,
                                  segment_len, reverse=reverse,
-                                 alphabet=alphabet, stats=stats):
+                                 alphabet=alphabet, stats=stats,
+                                 ambig=ambig):
             counter.add_chunk(chunk)
         done.add(entry[0])
         tmp = ckpt + ".tmp"
@@ -205,13 +240,19 @@ def run(args) -> int:
     if ckpt and args.r:
         ckpt += "_rev"  # the reverse pass is a separate counting job
     stats = {"bases": 0, "reads": 0}
+    ambig = getattr(args, "ambig", "a")
     counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r,
                            method=args.method, kmer_shards=args.kmer_shards,
-                           alphabet=args.alphabet, checkpoint=ckpt, stats=stats)
+                           alphabet=args.alphabet, checkpoint=ckpt, stats=stats,
+                           ambig=ambig)
+    if stats.get("ambig"):
+        print(f"ambig=skip: {stats['ambig']} ambiguous bases; transitions "
+              "whose window crosses one were dropped")
     # Count conservation: every read of length n emits n+1 transitions at
     # every lag (x2 with -r). Skipped after a checkpoint resume (this run's
-    # stats don't cover the previously counted files).
-    if not stats.get("partial"):
+    # stats don't cover the previously counted files) and in ambig=skip mode
+    # (per-lag totals legitimately differ once windows are dropped).
+    if not stats.get("partial") and not stats.get("ambig"):
         # -r doubles counts in the READ STREAM (each read also emitted as its
         # RC); the counter itself stays forward-only, so scale here.
         expected = (stats["bases"] + stats["reads"]) * (2 if args.r else 1)
@@ -266,6 +307,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-pr", action="store_true", default=False, help="(compat; all lags always counted)")
     parser.add_argument("-t", default="tmp/", help="(compat; unused — no temp files)")
     parser.add_argument("-s12", action="store_true", default=False, help="(compat; unused)")
+    parser.add_argument("--ambig", choices=["a", "skip"], default="a",
+                        help="Ambiguous bases (N): fold to A (reference-"
+                             "compatible default) or skip every transition "
+                             "whose window crosses one (new capability; "
+                             "neither the reference nor KMC handles N).")
     parser.add_argument("-s3", action="store_true", default=False, help="(compat; unused)")
     parser.add_argument(
         "--shuffle", action="store_true", default=False,

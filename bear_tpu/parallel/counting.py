@@ -28,18 +28,21 @@ from bear_tpu.counting.engine import (
 )
 
 
-def _make_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method, A=4):
+def _make_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method, A=4,
+                        with_fresh: bool = False):
     """Build the jitted shard_map counting step for a mesh: the concatenated
     table [D, total] int32 sharded on axis 0, batch arrays sharded on axis 0
     as [D, B_local, ...]. Each device adds into its own partial table (by
     scatter or the pallas_hist sorted method) — no communication on the hot
-    path."""
+    path. with_fresh adds the per-row ambig-piece boundary flag operand."""
     from jax import shard_map
 
-    def per_device(tbl_slice, codes_l, lengths_l, skip_l, stopped_l, groups_l):
+    def per_device(tbl_slice, codes_l, lengths_l, skip_l, stopped_l, groups_l,
+                   *fresh_l):
         out = _count_chunk_kernel(
             tbl_slice[0], codes_l[0], lengths_l[0], skip_l[0], stopped_l[0],
             groups_l[0], lags, n_groups, method, A=A,
+            fresh=fresh_l[0][0] if with_fresh else None,
         )
         return out[None]
 
@@ -49,7 +52,7 @@ def _make_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method, A=4):
         in_specs=(
             P(axis, None),
             P(axis), P(axis), P(axis), P(axis), P(axis),
-        ),
+        ) + ((P(axis),) if with_fresh else ()),
         out_specs=P(axis, None),
     )
     return jax.jit(mapped, donate_argnums=(0,))
@@ -114,13 +117,14 @@ class ShardedTransitionCounter:
 
         return resolve_method(self.method, new_transitions)
 
-    def _count_fn(self, method: str):
-        if method not in self._count_fns:
-            self._count_fns[method] = _make_sharded_count(
+    def _count_fn(self, method: str, with_fresh: bool = False):
+        key = (method, with_fresh)
+        if key not in self._count_fns:
+            self._count_fns[key] = _make_sharded_count(
                 self.mesh, self.axis, self.lags, self.n_groups, method,
-                self.A,
+                self.A, with_fresh=with_fresh,
             )
-        return self._count_fns[method]
+        return self._count_fns[key]
 
     @property
     def max_lag(self) -> int:
@@ -156,13 +160,20 @@ class ShardedTransitionCounter:
             self._since_flush = 0
 
     def add_chunk(self, chunk: ReadChunk):
-        self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped, chunk.groups)
+        self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped,
+                  chunk.groups, chunk.fresh)
         if self.reverse:
             assert np.all(chunk.skip == 0), "reverse=True requires whole-read chunks"
             rc, rlen = reverse_complement_codes(chunk.codes, chunk.lengths)
-            self._add(rc, rlen, chunk.skip, chunk.stopped, chunk.groups)
+            if chunk.fresh is None:
+                self._add(rc, rlen, chunk.skip, chunk.stopped, chunk.groups)
+            else:
+                # RC of an ambig piece swaps the true-read boundary sides.
+                self._add(rc, rlen, chunk.skip,
+                          np.asarray(chunk.fresh, dtype=bool), chunk.groups,
+                          fresh=np.asarray(chunk.stopped, dtype=bool))
 
-    def _add(self, codes, lengths, skip, stopped, groups):
+    def _add(self, codes, lengths, skip, stopped, groups, fresh=None):
         B, L = codes.shape
         pad = (-B) % self.n_dev
         if pad:
@@ -171,6 +182,8 @@ class ShardedTransitionCounter:
             skip = np.concatenate([skip, np.zeros(pad, skip.dtype)])
             stopped = np.concatenate([stopped, np.zeros(pad, bool)])
             groups = np.concatenate([groups, np.zeros(pad, groups.dtype)])
+            if fresh is not None:
+                fresh = np.concatenate([fresh, np.ones(pad, bool)])
         D = self.n_dev
         Bl = (B + pad) // D
 
@@ -182,11 +195,14 @@ class ShardedTransitionCounter:
         bs = self._batch_sharding()
         put = lambda x: jax.device_put(np.asarray(x).reshape((D, Bl) + x.shape[1:]), bs)
         count = self._count_fn(
-            self._resolve_method(new_transitions * len(self.lags))
+            self._resolve_method(new_transitions * len(self.lags)),
+            with_fresh=fresh is not None,
         )
-        self._dev = count(
-            self._dev, put(codes), put(lengths), put(skip), put(stopped), put(groups)
-        )
+        args = [self._dev, put(codes), put(lengths), put(skip), put(stopped),
+                put(groups)]
+        if fresh is not None:
+            args.append(put(fresh))
+        self._dev = count(*args)
         self._since_flush += new_transitions
 
     @property
@@ -204,7 +220,7 @@ class ShardedTransitionCounter:
 
 
 def _make_kmer_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method,
-                             per_lag, A=4):
+                             per_lag, A=4, with_fresh: bool = False):
     """Jitted shard_map step for table-sharded counting: the table rows are
     range-split over the mesh axis (tensor parallelism — SURVEY.md §2's
     "shard the 4^L x (A+1) count tensor" row); each device receives the FULL
@@ -213,18 +229,20 @@ def _make_kmer_sharded_count(mesh: Mesh, axis: str, lags, n_groups, method,
     on the hot path, no all-reduce ever: shards are disjoint."""
     from jax import shard_map
 
-    def per_device(tbl_slice, codes, lengths, skip, stopped, groups):
+    def per_device(tbl_slice, codes, lengths, skip, stopped, groups, *fresh):
         d = jax.lax.axis_index(axis).astype(jnp.int32)
         out = _count_chunk_kernel(
             tbl_slice[0], codes, lengths, skip, stopped, groups,
             lags, n_groups, method, shard=(d, per_lag), A=A,
+            fresh=fresh[0] if with_fresh else None,
         )
         return out[None]
 
     mapped = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+        in_specs=(P(axis, None), P(), P(), P(), P(), P())
+        + ((P(),) if with_fresh else ()),
         out_specs=P(axis, None),
     )
     return jax.jit(mapped, donate_argnums=(0,))
@@ -305,13 +323,14 @@ class KmerShardedTransitionCounter:
 
         return resolve_method(self.method, new_transitions)
 
-    def _count_fn(self, method: str):
-        if method not in self._count_fns:
-            self._count_fns[method] = _make_kmer_sharded_count(
+    def _count_fn(self, method: str, with_fresh: bool = False):
+        key = (method, with_fresh)
+        if key not in self._count_fns:
+            self._count_fns[key] = _make_kmer_sharded_count(
                 self.mesh, self.axis, self.lags, self.n_groups, method,
-                self._per_lag, self.A,
+                self._per_lag, self.A, with_fresh=with_fresh,
             )
-        return self._count_fns[method]
+        return self._count_fns[key]
 
     def _ensure_dev(self):
         if self._dev is None:
@@ -329,12 +348,14 @@ class KmerShardedTransitionCounter:
         rep = NamedSharding(self.mesh, P())
         put = lambda x: jax.device_put(np.asarray(x), rep)
         count = self._count_fn(
-            self._resolve_method(new_transitions * len(self.lags))
+            self._resolve_method(new_transitions * len(self.lags)),
+            with_fresh=chunk.fresh is not None,
         )
-        self._dev = count(
-            self._dev, put(codes), put(chunk.lengths), put(chunk.skip),
-            put(chunk.stopped), put(chunk.groups),
-        )
+        args = [self._dev, put(codes), put(chunk.lengths), put(chunk.skip),
+                put(chunk.stopped), put(chunk.groups)]
+        if chunk.fresh is not None:
+            args.append(put(chunk.fresh))
+        self._dev = count(*args)
         self._since_flush += new_transitions
 
     def flush(self):
