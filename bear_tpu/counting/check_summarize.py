@@ -23,31 +23,39 @@ import numpy as np
 from bear_tpu.counting import fastx
 from bear_tpu.ops import alphabets as _alpha
 
-_RC = str.maketrans("ACGT", "TGCA")
-
 
 def brute_force(entries, max_lag: int, n_groups: int, reverse: bool,
-                alphabet: str = "dna"):
+                alphabet: str = "dna", ambig: str = "a"):
     res = _alpha.residues(alphabet)
     A1 = len(res) + 1
     sym = {ch: i for i, ch in enumerate(res)}
     sym["]"] = len(res)
+    # code-level complement is res[i] <-> res[3 - i]: A<->T, C<->G for dna,
+    # A<->U, C<->G for rna (matching engine.reverse_complement_codes; the
+    # old hardcoded ACGT->TGCA map crashed on rna reverse checks)
+    rc_map = str.maketrans(res + "?", res[::-1] + "?") if len(res) == 4 else None
+    skip_ambig = ambig == "skip"
     out = [
         defaultdict(lambda: np.zeros((n_groups, A1), dtype=np.int64))
         for _ in range(max_lag)
     ]
-    letters = np.array(list(res))
+    # '?' marks ambiguous letters in skip mode — it cannot collide with a
+    # residue ('N' would: asparagine).
+    letters = np.array(list(res) + ["?"])
     for path, group, ftype in entries:
         for _, seq in fastx.iter_seqs(path, ftype):
-            # normalize exactly as the counting engine does
-            # (out-of-alphabet letters -> residue 0)
-            seq = "".join(letters[fastx.encode_seq(seq, alphabet)])
-            variants = [seq, seq.translate(_RC)[::-1]] if reverse else [seq]
+            # normalize exactly as the counting engine does: out-of-alphabet
+            # letters -> residue 0, or -> the ambiguity marker in skip mode
+            seq = "".join(letters[fastx.encode_seq(seq, alphabet,
+                                                   ambig=skip_ambig)])
+            variants = [seq, seq.translate(rc_map)[::-1]] if reverse else [seq]
             for s in variants:
                 for li in range(max_lag):
                     lag = li + 1
                     full = "[" * lag + s + "]"
                     for j in range(lag, len(full)):
+                        if skip_ambig and "?" in full[j - lag : j + 1]:
+                            continue  # skip mode: window crosses an ambig base
                         out[li][full[j - lag : j]][group][sym[full[j]]] += 1
     return out
 
@@ -67,7 +75,8 @@ def read_outputs(out_prefix: str, max_lag: int):
 
 
 def check(input_csv: str, out_prefix: str, max_lag: int, reverse: bool,
-          alphabet: str = "dna", skip_forward: bool = False) -> int:
+          alphabet: str = "dna", skip_forward: bool = False,
+          ambig: str = "a") -> int:
     if skip_forward and not reverse:
         raise ValueError("-nf without -r leaves nothing to check")
     if reverse and alphabet not in ("dna", "rna"):
@@ -79,7 +88,8 @@ def check(input_csv: str, out_prefix: str, max_lag: int, reverse: bool,
         [(True, out_prefix + "_rev")] if reverse else []
     )
     for rev, prefix in passes:
-        oracle = brute_force(entries, max_lag, n_groups, rev, alphabet)
+        oracle = brute_force(entries, max_lag, n_groups, rev, alphabet,
+                             ambig=ambig)
         found = read_outputs(prefix, max_lag)
         for li in range(max_lag):
             want = {k: m for k, m in oracle[li].items() if m.sum() > 0}
@@ -103,7 +113,8 @@ def check(input_csv: str, out_prefix: str, max_lag: int, reverse: bool,
 
 def main(args) -> int:
     return check(args.file, args.out_prefix, args.l, args.r,
-                 alphabet=args.alphabet, skip_forward=args.nf)
+                 alphabet=args.alphabet, skip_forward=args.nf,
+                 ambig=getattr(args, "ambig", "a"))
 
 
 def cli():

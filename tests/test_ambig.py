@@ -247,3 +247,45 @@ def test_default_mode_unchanged_folds_n_to_a():
     for chunk in chunk_reads(enc2, 2, batch_size=2):
         ref.add_chunk(chunk)
     np.testing.assert_array_equal(counter.tables[2], ref.tables[2])
+
+
+def test_check_summarize_cli_ambig(tmp_path):
+    # The standalone oracle checker verifies an --ambig skip run exactly
+    # (and would catch any drift between kernel and oracle semantics).
+    from bear_tpu.counting import check_summarize
+
+    rng = np.random.default_rng(12)
+    seqs = seqs_with_ns(rng, 5)
+    fa = tmp_path / "in.fa"
+    with open(fa, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">s{i}\n{s}\n")
+    csv = tmp_path / "in.csv"
+    csv.write_text(f"{fa},0,fa\n")
+    out_prefix = str(tmp_path / "out")
+    cli = [str(csv), out_prefix, "-l", "3", "-r", "--ambig", "skip"]
+    summarize_main(build_parser().parse_args(cli))  # mutates its args
+    assert check_summarize.main(build_parser().parse_args(cli)) == 0
+    # sanity: the checker FAILS if run in default mode against skip outputs
+    args_bad = build_parser().parse_args([str(csv), out_prefix, "-l", "3", "-r"])
+    with pytest.raises(AssertionError):
+        check_summarize.main(args_bad)
+
+
+def test_check_summarize_rna_reverse(tmp_path):
+    # Regression: the checker's complement map was hardcoded ACGT->TGCA and
+    # crashed on rna reverse checks (A must pair with U, not T).
+    rng = np.random.default_rng(13)
+    seqs = ["".join(rng.choice(list("ACGU"), 12)) for _ in range(4)]
+    fa = tmp_path / "in.fa"
+    with open(fa, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">s{i}\n{s}\n")
+    csv = tmp_path / "in.csv"
+    csv.write_text(f"{fa},0,fa\n")
+    out_prefix = str(tmp_path / "out")
+    cli = [str(csv), out_prefix, "-l", "3", "-r", "--alphabet", "rna"]
+    summarize_main(build_parser().parse_args(cli))  # mutates its args
+    from bear_tpu.counting import check_summarize
+
+    assert check_summarize.main(build_parser().parse_args(cli)) == 0
