@@ -515,16 +515,11 @@ class TransitionCounter:
                   chunk.groups, chunk.fresh)
         if self.reverse:
             rc, rlen = reverse_complement_codes(chunk.codes, chunk.lengths)
-            if chunk.fresh is None:
-                self._add(rc, rlen, chunk.skip, chunk.stopped, chunk.groups)
-            else:
-                # RC of an ambig piece: the true-read boundaries swap sides —
-                # the RC row may emit '[' prefixes iff the forward row ended
-                # at a true read end, and '$' iff it began at a true start.
-                self._add(rc, rlen, chunk.skip,
-                          np.asarray(chunk.fresh, dtype=bool),
-                          chunk.groups,
-                          fresh=np.asarray(chunk.stopped, dtype=bool))
+            # The true-read boundaries swap sides under reversal; the helper
+            # also handles fresh=None chunks whose rows are not all stopped
+            # (ambig pieces from trailing-N reads) — see rc_boundary_flags.
+            st_rc, fr_rc = rc_boundary_flags(chunk)
+            self._add(rc, rlen, chunk.skip, st_rc, chunk.groups, fresh=fr_rc)
 
     def _add(self, codes, lengths, skip, stopped, groups, fresh=None):
         new_transitions = codes.shape[0] * (codes.shape[1] + 1)
@@ -788,6 +783,34 @@ def reverse_complement_codes(codes: np.ndarray, lengths: np.ndarray):
     valid = src >= 0
     rc = np.where(valid, 3 - codes[np.arange(B)[:, None], np.clip(src, 0, L - 1)], 0)
     return rc.astype(codes.dtype), lengths.copy()
+
+
+def rc_boundary_flags(chunk: ReadChunk):
+    """(stopped, fresh) flags for counting a chunk's reverse complement.
+
+    Under reversal the true-read boundaries swap sides: the RC row may emit
+    '['-prefix transitions iff the forward row ended at a true read end
+    (stopped), and its '$' transition iff the forward row began at a true
+    start (fresh). ``chunk.fresh is None`` means every row is fresh — it does
+    NOT mean every row is stopped (e.g. 'ACGTN' under ambig-skip yields one
+    piece, fresh=True stop=False, and batch padding rows are never stopped),
+    so the RC flags must be derived from BOTH arrays, never by passing
+    ``chunk.stopped`` through unswapped.
+
+    Returns (stopped_rc, fresh_rc); fresh_rc is None when the plain
+    whole-read fast path (no flag work in the kernel) is exact: all real rows
+    fresh AND stopped. Length-0 rows are padding when stopped=False (may
+    never emit the empty-read '[' -> '$') but REAL empty reads when
+    stopped=True (fresh&stop by construction; their RC is the same empty read
+    and keeps the transition).
+    """
+    st = np.asarray(chunk.stopped, dtype=bool)
+    real = np.asarray(chunk.lengths) > 0
+    fr = (np.ones_like(st) if chunk.fresh is None
+          else np.asarray(chunk.fresh, dtype=bool))
+    if bool(((fr & st) | ~real).all()):
+        return chunk.stopped, None
+    return fr & (real | st), st
 
 
 def chunks_from_packed(

@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="dna")
     p.add_argument("-r", action="store_true",
                    help="Also count reverse complements (counting mode).")
+    p.add_argument("--ambig", choices=["a", "skip"], default="a",
+                   help="Ambiguous-base handling in counting mode: 'a' folds "
+                        "N to A (reference-compatible), 'skip' drops "
+                        "transitions whose window covers an N — must match "
+                        "the mode used for any --counts TSVs being compared.")
     p.add_argument("--num-ds", type=int, default=None,
                    help="Dataset columns in the TSVs (--counts mode; "
                         "default: sniff).")
@@ -61,7 +66,7 @@ def main(args) -> int:
 
         enable_compilation_cache()
         counter = run_counting(args.input, lags=lags, reverse=args.r,
-                               alphabet=args.alphabet)
+                               alphabet=args.alphabet, ambig=args.ambig)
         sel = select_lag(counter, alphas=args.alphas, group=args.group)
 
     best = sel.best

@@ -23,6 +23,7 @@ from bear_tpu.counting.engine import (
     ReadChunk,
     _count_chunk_kernel,
     lag_offsets,
+    rc_boundary_flags,
     reverse_complement_codes,
     table_rows,
 )
@@ -165,13 +166,10 @@ class ShardedTransitionCounter:
         if self.reverse:
             assert np.all(chunk.skip == 0), "reverse=True requires whole-read chunks"
             rc, rlen = reverse_complement_codes(chunk.codes, chunk.lengths)
-            if chunk.fresh is None:
-                self._add(rc, rlen, chunk.skip, chunk.stopped, chunk.groups)
-            else:
-                # RC of an ambig piece swaps the true-read boundary sides.
-                self._add(rc, rlen, chunk.skip,
-                          np.asarray(chunk.fresh, dtype=bool), chunk.groups,
-                          fresh=np.asarray(chunk.stopped, dtype=bool))
+            # RC swaps the true-read boundary sides; rc_boundary_flags also
+            # handles fresh=None chunks with un-stopped rows (engine.py).
+            st_rc, fr_rc = rc_boundary_flags(chunk)
+            self._add(rc, rlen, chunk.skip, st_rc, chunk.groups, fresh=fr_rc)
 
     def _add(self, codes, lengths, skip, stopped, groups, fresh=None):
         B, L = codes.shape

@@ -118,6 +118,71 @@ def test_counter_level_rc_swaps_flags():
     assert_match(counter, oracle, max_lag, n_groups)
 
 
+def test_counter_level_rc_all_fresh_unstopped():
+    # Regression (ADVICE r1, high): a chunk whose rows are ALL fresh=True
+    # with stop=False (every read trailing-N, e.g. 'ACGTN') used to collapse
+    # fresh to None; the counter-level RC branch then passed the unswapped
+    # stop flags — counting '['-prefix transitions whose window crosses the N
+    # and dropping the valid '$' transition.
+    for seqs in (["ACGTN"], ["ACGTN", "ACGTN", "GGTAN"]):
+        for max_lag in (1, 2):
+            counter = TransitionCounter(lags=range(1, max_lag + 1),
+                                        n_groups=1, reverse=True)
+            enc = ((fastx.encode_seq(s, ambig=True), 0) for s in seqs)
+            for chunk in chunk_reads(split_ambiguous(enc), max_lag,
+                                     batch_size=4):
+                counter.add_chunk(chunk)
+            oracle = brute_force_ambig([(s, 0) for s in seqs], max_lag, 1,
+                                       reverse=True)
+            assert_match(counter, oracle, max_lag, 1)
+
+
+def test_sharded_counter_rc_all_fresh_unstopped():
+    # Same regression through ShardedTransitionCounter(reverse=True).
+    import jax
+    from jax.sharding import Mesh
+    from bear_tpu.parallel.counting import ShardedTransitionCounter
+
+    seqs = ["ACGTN", "GGTAN"]
+    max_lag = 2
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    counter = ShardedTransitionCounter(mesh, lags=range(1, max_lag + 1),
+                                       n_groups=1, reverse=True)
+    enc = ((fastx.encode_seq(s, ambig=True), 0) for s in seqs)
+    for chunk in chunk_reads(split_ambiguous(enc), max_lag, batch_size=4):
+        counter.add_chunk(chunk)
+    oracle = brute_force_ambig([(s, 0) for s in seqs], max_lag, 1,
+                               reverse=True)
+    for li in range(max_lag):
+        lag = li + 1
+        tbl = counter.tables[lag]
+        rows_seen = set()
+        for kmer, mat in oracle[li].items():
+            row = context_to_row(kmer, lag)
+            rows_seen.add(row)
+            np.testing.assert_array_equal(tbl[:, row, :], mat,
+                                          err_msg=f"lag {lag} {kmer!r}")
+        extra = set(np.flatnonzero(tbl.sum(axis=(0, 2))).tolist()) - rows_seen
+        assert not extra, f"lag {lag}: unexpected rows {extra}"
+
+
+def test_rc_boundary_flags_empty_read_vs_padding():
+    # Real empty reads (stop=True, length 0) keep their RC '['->'$';
+    # padding rows (stop=False, length 0) never gain one.
+    chunk = engine.ReadChunk(
+        codes=np.zeros((3, 4), np.int8),
+        lengths=np.array([4, 0, 0], np.int32),
+        skip=np.zeros(3, np.int32),
+        stopped=np.array([False, True, False]),  # piece, empty read, padding
+        groups=np.zeros(3, np.int32),
+        fresh=np.array([True, True, True]),
+    )
+    st_rc, fr_rc = engine.rc_boundary_flags(chunk)
+    assert fr_rc is not None
+    np.testing.assert_array_equal(st_rc, [True, True, False])
+    np.testing.assert_array_equal(fr_rc, [False, True, False])
+
+
 @pytest.mark.parametrize("segment_len", [1 << 16, 7])
 def test_packed_split_matches_oracle(segment_len):
     # The vectorized packed-path rewrite (reads -> N-free pieces), including

@@ -34,3 +34,34 @@ def test_entry_compiles_and_is_finite():
 def test_dryrun_multichip(n):
     g = _load()
     g.dryrun_multichip(n)  # asserts internally (finite loss, exact counts)
+
+
+def test_dryrun_fallback_rewrites_device_count():
+    # Regression (ADVICE r1): a pre-set SMALLER
+    # xla_force_host_platform_device_count must be rewritten, not kept —
+    # otherwise the CPU fallback comes up with too few devices. Run in a
+    # subprocess so the backend really initializes with the small count first.
+    import os
+    import subprocess
+    import sys
+
+    script = (
+        "import jax\n"
+        # sitecustomize pins the tunneled TPU over JAX_PLATFORMS=cpu; force
+        # CPU the same way dryrun_multichip does, then init the backend @ 2.
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 2, jax.devices()\n"
+        "import importlib.util\n"
+        "spec = importlib.util.spec_from_file_location('ge', %r)\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        "m.dryrun_multichip(4)\n"
+    ) % os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "__graft_entry__.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip OK on 4 devices" in res.stdout

@@ -80,3 +80,47 @@ def test_cli_counts_mode_matches_counter_sweep(tmp_path):
     np.testing.assert_allclose(
         np.array(payload["log_marginals"]), sel.log_marginals[:3], rtol=1e-12
     )
+
+
+def test_cli_counting_route_honors_ambig(tmp_path):
+    # ADVICE r1: the counting route must forward --ambig so lags scored
+    # directly agree with lags scored from --ambig skip TSVs on N-ful data.
+    import contextlib
+    import io
+    import json
+    import os
+
+    from bear_tpu.counting.engine import split_ambiguous
+    from bear_tpu.models import lag_select_cli
+
+    seqs = ["AACNAAG" * 20] * 6
+    fa = os.path.join(tmp_path, "seqs.fasta")
+    with open(fa, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">s{i}\n{s}\n")
+    csv = os.path.join(tmp_path, "in.csv")
+    with open(csv, "w") as fh:
+        fh.write(f"{fa},0,fa\n")
+
+    def run(extra):
+        args = lag_select_cli.build_parser().parse_args(
+            [csv, "-l", "2", "--json"] + extra
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            lag_select_cli.main(args)
+        return json.loads(buf.getvalue())
+
+    # Oracle: counter fed through split_ambiguous.
+    tc = TransitionCounter(lags=[1, 2], n_groups=1)
+    enc = ((fastx.encode_seq(s, ambig=True), 0) for s in seqs)
+    for chunk in chunk_reads(split_ambiguous(enc), 2, batch_size=64):
+        tc.add_chunk(chunk)
+    sel_skip = select_lag(tc)
+
+    got_skip = run(["--ambig", "skip"])
+    np.testing.assert_allclose(np.array(got_skip["log_marginals"]),
+                               sel_skip.log_marginals, rtol=1e-12)
+    got_default = run([])
+    assert not np.allclose(np.array(got_default["log_marginals"]),
+                           sel_skip.log_marginals)
