@@ -26,13 +26,33 @@ from typing import Optional
 
 DEFAULT_REFERENCE_PATH = os.environ.get("BEAR_REFERENCE_PATH", "/root/reference")
 
+_FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "fixtures",
+)
+
+
+def _fixture_path(name: str) -> str:
+    """Path to a vendored parity data fixture (bear_tpu/data/fixtures/ —
+    public data shipped in-package, same contract as the reference's
+    bear_model/data/). Falls back to the reference checkout only if the
+    vendored copy is missing (e.g. a stripped install)."""
+    vendored = os.path.join(_FIXTURES_DIR, name)
+    if os.path.exists(vendored):
+        return vendored
+    return os.path.join(DEFAULT_REFERENCE_PATH, "bear_model", "data", name)
+
 
 def bundled_ysd1_path() -> str:
-    """Path to the bundled YSD1 parity fixture (a public dataset shipped with
-    the reference; loaded from the reference mount)."""
-    return os.path.join(
-        DEFAULT_REFERENCE_PATH, "bear_model", "data", "ysd1_lag_5_file_0_preshuf.tsv"
-    )
+    """Bundled YSD1 phage lag-5 transition counts (the published-table parity
+    fixture; reference data/ysd1_lag_5_file_0_preshuf.tsv)."""
+    return _fixture_path("ysd1_lag_5_file_0_preshuf.tsv")
+
+
+def bundled_sparse_path() -> str:
+    """Bundled sparse-format toy counts (reference
+    data/ex_seqs_kmap_for_var_pred.csv)."""
+    return _fixture_path("ex_seqs_kmap_for_var_pred.csv")
 
 
 @dataclass

@@ -31,11 +31,14 @@ jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Path to the upstream reference checkout (read-only) for parity fixtures:
-# the bundled YSD1 phage counts and toy sparse counts are *data*, not code,
-# and are loaded from the reference mount when present.
+# Parity data fixtures are vendored in-package (bear_tpu/data/fixtures/);
+# the upstream reference checkout (read-only), when mounted, is used only to
+# cross-check that the vendored copies are still byte-identical.
 REFERENCE_PATH = os.environ.get("BEAR_REFERENCE_PATH", "/root/reference")
 REFERENCE_DATA = os.path.join(REFERENCE_PATH, "bear_model", "data")
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURES_DATA = os.path.join(_REPO_ROOT, "bear_tpu", "data", "fixtures")
 
 
 def reference_data_available() -> bool:

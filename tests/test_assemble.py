@@ -6,6 +6,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bear_tpu.counting import TransitionCounter, chunk_reads
 from bear_tpu.counting import fastx
@@ -123,13 +124,6 @@ def test_assemble_cli_with_model_dir(tmp_path):
     # under its BEAR posterior (exercises load_bear -> assemble end to end).
     import configparser
     import os
-
-    import pytest
-
-    from tests.conftest import reference_data_available
-
-    if not reference_data_available():
-        pytest.skip("reference data mount not available")
 
     from bear_tpu.models import train_bear_net
 

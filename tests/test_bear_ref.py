@@ -14,11 +14,6 @@ from bear_tpu.models import bear_ref, bear_net
 from bear_tpu.models.ar_funcs import make_ar_func_stop, make_ar_func_linear
 from bear_tpu.ops import alphabets
 from bear_tpu.ops.distributions import EPSILON
-from tests.conftest import reference_data_available
-
-needs_ref = pytest.mark.skipif(
-    not reference_data_available(), reason="reference data mount not available"
-)
 
 
 def test_counts_to_probs_jukes_cantor():
@@ -101,7 +96,6 @@ def test_ref_padded_batches_stay_finite():
     assert np.isfinite(out[0]) and np.isfinite(out[3])
 
 
-@needs_ref
 def test_run_ref_cli(tmp_path):
     from bear_tpu.models import train_bear_ref
     from bear_tpu.data import bmm_likelihood, load_dense
@@ -155,7 +149,6 @@ def test_ref_train_bfloat16_compute():
     np.testing.assert_allclose(r16.losses[-1], r32.losses[-1], rtol=1e-2)
 
 
-@needs_ref
 def test_load_bear_rejects_ref_model_dir(tmp_path):
     # load_bear would silently mis-wire a ref checkpoint ([tau, nu] + net
     # params) into the plain AR layout; it must refuse with a clear message.

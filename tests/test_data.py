@@ -1,26 +1,37 @@
-"""Data-layer parity: dense/sparse loaders against the reference's bundled
+"""Data-layer parity: dense/sparse loaders against the vendored parity
 fixtures (golden values from reference tests/test_dataloader.py:20-32) and the
 BMM likelihood against the closed-form numpy recomputation."""
+
+import filecmp
 
 import numpy as np
 import pytest
 from scipy.special import loggamma
 
 from bear_tpu.data import bmm_likelihood, load_dense, load_sparse
+from bear_tpu.utils.config import bundled_sparse_path, bundled_ysd1_path
 from tests.conftest import REFERENCE_DATA, reference_data_available
 
 import os
 
-needs_ref = pytest.mark.skipif(
-    not reference_data_available(), reason="reference data mount not available"
-)
+
+def test_vendored_fixtures_match_reference_mount():
+    # Cross-check: the vendored copies must stay byte-identical to the
+    # upstream-packaged data whenever the reference checkout is mounted.
+    if not reference_data_available():
+        pytest.skip("reference mount not present (vendored copies are "
+                    "authoritative on their own)")
+    for name in ("ysd1_lag_5_file_0_preshuf.tsv",
+                 "ex_seqs_kmap_for_var_pred.csv"):
+        from tests.conftest import FIXTURES_DATA
+
+        assert filecmp.cmp(os.path.join(FIXTURES_DATA, name),
+                           os.path.join(REFERENCE_DATA, name),
+                           shallow=False), f"{name} drifted from upstream"
 
 
-@needs_ref
 def test_dense_loader_ysd1_golden():
-    ds = load_dense(
-        os.path.join(REFERENCE_DATA, "ysd1_lag_5_file_0_preshuf.tsv"), "dna", 3
-    )
+    ds = load_dense(bundled_ysd1_path(), "dna", 3)
     assert ds.num_kmers == 1365
     assert ds.lag == 5
     assert ds.counts.shape == (1365, 3, 5)
@@ -35,11 +46,8 @@ def test_dense_loader_ysd1_golden():
     assert ds.counts.dtype == np.float64
 
 
-@needs_ref
 def test_sparse_loader_toy():
-    ds = load_sparse(
-        os.path.join(REFERENCE_DATA, "ex_seqs_kmap_for_var_pred.csv"), "dna", 1
-    )
+    ds = load_sparse(bundled_sparse_path(), "dna", 1)
     # Sequences were TTTAT, TTCTT, TTTTT, TTTTT: check a known row.
     # 'TTT' appears with transitions A (1, from TTTAT) + T (4) + stop (2).
     row = ds.counts[ds.kmers == "TTT"][0, 0]
@@ -48,11 +56,8 @@ def test_sparse_loader_toy():
     np.testing.assert_array_equal(row, [0, 0, 0, 4, 0])
 
 
-@needs_ref
 def test_bmm_likelihood_vs_numpy():
-    ds = load_dense(
-        os.path.join(REFERENCE_DATA, "ysd1_lag_5_file_0_preshuf.tsv"), "dna", 3
-    )
+    ds = load_dense(bundled_ysd1_path(), "dna", 3)
     counts = ds.counts
     alpha = np.array([0.1, 1.0, 10.0])
     want = np.sum(

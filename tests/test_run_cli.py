@@ -9,11 +9,6 @@ import pytest
 
 from bear_tpu.data import bmm_likelihood, load_dense
 from bear_tpu.ops.distributions import EPSILON
-from tests.conftest import reference_data_available
-
-needs_ref = pytest.mark.skipif(
-    not reference_data_available(), reason="reference data mount not available"
-)
 
 CFG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -24,7 +19,6 @@ CFG = os.path.join(
 )
 
 
-@needs_ref
 def test_run_net(tmp_path):
     from bear_tpu.models import train_bear_net
     from bear_tpu.utils.config import bundled_ysd1_path
@@ -59,7 +53,6 @@ def test_run_net(tmp_path):
     assert params[1].shape == (5, 5, 5)
 
 
-@needs_ref
 def test_run_restart(tmp_path):
     from bear_tpu.models import train_bear_net
 
@@ -78,7 +71,6 @@ def test_run_restart(tmp_path):
     assert exit_code == 1
 
 
-@needs_ref
 def test_run_net_bfloat16_compute(tmp_path):
     # Mixed-precision CLI run ([model] compute_precision = bfloat16): the AR
     # net computes in bf16, master weights/likelihood stay float32; results
@@ -103,7 +95,6 @@ def test_run_net_bfloat16_compute(tmp_path):
     np.testing.assert_allclose(calc[0], ll_van, rtol=1e-4)
 
 
-@needs_ref
 def test_run_net_data_parallel_config(tmp_path):
     # [train] data_parallel = True shards the CLI run over all local devices
     # (8 virtual CPU devices in CI); results must match the single-device run

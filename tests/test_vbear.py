@@ -8,7 +8,6 @@ import pytest
 from bear_tpu.models import bear_net
 from bear_tpu.models.ar_funcs import make_ar_func_stop, make_ar_func_linear
 from bear_tpu.models.vbear import train_variational_h
-from tests.conftest import reference_data_available
 
 
 def _uniform_ar(lag, A1):
@@ -50,7 +49,6 @@ def test_vbear_matches_point_h_identifiable():
     assert vb.h_samples(__import__("jax").random.key(0), 10).shape == (10,)
 
 
-@pytest.mark.skipif(not reference_data_available(), reason="needs reference data")
 def test_vbear_ysd1():
     from bear_tpu.data import load_dense
     from bear_tpu.utils.config import bundled_ysd1_path
