@@ -184,24 +184,28 @@ def run_counting(
             counter.add_chunk(chunk)
         return counter
 
-    if kmer_shards > 1:
-        raise ValueError("checkpoint is not supported with --kmer-shards > 1")
     import json
 
     ckpt = checkpoint if checkpoint.endswith(".npz") else checkpoint + ".npz"
     files_json = ckpt + ".files.json"
     done: set[str] = set()
     if os.path.exists(ckpt) and os.path.exists(files_json):
-        counter = engine.TransitionCounter.load_state(ckpt)
-        if (tuple(counter.lags) != tuple(sorted(set(int(l) for l in lags)))
-                or counter.n_groups != n_groups
-                or counter.reverse != reverse
-                or counter.alphabet != alphabet):
-            raise ValueError(
-                f"checkpoint {ckpt} was written with different counting "
-                "parameters (lags/groups/reverse/alphabet); delete it or "
-                "use a fresh path"
-            )
+        if kmer_shards > 1:
+            # Sharded counter: the mesh is runtime state — restore counts
+            # into the counter built above (load_state validates
+            # lags/groups/reverse/alphabet).
+            counter.load_state(ckpt)
+        else:
+            counter = engine.TransitionCounter.load_state(ckpt)
+            if (tuple(counter.lags) != tuple(sorted(set(int(l) for l in lags)))
+                    or counter.n_groups != n_groups
+                    or counter.reverse != reverse
+                    or counter.alphabet != alphabet):
+                raise ValueError(
+                    f"checkpoint {ckpt} was written with different counting "
+                    "parameters (lags/groups/reverse/alphabet); delete it or "
+                    "use a fresh path"
+                )
         with open(files_json) as fh:
             done = set(json.load(fh))
         print(f"resuming from {ckpt}: {len(done)} files already counted")

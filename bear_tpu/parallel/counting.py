@@ -509,7 +509,8 @@ class KmerShardedTransitionCounter:
             arrays[f"vals_{l}"] = vals
         np.savez_compressed(
             path, lags=np.array(self.lags), n_groups=np.array(self.n_groups),
-            alphabet=np.array(self.alphabet), **arrays,
+            alphabet=np.array(self.alphabet),
+            reverse=np.array(getattr(self, "reverse", False)), **arrays,
         )
 
     def load_state(self, path: str):
@@ -517,13 +518,16 @@ class KmerShardedTransitionCounter:
         runtime state and is not serialized; construct the counter first)."""
         data = np.load(path)
         ckpt_alpha = str(data["alphabet"]) if "alphabet" in data else "dna"
+        ckpt_rev = bool(data["reverse"]) if "reverse" in data else False
         if (
             tuple(int(l) for l in data["lags"]) != self.lags
             or int(data["n_groups"]) != self.n_groups
             or ckpt_alpha != self.alphabet
+            or ckpt_rev != bool(getattr(self, "reverse", False))
         ):
             raise ValueError(
-                "checkpoint lags/n_groups/alphabet do not match counter"
+                "checkpoint lags/n_groups/reverse/alphabet do not match "
+                "counter"
             )
         self.flush()
         for l in self.lags:

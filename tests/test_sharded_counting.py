@@ -150,6 +150,48 @@ def test_summarize_cli_kmer_shards(tmp_path):
         assert one == eight
 
 
+def test_summarize_checkpoint_resume_kmer_shards(tmp_path):
+    # --checkpoint with --kmer-shards > 1 (sharded save_state/load_state is
+    # wired into run_counting): a job killed between files resumes from the
+    # last completed file and ends with exactly the full-run counts.
+    from bear_tpu.counting.summarize import run_counting
+
+    rng = np.random.default_rng(29)
+    csv_lines = []
+    all_seqs = []
+    for fi in range(3):
+        seqs = ["".join(rng.choice(list("ACGT"), 30)) for _ in range(4)]
+        all_seqs += seqs
+        p = tmp_path / f"f{fi}.fa"
+        p.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+        csv_lines.append(f"{p},0,fa")
+    full_csv = tmp_path / "all.csv"
+    full_csv.write_text("\n".join(csv_lines) + "\n")
+    part_csv = tmp_path / "part.csv"
+    part_csv.write_text("\n".join(csv_lines[:2]) + "\n")
+
+    lag = 3
+    ckpt = str(tmp_path / "count.ckpt")
+    run_counting(str(part_csv), lags=range(1, lag + 1), checkpoint=ckpt,
+                 kmer_shards=2)
+    resumed = run_counting(str(full_csv), lags=range(1, lag + 1),
+                           checkpoint=ckpt, kmer_shards=2)
+    # Oracle: fresh single-device full count.
+    oracle = run_counting(str(full_csv), lags=range(1, lag + 1))
+    for l in range(1, lag + 1):
+        rows = oracle.nonzero_rows(l)
+        np.testing.assert_array_equal(
+            resumed.counts_for_rows(l, rows),  # [R, n_groups, A+1]
+            oracle.tables[l][:, rows, :].transpose(1, 0, 2))
+        np.testing.assert_array_equal(np.sort(resumed.nonzero_rows(l)),
+                                      np.sort(rows))
+
+    # mismatched parameters are refused on resume
+    with pytest.raises(ValueError, match="do not match"):
+        run_counting(str(full_csv), lags=range(1, lag + 1),
+                     checkpoint=ckpt, kmer_shards=2, alphabet="rna")
+
+
 @needs_8
 def test_kmer_sharded_state_roundtrip_and_merge(tmp_path):
     from jax.sharding import Mesh
