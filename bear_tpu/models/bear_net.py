@@ -434,6 +434,157 @@ def train(
     )
 
 
+def train_streaming(
+    shards,
+    num_kmers,
+    ar_func: ARFunc,
+    *,
+    alphabet: str = "dna",
+    batch_size: int,
+    epochs: int = 1,
+    learning_rate: float = 0.01,
+    optimizer_name: str = "Adam",
+    train_ar: bool = False,
+    params_restart: Optional[list] = None,
+    opt_state_restart=None,
+    seed: int = 0,
+    dtype=jnp.float32,
+    writer=None,
+    block_steps: int = 64,
+) -> TrainResult:
+    """Shard-streamed training: host/device memory bounded by ONE shard.
+
+    ``train()`` stacks the whole dataset on device; for beyond-RAM corpora
+    (the reference streams shards with tf.data interleave,
+    dataloader.py:6-50 / train_bear_net.py:79-86) this variant consumes an
+    iterator of shards instead. Each shard's batches stream through a
+    fixed-geometry jitted block of ``block_steps`` optimizer applies — ONE
+    compilation regardless of shard count or ragged tails (padded applies
+    are skipped with lax.cond, leaving params and optimizer state untouched,
+    so the trajectory equals the concat-loaded one whenever the batch
+    composition matches).
+
+    Parameters
+    ----------
+    shards : callable returning an iterable of (codes, counts) pairs — e.g.
+        ``lambda: (load_dense(f, ...).train_pair(col) for f in files)``. It
+        is re-invoked once per epoch. Each shard's final batch may be
+        partial; batches never span shard boundaries (matching the
+        reference's interleave semantics rather than concat).
+    num_kmers : global k-mer count across ALL shards (the unbiased ELBO
+        scale must see the full corpus).
+    """
+    A1 = alphabets.alphabet_size(alphabet) + 1
+    key = jax.random.key(seed)
+    if params_restart is not None:
+        params = params_from_list(params_restart, dtype=dtype)
+    else:
+        params = init_params(key, ar_func, dtype=dtype)
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params)
+
+    optimizer = make_optimizer(optimizer_name, learning_rate)
+    if opt_state_restart is not None:
+        opt_state = jax.tree.map(
+            lambda x: jnp.asarray(
+                x, dtype=dtype if np.issubdtype(np.asarray(x).dtype, np.floating) else None
+            ),
+            opt_state_restart,
+        )
+    else:
+        opt_state = optimizer.init(params)
+
+    num_kmers = jnp.asarray(num_kmers, dtype=dtype)
+    bsz = int(batch_size)
+    K = int(block_steps)
+
+    def loss_fn(p, codes_b, counts_b, actual_size):
+        if ar_func.apply_codes is not None:
+            ar_probs = ar_func.apply_codes(p["ar"], codes_b)
+        else:
+            oh = alphabets.one_hot(codes_b, A1, dtype)
+            ar_probs = ar_func.apply(p["ar"], oh)
+        if train_ar:
+            ll = ar_log_prob(counts_b, ar_probs)
+        else:
+            ll = bear_log_prob(counts_b, ar_probs, jnp.exp(p["h_signed"]))
+        return -(num_kmers / actual_size) * jnp.sum(ll)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+    lag_w = None  # set from the first shard; all shards must share the lag
+
+    @jax.jit
+    def run_block(p, o, codes_blk, counts_blk, sizes_blk, valid_blk):
+        def apply_step(carry, idx):
+            p, o = carry
+
+            def do(po):
+                p, o = po
+                loss, grads = grad_fn(
+                    p,
+                    codes_blk[idx].reshape(bsz, lag_w),
+                    counts_blk[idx].reshape(bsz, A1),
+                    sizes_blk[idx],
+                )
+                updates, o = optimizer.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), -loss
+
+            def skip(po):
+                # Padded apply: a true no-op — params AND optimizer state
+                # (step counters, moments) must not advance.
+                return po, jnp.zeros((), dtype)
+
+            (p, o), elbo = jax.lax.cond(valid_blk[idx], do, skip, (p, o))
+            return (p, o), elbo
+
+        return jax.lax.scan(apply_step, (p, o), jnp.arange(K))
+
+    elbo_parts = []
+    for _epoch in range(int(epochs)):
+        for shard in shards():
+            codes, counts = shard[0], shard[1]
+            codes_s, counts_s, sizes = _stack_batches(
+                np.asarray(codes),
+                np.asarray(counts, dtype=np.dtype(dtype)),
+                bsz,
+            )
+            if lag_w is None:
+                lag_w = codes_s.shape[2]
+            elif codes_s.shape[2] != lag_w:
+                raise ValueError(
+                    f"shard lag {codes_s.shape[2]} != first shard's {lag_w}"
+                )
+            steps = codes_s.shape[0]
+            # Blocks are stored FLAT ([K, B*width]) — a [K, B, 5] device
+            # array would tile its 5-wide minor dim to 128 lanes (25x HBM).
+            codes_f = codes_s.reshape(steps, -1)
+            counts_f = counts_s.reshape(steps, -1)
+            for s0 in range(0, steps, K):
+                n = min(K, steps - s0)
+                cb = np.zeros((K, codes_f.shape[1]), codes_f.dtype)
+                nb = np.zeros((K, counts_f.shape[1]), counts_f.dtype)
+                sb = np.ones(K, dtype=np.dtype(dtype))  # avoid 0-div in pads
+                vb = np.zeros(K, dtype=bool)
+                cb[:n], nb[:n] = codes_f[s0:s0 + n], counts_f[s0:s0 + n]
+                sb[:n] = sizes[s0:s0 + n]
+                vb[:n] = True
+                (params, opt_state), elbos = run_block(
+                    params, opt_state, jnp.asarray(cb), jnp.asarray(nb),
+                    jnp.asarray(sb), jnp.asarray(vb),
+                )
+                elbo_parts.append(np.asarray(elbos)[:n])
+    if lag_w is None:
+        raise ValueError("shards() yielded no shards")
+    elbos = np.concatenate(elbo_parts) if elbo_parts else np.zeros(0)
+    if writer is not None:
+        for i, e in enumerate(elbos):
+            writer.scalar("elbo", float(e), step=i + 1)
+    return TrainResult(
+        params=jax.tree.map(lambda x: np.asarray(x), params),
+        losses=-elbos,
+        opt_state=jax.tree.map(lambda x: np.asarray(x), opt_state),
+    )
+
+
 # --- evaluation -----------------------------------------------------------
 
 

@@ -45,12 +45,17 @@ def main(config: configparser.ConfigParser, mesh=None):
 
         mesh = data_parallel_mesh()  # all local devices; XLA inserts psum
 
-    # Load data.
+    # Load data. Streaming mode defers loading: training consumes one file
+    # at a time (bounded memory) and the full concat load happens only if an
+    # evaluation section needs it.
     files = run.resolve_files()
     num_kmers = count_kmers(files, header=run.sparse)
     batch_size = run.resolve_batch_size(num_kmers)
     epochs = run.resolve_epochs(num_kmers, batch_size)
-    ds = load_files(files, run.alphabet, run.num_ds, sparse=run.sparse)
+    streaming = run.streaming and run.train
+    ds = None
+    if not streaming or run.test or run.train_test:
+        ds = load_files(files, run.alphabet, run.num_ds, sparse=run.sparse)
     print("data_loaded")
 
     # Record result location in the config (reference train_bear_net.py:90-95).
@@ -73,7 +78,39 @@ def main(config: configparser.ConfigParser, mesh=None):
 
     params_restart, opt_state_restart = load_restart(run)
 
-    if run.train:
+    if run.train and streaming:
+        if run.accumulation_steps != 1:
+            raise ValueError("[train] streaming requires accumulation_steps=1")
+        if mesh is not None:
+            raise ValueError("[train] streaming and data_parallel are "
+                             "mutually exclusive (stream per host instead)")
+
+        def shards():
+            for f in files:
+                d = load_files([f], run.alphabet, run.num_ds, sparse=run.sparse)
+                yield d.codes, d.counts[:, ds_loc]
+
+        result = bear_net.train_streaming(
+            shards,
+            num_kmers=num_kmers,
+            ar_func=ar_func,
+            alphabet=run.alphabet,
+            batch_size=batch_size,
+            epochs=epochs,
+            learning_rate=run.learning_rate,
+            optimizer_name=run.optimizer_name,
+            train_ar=run.train_ar,
+            params_restart=params_restart,
+            opt_state_restart=opt_state_restart,
+            seed=run.seed,
+            dtype=dtype,
+            writer=writer,
+        )
+        writer.close()
+        params = result.params
+        opt_state = result.opt_state
+        save_loss_curve(result.elbos, out_folder)
+    elif run.train:
         result = bear_net.train(
             ds.codes,
             ds.counts[:, ds_loc],

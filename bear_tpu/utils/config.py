@@ -102,6 +102,12 @@ class RunConfig:
     # CLI equivalent of passing mesh= to bear_net.train (bear_tpu extension;
     # the reference's MirroredStrategy had no config surface).
     data_parallel: bool = False
+    # optional [train] streaming: 'True' feeds training shard-by-shard
+    # (bear_net.train_streaming) so host/device memory is bounded by one
+    # count file — the beyond-RAM analog of the reference's tf.data
+    # interleave streaming (dataloader.py:6-50). Requires
+    # accumulation_steps = 1.
+    streaming: bool = False
 
     @classmethod
     def from_configparser(cls, config: configparser.ConfigParser) -> "RunConfig":
@@ -131,6 +137,7 @@ class RunConfig:
             restart=tr.get("restart", "False") == "True",
             restart_path=tr.get("restart_path", ""),
             data_parallel=tr.get("data_parallel", "False") == "True",
+            streaming=tr.get("streaming", "False") == "True",
             test=te["test"] == "True",
             train_test=te["train_test"] == "True",
             van_reg=json.loads(te["van_reg"]),

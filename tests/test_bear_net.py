@@ -312,3 +312,61 @@ def test_empty_dataset_raises():
     with pytest.raises(ValueError, match="empty dataset"):
         bear_net.train(np.zeros((0, 3), np.int8), np.zeros((0, 5)),
                        num_kmers=0, ar_func=ar, batch_size=8, epochs=1)
+
+
+def test_train_streaming_matches_concat():
+    # Shard-streamed training (host bounded by one shard) follows the exact
+    # concat-loaded trajectory when the batch composition matches (shard
+    # sizes are multiples of batch_size), across block boundaries.
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import train_streaming
+
+    rng = np.random.default_rng(5)
+    lag, A1, bsz = 4, 5, 16
+    n_total = 96  # 6 batches; shards of 32 (2 batches each)
+    codes = rng.integers(0, 4, (n_total, lag)).astype(np.int8)
+    counts = rng.poisson(5.0, (n_total, A1)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    kw = dict(num_kmers=n_total, ar_func=ar, batch_size=bsz, epochs=3,
+              learning_rate=0.02, seed=3, dtype=jnp.float64)
+
+    concat = bear_net.train(codes, counts, **kw)
+
+    def shards():
+        for s0 in range(0, n_total, 32):
+            yield codes[s0:s0 + 32], counts[s0:s0 + 32]
+
+    # block_steps=4 forces padded applies inside blocks (6 steps/epoch).
+    streamed = train_streaming(shards, **kw, block_steps=4)
+    np.testing.assert_array_equal(concat.losses, streamed.losses)
+    for a, b in zip(concat.params_list, streamed.params_list):
+        np.testing.assert_array_equal(a, b)
+    # optimizer state advanced identically (padded applies were true no-ops)
+    for a, b in zip(jax.tree.leaves(concat.opt_state),
+                    jax.tree.leaves(streamed.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_streaming_ragged_shards():
+    # Ragged shard tails (batches never span shards) stay finite and train;
+    # per-batch ELBO scale uses each batch's actual size.
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import train_streaming
+
+    rng = np.random.default_rng(6)
+    lag = 3
+    sizes = [13, 7, 22]
+    shards_data = [
+        (rng.integers(0, 4, (n, lag)).astype(np.int8),
+         rng.poisson(4.0, (n, 5)).astype(np.float64))
+        for n in sizes
+    ]
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    res = train_streaming(lambda: iter(shards_data), num_kmers=sum(sizes),
+                          ar_func=ar, batch_size=8, epochs=2,
+                          learning_rate=0.05, dtype=jnp.float64,
+                          block_steps=3)
+    assert np.isfinite(res.losses).all()
+    # 2 epochs x (2 + 1 + 3 batches) applies recorded, no padding artifacts
+    assert len(res.losses) == 2 * (2 + 1 + 3)
+    assert res.losses[-1] < res.losses[0]

@@ -121,3 +121,42 @@ def test_run_net_data_parallel_config(tmp_path):
     np.testing.assert_allclose(
         float(c8["results"]["heldout_perplex_BEAR"]),
         float(c1["results"]["heldout_perplex_BEAR"]), rtol=1e-6)
+
+
+def test_run_net_streaming_matches_in_memory(tmp_path):
+    # [train] streaming = True: per-file shard streaming through the CLI
+    # produces the same learned h as the in-memory path when the shard
+    # batches match (single file here -> identical batch composition).
+    from bear_tpu.models import train_bear_net
+
+    def run(streaming, out):
+        config = configparser.ConfigParser()
+        config.read(CFG)
+        config["general"]["out_folder"] = str(out) + "*"
+        if streaming:
+            config["train"]["streaming"] = "True"
+        code = train_bear_net.main(config)
+        return config, (code[0] if isinstance(code, tuple) else code)
+
+    cfg_mem, rc1 = run(False, tmp_path / "mem")
+    cfg_str, rc2 = run(True, tmp_path / "str")
+    assert rc1 == rc2 == 1
+    h_mem = float(cfg_mem["results"]["h"])
+    h_str = float(cfg_str["results"]["h"])
+    np.testing.assert_allclose(h_str, h_mem, rtol=1e-12)
+    # heldout metrics written in streaming mode too (eval loads on demand)
+    assert "heldout_perplex_BEAR" in cfg_str["results"]
+
+
+def test_run_net_streaming_guards(tmp_path):
+    from bear_tpu.models import train_bear_net
+
+    config = configparser.ConfigParser()
+    config.read(CFG)
+    config["general"]["out_folder"] = str(tmp_path) + "*"
+    config["train"]["streaming"] = "True"
+    config["train"]["accumulation_steps"] = "2"
+    import pytest
+
+    with pytest.raises(ValueError, match="accumulation_steps"):
+        train_bear_net.main(config)
