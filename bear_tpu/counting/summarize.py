@@ -128,6 +128,7 @@ def run_counting(
     checkpoint: str | None = None,
     stats: dict | None = None,
     ambig: str = "a",
+    passes: int = 1,
 ):
     """Count transitions for all requested lags over the input file set.
     Returns an engine.TransitionCounter, or a
@@ -148,6 +149,10 @@ def run_counting(
     summarize stages, summarize.py -s12/-s3). Atomic (write + rename).
     ambig: "a" (default) folds unknown bases to A (reference-compatible);
     "skip" drops transitions whose window crosses an ambiguous base.
+    passes: >1 counts in that many sequential row-range passes on ONE
+    device, re-streaming the input each pass — lag 14-15 tables beyond one
+    chip's HBM without a multi-device mesh (the single-machine analog of
+    KMC's bounded-RAM disk passes). Mutually exclusive with kmer_shards.
     """
     if reverse and alphabet not in ("dna", "rna"):
         raise ValueError("-r (reverse complement) requires a 4-letter alphabet")
@@ -156,6 +161,29 @@ def run_counting(
     # Reverse-complement counting happens in the read stream (each read also
     # emitted as its RC before segmentation) so arbitrarily long contigs work;
     # the counter itself stays forward-only.
+    if passes > 1:
+        if kmer_shards > 1:
+            raise ValueError("--passes and --kmer-shards are mutually "
+                             "exclusive (row-split in time vs over devices)")
+        if checkpoint is not None:
+            raise ValueError("--checkpoint is not supported with --passes "
+                             "(each pass re-reads every file)")
+        from bear_tpu.counting.multipass import count_multipass
+
+        first_pass = [True]
+
+        def factory():
+            # Parse/read stats cover ONE traversal (every pass re-reads the
+            # same bytes; accumulating would overstate the input size).
+            s = stats if first_pass and first_pass.pop() else None
+            return iter_chunks(entries, max(lags), batch_size, segment_len,
+                               reverse=reverse, alphabet=alphabet,
+                               stats=s, ambig=ambig)
+
+        return count_multipass(
+            factory, lags=lags, n_groups=n_groups, passes=passes,
+            method=method, alphabet=alphabet,
+        )
     if kmer_shards > 1:
         import jax
         from jax.sharding import Mesh
@@ -248,7 +276,7 @@ def run(args) -> int:
     counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r,
                            method=args.method, kmer_shards=args.kmer_shards,
                            alphabet=args.alphabet, checkpoint=ckpt, stats=stats,
-                           ambig=ambig)
+                           ambig=ambig, passes=getattr(args, "passes", 1))
     if stats.get("ambig"):
         print(f"ambig=skip: {stats['ambig']} ambiguous bases; transitions "
               "whose window crosses one were dropped")
@@ -341,6 +369,13 @@ def build_parser() -> argparse.ArgumentParser:
              "with the same flag resumes from the last finished file "
              "(elastic recovery the reference's -s12/-s3 stage restarts "
              "cannot do).",
+    )
+    parser.add_argument(
+        "--passes", default=1, type=int,
+        help="Count in this many sequential row-range passes on one device, "
+             "re-reading the input each pass (lag 14-15 tables beyond one "
+             "chip's HBM without a mesh — the single-machine analog of "
+             "KMC's bounded-RAM disk passes).",
     )
     return parser
 
