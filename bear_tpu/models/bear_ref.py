@@ -41,7 +41,14 @@ def counts_to_probs(ref_counts, tau, alphabet_size):
     likelihoods with NaN; such rows fall back to the JC-uniform and contribute
     exactly zero likelihood and gradient because their counts are zero."""
     total = jnp.sum(jnp.abs(ref_counts), axis=-1, keepdims=True)
-    norm = ref_counts / jnp.maximum(total, jnp.finfo(ref_counts.dtype).tiny)
+    # Floor with float32's tiny, NOT the dtype's own: TPU float64 is emulated
+    # as a double-float32 pair whose exponent range is float32's, so
+    # finfo(float64).tiny (2.2e-308) silently underflows to 0 there and the
+    # zero-padded batch rows become 0/0 = NaN — the step-0 NaN that killed
+    # every f64 reference-BEAR run on TPU. Real rows carry >= 4*EPSILON
+    # (prepare_ref_counts), so any floor below ~1e-8 is semantically inert.
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, ref_counts.dtype)
+    norm = ref_counts / jnp.maximum(total, tiny)
     shape = jnp.concatenate(
         [jnp.ones(alphabet_size, dtype=ref_counts.dtype),
          jnp.zeros(1, dtype=ref_counts.dtype)]

@@ -197,12 +197,13 @@ class RunConfig:
                 import warnings
 
                 warnings.warn(
-                    "precision=float64 on TPU uses emulated f64 arithmetic, "
-                    "which is IMPRECISE (and NaNs the reference-BEAR path at "
-                    "the published protocol). float32 reproduces the "
-                    "published table on TPU (h 0.0142, stop rate 149.3 "
-                    "measured on v5e); use float64 on CPU for exact parity "
-                    "runs.",
+                    "precision=float64 on TPU runs in emulated (double-"
+                    "float32) arithmetic: parity-exact on the published "
+                    "YSD1 protocols (linear h 0.04326, reference-BEAR "
+                    "h 0.014197 / stop rate 149.5 measured on v5e) but "
+                    "several times slower than float32, and constants below "
+                    "float32's exponent range underflow to 0. float32 "
+                    "reproduces the published table at full speed.",
                     stacklevel=2,
                 )
             return jnp.float64

@@ -168,3 +168,24 @@ def test_load_bear_rejects_ref_model_dir(tmp_path):
     out = config["results"]["out_folder"]
     with pytest.raises(ValueError, match="bear_ref"):
         load_bear(out)
+
+
+def test_counts_to_probs_zero_rows_and_emulation_safe_floor():
+    # Regression: zero-padded batch rows divide by a floor that must SURVIVE
+    # TPU's double-float32 f64 emulation (finfo(f64).tiny = 2.2e-308
+    # underflows to 0 there -> 0/0 = NaN at step 0 of every f64 ref-BEAR
+    # run). The floor must round-trip through float32 as a positive number,
+    # and zero rows must produce finite JC-uniform probabilities.
+    import inspect
+
+    import jax.numpy as jnp
+
+    for dtype in (jnp.float32, jnp.float64):
+        zero = jnp.zeros((3, 5), dtype)
+        out = np.asarray(bear_ref.counts_to_probs(zero, jnp.asarray(1/30, dtype), 4))
+        assert np.isfinite(out).all()
+        assert (out >= 0).all()
+    # The actual floor constant used is f32-representable (the emulation
+    # invariant; reading the source keeps this from silently regressing).
+    src = inspect.getsource(bear_ref.counts_to_probs)
+    assert "float32).tiny" in src and "ref_counts.dtype).tiny" not in src
