@@ -191,8 +191,41 @@ class BearServer:
             picked = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
             return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
 
+        def snv_delta_map(table_arr, rows_wt, nxt_wt, seq_len, pos, alt, ref):
+            """MAP Δ log-prob (mutant - wild-type) for substitutions.
+
+            A substitution at sequence position p touches exactly the
+            transitions t in [p, p+lag]: at t == p the NEXT symbol changes;
+            at t > p the context row shifts by (alt - ref) * A^(t-p-1)
+            (the row codec weights the i-th previous base by A^(i-1) —
+            identical digit order to _context_rows_and_next, so no window
+            strings are ever built). Only the 2(lag+1) touched windows are
+            gathered per variant — the device analog of
+            get_bear_probs' Δ-window scoring (reference
+            get_var_probs.py:293-334, 343-454)."""
+            i = jnp.arange(lag + 1, dtype=jnp.int32)[None, :]
+            t = pos[:, None] + i                       # [V, lag+1]
+            valid = t <= seq_len                       # t == len is the stop
+            tc = jnp.clip(t, 0, seq_len)
+            r_wt = rows_wt[tc]
+            n_wt = nxt_wt[tc]
+            powA = jnp.asarray(
+                [1] + [A ** k for k in range(lag)], jnp.int32)[None, :]
+            shift = (alt - ref)[:, None] * powA
+            r_mt = jnp.where(i >= 1, r_wt + shift, r_wt)
+            n_mt = jnp.where(i == 0, alt[:, None], n_wt)
+
+            def logp(rows, nxt):
+                conc = concentrations(rows, gather_rows(table_arr, rows))
+                lp = jnp.log(conc / jnp.sum(conc, axis=-1, keepdims=True))
+                return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
+
+            d = logp(r_mt, n_mt) - logp(r_wt, n_wt)
+            return jnp.sum(jnp.where(valid, d, 0.0), axis=-1)
+
         self._map_fn = jax.jit(log_prob_map)
         self._sample_fn = jax.jit(log_prob_sampled)
+        self._snv_fn = jax.jit(snv_delta_map)
 
     def log_prob_map(self, codes, lengths):
         """MAP per-sequence log-probabilities: [B]."""
@@ -205,6 +238,56 @@ class BearServer:
         return self._sample_fn(
             self._table, jnp.asarray(codes), jnp.asarray(lengths), key
         )
+
+    def delta_scores_snv(self, wt_seq: str, positions, alt_bases,
+                         batch: int = 1 << 17):
+        """MAP Δ log-prob (mutant − wild-type) for a batch of substitutions,
+        entirely on device: DMS-scale scoring (10^6 SNVs in seconds) where
+        the host get_bear_probs path loops per variant.
+
+        Parameters
+        ----------
+        wt_seq : wild-type sequence (string over the alphabet).
+        positions : [V] 0-based positions into wt_seq.
+        alt_bases : [V] alternate letters (str/array) or integer codes.
+
+        Returns [V] float scores, exactly matching
+        ``get_bear_probs(..., get_map=True)`` on the same model (tested).
+        """
+        codes = alphabets.encode_kmers(
+            np.array([wt_seq]), self._alphabet
+        ).astype(np.int32)  # [1, L]
+        L = codes.shape[1]
+        rows, nxt, _ = _context_rows_and_next(
+            jnp.asarray(codes), jnp.asarray([L], jnp.int32), self._lag,
+            alphabets.alphabet_size(self._alphabet),
+        )
+        rows1, nxt1 = rows[0], nxt[0]  # [L+1]
+        pos = np.asarray(positions, dtype=np.int32)
+        if pos.ndim != 1:
+            raise ValueError("positions must be 1-D")
+        if (pos < 0).any() or (pos >= L).any():
+            raise ValueError("SNV position outside the wild-type sequence")
+        alt = np.asarray(alt_bases)
+        if alt.dtype.kind in "US":
+            alt = alphabets.encode_kmers(alt, self._alphabet)[:, 0]
+        alt = alt.astype(np.int32)
+        ref = codes[0, pos].astype(np.int32)
+        out = np.empty(len(pos), np.float32)
+        for s in range(0, len(pos), batch):
+            e = min(s + batch, len(pos))
+            n = e - s
+            # Pad the tail chunk to the batch shape (one compilation);
+            # alt == ref rows are exact zero-delta no-ops.
+            p_b = np.zeros(min(batch, max(len(pos), 1)), np.int32)
+            a_b = np.zeros_like(p_b)
+            r_b = np.zeros_like(p_b)
+            p_b[:n], a_b[:n], r_b[:n] = pos[s:e], alt[s:e], ref[s:e]
+            out[s:e] = np.asarray(self._snv_fn(
+                self._table, rows1, nxt1, jnp.int32(L),
+                jnp.asarray(p_b), jnp.asarray(a_b), jnp.asarray(r_b),
+            ))[:n]
+        return out
 
     def score(self, seqs, mode: str = "map", key=None, pad_to: Optional[int] = None):
         """Convenience host API: list of strings -> [B] scores. Pads to

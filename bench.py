@@ -299,6 +299,30 @@ def bench_serving():
     return dict(seqs_per_sec=REPS * B / dt, bases_per_sec=REPS * B * L / dt)
 
 
+def bench_snv():
+    """DMS-scale variant scoring: 10^6 SNVs MAP Δ-scored on device
+    (BearServer.delta_scores_snv; the reference's get_var_probs loops per
+    variant on the host)."""
+    from bear_tpu.counting.engine import table_rows
+    from bear_tpu.inference.serving import BearServer
+
+    lag, L, V = 10, 20000, 1_000_000
+    rng = np.random.default_rng(0)
+    table = rng.poisson(0.05, size=(table_rows(lag), 5)).astype(np.float32)
+    server = BearServer(table, lag, van=0.5, dtype=jnp.float32)
+    wt = "".join(rng.choice(list("ACGT"), L))
+    pos = rng.integers(0, L, V).astype(np.int32)
+    alt = rng.integers(0, 4, V).astype(np.int32)
+    server.delta_scores_snv(wt, pos[:1 << 17], alt[:1 << 17])  # compile
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = server.delta_scores_snv(wt, pos, alt)
+        _ = float(out[-1])  # fetch barrier: np output already synced
+        dt = min(dt, time.perf_counter() - t0)
+    return dict(snvs_per_sec=V / dt, million_snvs_seconds=dt)
+
+
 def _install_watchdog(seconds: int):
     """Emit the JSON line with an error and exit if the whole bench exceeds
     `seconds` — a wedged device tunnel otherwise hangs jax.devices() forever
@@ -407,6 +431,10 @@ def main():
     except Exception as e:
         results["serving_error"] = repr(e)
     try:
+        results["snv"] = bench_snv()
+    except Exception as e:
+        results["snv_error"] = repr(e)
+    try:
         results["ysd1"] = bench_ysd1_train()
     except Exception as e:
         results["ysd1_error"] = repr(e)
@@ -428,6 +456,7 @@ def main():
         "host_pack_mbases_per_sec": round((results.get("host_pack") or {}).get("mbases_per_sec", 0.0)),
         "assemble_letters_per_sec": round((results.get("assemble") or {}).get("letters_per_sec", 0.0)),
         "serving_map_seqs_per_sec": round((results.get("serving") or {}).get("seqs_per_sec", 0.0)),
+        "snv_scores_per_sec": round((results.get("snv") or {}).get("snvs_per_sec", 0.0)),
         "bmm_heldout_perplexity": ysd1.get("bmm_heldout_perplexity"),
         "bear_heldout_perplexity": ysd1.get("bear_heldout_perplexity"),
         "learned_h": ysd1.get("h"),
@@ -436,7 +465,7 @@ def main():
     }
     for k in ("lag13_error", "counting_error", "loggamma_error",
               "host_pack_error", "assemble_error", "serving_error",
-              "ysd1_error"):
+              "snv_error", "ysd1_error"):
         if k in results:
             line[k] = results[k]
     print(json.dumps(line))

@@ -152,3 +152,87 @@ def test_sharded_table_serving_matches_dense():
     np.testing.assert_allclose(
         dense_b.score(seqs, mode="map"), shard_b.score(seqs, mode="map"),
         rtol=1e-12)
+
+
+def test_snv_delta_scores_match_get_bear_probs():
+    # Device Δ-window SNV scoring == the host get_bear_probs MAP path,
+    # including '['-padded edge windows and the '$'-covering tail windows.
+    from bear_tpu.inference.scoring import TableCounter, get_bear_probs
+
+    tc = _counter()
+    van = 0.7
+    server = BearServer(tc.tables[LAG][0], LAG, van=van, dtype=jnp.float64)
+    wt = "TTTATTCTTAG"
+    rng = np.random.default_rng(0)
+    letters = "ACGT"
+    pos, alt, var_strs = [], [], []
+    for p in list(range(len(wt))):  # every position, incl. both edges
+        choices = [c for c in letters if c != wt[p]]
+        a = choices[int(rng.integers(len(choices)))]
+        pos.append(p)
+        alt.append(a)
+        var_strs.append(f"{wt[p]}{p}{a}")
+
+    got = server.delta_scores_snv(wt, pos, alt)
+    want = get_bear_probs(
+        None, wt, var_strs, 0, vans=[van], get_map=True,
+        counter=TableCounter(tc, LAG), lag=LAG,
+        alphabet_name="dna",
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    # identity substitutions are exact zeros
+    same = server.delta_scores_snv(wt, [3, 5], [wt[3], wt[5]])
+    np.testing.assert_array_equal(same, np.zeros(2, np.float32))
+
+    # small-batch chunking equals one-shot
+    chunked = server.delta_scores_snv(wt, pos, alt, batch=3)
+    np.testing.assert_allclose(chunked, got, rtol=1e-6)
+
+
+def test_snv_delta_scores_bear_model():
+    # AR+h mode against a brute-force window recomputation (softmax linear
+    # AR, concentrations = probs/h + counts, MAP log prob).
+    from bear_tpu.inference.scoring import _variant_windows, parse_var
+    from bear_tpu.ops import alphabets as alph
+
+    tc = _counter()
+    table = tc.tables[LAG][0].astype(np.float64)
+    rng = np.random.default_rng(1)
+    W = rng.normal(size=(LAG, 5, 5)) * 0.3
+    h = 0.37
+
+    def ar_apply(oh):
+        logits = jnp.einsum("...jk,jkl->...l", oh, jnp.asarray(W))
+        return jax.nn.softmax(logits)
+
+    server = BearServer(table, LAG, h=h, ar_apply=ar_apply, dtype=jnp.float64)
+    wt = "TTCTTATTT"
+    vars_ = ["T0A", "C2G", "A5C", "T8G"]
+    got = server.delta_scores_snv(
+        wt, [parse_var(v)[2] for v in vars_],
+        [parse_var(v)[1] for v in vars_],
+    )
+
+    from bear_tpu.counting.engine import context_to_row
+
+    padded = LAG * "[" + wt + "]"
+
+    def logp_win(kmers):
+        tot = 0.0
+        for km in kmers:
+            ctx, nx = km[:-1], km[-1]
+            row = context_to_row(ctx, LAG)
+            oh = alph.one_hot(
+                alph.encode_kmers(np.array([ctx]), "dna"), 5, jnp.float64
+            )[0]
+            probs = np.asarray(ar_apply(oh))
+            conc = probs / h + table[row]
+            nxt_idx = "ACGT]".index(nx)
+            tot += np.log(conc[nxt_idx] / conc.sum())
+        return tot
+
+    for v, g in zip(vars_, got):
+        wt_k, mt_k = _variant_windows(padded, parse_var(v), LAG)
+        want = logp_win(mt_k) - logp_win(wt_k)
+        np.testing.assert_allclose(g, want, rtol=1e-5, err_msg=v)
