@@ -1,9 +1,9 @@
 """Pallas-lowerable special functions: lgamma / digamma from primitives.
 
 Mosaic (Pallas TPU) cannot lower jax.lax.lgamma/digamma (KernelType.TC
-NotImplementedError), but the fused BEAR train kernel needs both inside
-VMEM. These implementations use only +,*,/,log — all lowerable — via the
-classic shift-then-Stirling scheme:
+NotImplementedError); any kernel needing in-VMEM likelihood math (e.g.
+Dirichlet-multinomial terms) can use these. Only +,*,/,log are used — all
+lowerable — via the classic shift-then-Stirling scheme:
 
   lgamma(x)  = lgamma(x + K) - sum_{i<K} log(x + i)     (recurrence)
   digamma(x) = digamma(x + K) - sum_{i<K} 1 / (x + i)
