@@ -109,18 +109,23 @@ class DatasetCounter:
     zeros (prior-only scoring, get_var_probs.py:444-451)."""
 
     def __init__(self, dataset):
-        self._index = {k: i for i, k in enumerate(dataset.kmers)}
+        kmers = np.asarray(dataset.kmers)
+        self._order = np.argsort(kmers)
+        self._sorted = kmers[self._order]
         self._counts = dataset.counts
 
     def __call__(self, kmers) -> np.ndarray:
+        # Vectorized sorted lookup (a per-k-mer dict .get capped the
+        # analysis path at ~10^5 items).
         kmers = np.asarray(kmers)
         flat = kmers.reshape(-1)
         num_ds, A1 = self._counts.shape[1:]
         out = np.zeros((flat.size, num_ds, A1), dtype=self._counts.dtype)
-        for i, k in enumerate(flat):
-            j = self._index.get(str(k))
-            if j is not None:
-                out[i] = self._counts[j]
+        if len(self._sorted) and flat.size:
+            pos = np.searchsorted(self._sorted, flat)
+            pos_c = np.minimum(pos, len(self._sorted) - 1)
+            hit = self._sorted[pos_c] == flat
+            out[hit] = self._counts[self._order[pos_c[hit]]]
         return out.reshape(kmers.shape + (num_ds, A1))
 
 
@@ -140,20 +145,52 @@ class Pdf:
     alphabet_name: str
 
     def __post_init__(self):
-        self._index = {k: i for i, k in enumerate(self.kmers)}
-        self._letters = {
-            ch: i for i, ch in enumerate(alphabets.output_letters(self.alphabet_name))
-        }
+        kmers = np.asarray(self.kmers)
+        self._order = np.argsort(kmers)
+        self._sorted = kmers[self._order]
+        letters = np.array(list(alphabets.output_letters(self.alphabet_name)))
+        self._letter_order = np.argsort(letters)
+        self._letters_sorted = letters[self._letter_order]
 
     def __contains__(self, kmer: str) -> bool:
-        return kmer in self._index
+        if not len(self._sorted):
+            return False
+        pos = min(int(np.searchsorted(self._sorted, kmer)),
+                  len(self._sorted) - 1)
+        return bool(self._sorted[pos] == kmer)
+
+    def _split(self, kp1mers):
+        """Vectorized (context, next-letter) split of fixed-width strings."""
+        arr = np.asarray(kp1mers)
+        W = arr.dtype.itemsize // 4  # U-width
+        grid = arr.view("U1").reshape(len(arr), W)
+        ctx = np.ascontiguousarray(grid[:, : W - 1]).view(f"U{W - 1}")[:, 0]
+        return ctx, grid[:, W - 1]
 
     def lookup(self, kp1mers: Sequence[str]) -> np.ndarray:
-        """[len(kp1mers), num_models, mc_samples] log-probs of transitions."""
+        """[len(kp1mers), num_models, mc_samples] log-probs of transitions.
+
+        Vectorized sorted lookup (the reference indexes a pandas df per
+        (k+1)-mer; a per-item dict here capped scoring at ~10^5 windows).
+        Raises KeyError on a context or letter outside the pdf, matching
+        the dict-based behavior."""
         if len(kp1mers) == 0:
             return np.zeros(self.log_probs.shape[2:])[None][:0]
-        rows = np.array([self._index[k[:-1]] for k in kp1mers])
-        cols = np.array([self._letters[k[-1]] for k in kp1mers])
+        if not len(self._sorted):
+            raise KeyError(str(np.asarray(kp1mers).reshape(-1)[0]))
+        ctx, nxt = self._split(kp1mers)
+        pos = np.minimum(np.searchsorted(self._sorted, ctx),
+                         len(self._sorted) - 1)
+        miss = self._sorted[pos] != ctx
+        if miss.any():
+            raise KeyError(str(ctx[miss][0]))
+        rows = self._order[pos]
+        lpos = np.minimum(np.searchsorted(self._letters_sorted, nxt),
+                          len(self._letters_sorted) - 1)
+        lmiss = self._letters_sorted[lpos] != nxt
+        if lmiss.any():
+            raise KeyError(str(nxt[lmiss][0]))
+        cols = self._letter_order[lpos]
         return self.log_probs[rows, cols]
 
     def __call__(self, kp1mers: Sequence[str]) -> np.ndarray:
@@ -607,9 +644,18 @@ def get_bear_probs_seqs(
     num_models = pdf.log_probs.shape[2]
     eff_samples = 1 if get_map else mc_samples
     scores = np.zeros((len(seqs), num_models, eff_samples))
-    for i, seq in enumerate(seqs):
-        kp1 = [seq[l : l + lag + 1] for l in range(len(seq) - lag)]
-        scores[i] += pdf(kp1)
+    # One vectorized lookup over every sequence's windows, summed per
+    # sequence with reduceat (the per-sequence Python loop was the last
+    # host hot spot on this path; reference get_var_probs.py:458-484).
+    kp1_all = [seq[l : l + lag + 1] for seq in seqs
+               for l in range(len(seq) - lag)]
+    if kp1_all:
+        n_win = np.array([len(s) - lag for s in seqs])
+        vals = pdf.lookup(kp1_all)
+        offsets = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        nz = n_win > 0
+        sums = np.add.reduceat(vals, offsets[nz], axis=0)
+        scores[nz] = sums
     if get_map:
         scores = scores[..., 0]
     return scores
