@@ -785,6 +785,120 @@ def evaluation(
     )
 
 
+def evaluation_streaming(
+    shards,
+    ds_loc_train,
+    ds_loc_test,
+    alphabet,
+    h,
+    ar_func: ARFunc,
+    ar_params,
+    van_reg,
+    *,
+    batch_size: int = 1 << 14,
+    dtype=jnp.float32,
+    seed: int = 0,
+    block_steps: int = 32,
+):
+    """Shard-streamed evaluation: memory bounded by one shard.
+
+    The evaluation metrics are pure per-k-mer sums, so shard boundaries
+    cannot change them (up to float reassociation and per-batch argmax
+    tie-break keys). Same contract and 9-tuple as ``evaluation``; ``shards``
+    is a callable returning an iterable of (codes, counts[N, num_ds, A+1])
+    pairs, consumed once. Batches stream through one fixed-geometry jitted
+    block (single compilation); the tie-break key is folded on the GLOBAL
+    batch index so an aligned shard split reproduces the in-memory result
+    up to summation reassociation across block partials.
+    """
+    A1 = alphabets.alphabet_size(alphabet) + 1
+    use_train = ds_loc_train >= 0
+    van_reg = jnp.asarray(np.asarray(van_reg), dtype=dtype)
+    h_arr = jnp.asarray(h, dtype=dtype)
+    base_key = jax.random.key(seed)
+    bsz = int(batch_size)
+    K = int(block_steps)
+    lag_w = None
+
+    @jax.jit
+    def run_block(codes_blk, test_blk, train_blk, valid_blk, step0):
+        def batch_metrics(k):
+            codes_b = codes_blk[k].reshape(bsz, lag_w)
+            ct_b = test_blk[k].reshape(bsz, A1)
+            tr_b = train_blk[k].reshape(bsz, A1) if use_train else None
+            if ar_func.apply_codes is not None:
+                ar_probs = ar_func.apply_codes(ar_params, codes_b)
+            else:
+                oh = alphabets.one_hot(codes_b, A1, dtype)
+                ar_probs = ar_func.apply(ar_params, oh)
+            return _evaluation_step(
+                ct_b, ar_probs, h_arr, van_reg,
+                jax.random.fold_in(base_key, step0 + k),
+                counts_train=tr_b, dtype=dtype,
+            )
+
+        zeros = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(batch_metrics, 0),
+        )
+
+        def body(carry, k):
+            out = jax.lax.cond(valid_blk[k], batch_metrics,
+                               lambda _: zeros, k)
+            return jax.tree.map(jnp.add, carry, out), None
+
+        carry, _ = jax.lax.scan(body, zeros, jnp.arange(K))
+        return carry
+
+    totals = None
+    step = 0
+    for shard in shards():
+        codes, counts = shard[0], shard[1]
+        counts = np.asarray(counts, dtype=np.dtype(dtype))
+        counts_test = counts[:, ds_loc_test, :]
+        codes_s, test_s, _ = _stack_batches(np.asarray(codes), counts_test,
+                                            bsz)
+        if lag_w is None:
+            lag_w = codes_s.shape[2]
+        elif codes_s.shape[2] != lag_w:
+            raise ValueError(
+                f"shard lag {codes_s.shape[2]} != first shard's {lag_w}"
+            )
+        train_s = (_stack_one(counts[:, ds_loc_train, :], bsz)
+                   if use_train else None)
+        steps = codes_s.shape[0]
+        codes_f = codes_s.reshape(steps, -1)
+        test_f = test_s.reshape(steps, -1)
+        train_f = train_s.reshape(steps, -1) if use_train else None
+        for s0 in range(0, steps, K):
+            n = min(K, steps - s0)
+            cb = np.zeros((K, codes_f.shape[1]), codes_f.dtype)
+            tb = np.zeros((K, test_f.shape[1]), test_f.dtype)
+            rb = (np.zeros((K, train_f.shape[1]), train_f.dtype)
+                  if use_train else np.zeros((K, 1), np.dtype(dtype)))
+            vb = np.zeros(K, dtype=bool)
+            cb[:n], tb[:n] = codes_f[s0:s0 + n], test_f[s0:s0 + n]
+            if use_train:
+                rb[:n] = train_f[s0:s0 + n]
+            vb[:n] = True
+            out = run_block(jnp.asarray(cb), jnp.asarray(tb),
+                            jnp.asarray(rb), jnp.asarray(vb),
+                            jnp.int32(step + s0))
+            out = jax.tree.map(np.asarray, out)
+            totals = out if totals is None else jax.tree.map(
+                np.add, totals, out)
+        step += steps
+    if totals is None:
+        raise ValueError("shards() yielded no shards")
+    ll_ear, ll_arm, ll_van, c_ear, c_arm, c_van, total = totals
+    return (
+        ll_ear, ll_arm, ll_van,
+        np.exp(-ll_ear / total), np.exp(-ll_arm / total),
+        np.exp(-ll_van / total),
+        c_ear / total, c_arm / total, c_van / total,
+    )
+
+
 def h_scan(
     codes,
     counts,

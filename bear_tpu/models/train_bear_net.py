@@ -54,9 +54,14 @@ def main(config: configparser.ConfigParser, mesh=None):
     epochs = run.resolve_epochs(num_kmers, batch_size)
     streaming = run.streaming and run.train
     ds = None
-    if not streaming or run.test or run.train_test:
+    if not run.streaming:
         ds = load_files(files, run.alphabet, run.num_ds, sparse=run.sparse)
     print("data_loaded")
+
+    def _eval_shards():
+        for f in files:
+            d = load_files([f], run.alphabet, run.num_ds, sparse=run.sparse)
+            yield d.codes, d.counts
 
     # Record result location in the config (reference train_bear_net.py:90-95).
     result_file = os.path.join(out_folder, "results.pickle")
@@ -149,40 +154,28 @@ def main(config: configparser.ConfigParser, mesh=None):
     van_reg = np.array(run.van_reg)
 
 
-    if run.test:
-        out = bear_net.evaluation(
-            ds.codes,
-            ds.counts,
-            ds_loc,
-            run.test_column,
-            run.alphabet,
-            h,
-            ar_func,
-            params["ar"],
-            van_reg,
-            dtype=dtype,
-            seed=run.seed,
+    def _evaluate(train_loc, test_loc):
+        if run.streaming:
+            # Shard-streamed evaluation: memory stays bounded by one file
+            # (metrics are pure sums, so shard boundaries cannot move them).
+            return bear_net.evaluation_streaming(
+                _eval_shards, train_loc, test_loc, run.alphabet, h, ar_func,
+                params["ar"], van_reg, dtype=dtype, seed=run.seed,
+            )
+        return bear_net.evaluation(
+            ds.codes, ds.counts, train_loc, test_loc, run.alphabet, h,
+            ar_func, params["ar"], van_reg, dtype=dtype, seed=run.seed,
             mesh=mesh,
         )
+
+    if run.test:
+        out = _evaluate(ds_loc, run.test_column)
         write_eval_results(config, out_folder, "heldout_", out)
 
     if run.train_test:
         # Evaluate the training data under prior-only conditioning
         # (reference train_bear_net.py:174-198; ds_loc_train=-1).
-        out = bear_net.evaluation(
-            ds.codes,
-            ds.counts,
-            -1,
-            ds_loc,
-            run.alphabet,
-            h,
-            ar_func,
-            params["ar"],
-            van_reg,
-            dtype=dtype,
-            seed=run.seed,
-            mesh=mesh,
-        )
+        out = _evaluate(-1, ds_loc)
         write_eval_results(config, out_folder, "", out)
         ll_van, perp_van = np.asarray(out[2]), np.asarray(out[5])
         return 1, ll_van, perp_van

@@ -370,3 +370,48 @@ def test_train_streaming_ragged_shards():
     # 2 epochs x (2 + 1 + 3 batches) applies recorded, no padding artifacts
     assert len(res.losses) == 2 * (2 + 1 + 3)
     assert res.losses[-1] < res.losses[0]
+
+
+def test_evaluation_streaming_matches_in_memory():
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import evaluation_streaming
+
+    rng = np.random.default_rng(8)
+    lag, n = 4, 96
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(5.0, (n, 2, 5)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    params = ar.init(jax.random.key(0))
+    van = [0.1, 1.0]
+    kw = dict(batch_size=16, dtype=jnp.float64, seed=3)
+
+    want = bear_net.evaluation(codes, counts, 0, 1, "dna", 0.2, ar, params,
+                               van, **kw)
+
+    def aligned():  # 32-row shards = whole batches: bit parity
+        for s0 in range(0, n, 32):
+            yield codes[s0:s0 + 32], counts[s0:s0 + 32]
+
+    got = evaluation_streaming(aligned, 0, 1, "dna", 0.2, ar, params, van,
+                               block_steps=2, **kw)
+    for a, b in zip(want, got):  # reassociation across block partials only
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+    def ragged():  # metrics are sums -> shard boundaries cannot move them
+        for s0, s1 in [(0, 13), (13, 50), (50, 96)]:
+            yield codes[s0:s1], counts[s0:s1]
+
+    got2 = evaluation_streaming(ragged, 0, 1, "dna", 0.2, ar, params, van,
+                                block_steps=2, **kw)
+    # lls/perplexities are pure sums (partition-invariant); accuracies use
+    # per-batch argmax tie-break draws, which ragged batching reshuffles.
+    for a, b in zip(want[:6], got2[:6]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+    # prior mode (ds_loc_train = -1) streams too
+    want_p = bear_net.evaluation(codes, counts, -1, 1, "dna", 0.2, ar,
+                                 params, van, **kw)
+    got_p = evaluation_streaming(aligned, -1, 1, "dna", 0.2, ar, params,
+                                 van, block_steps=3, **kw)
+    for a, b in zip(want_p, got_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
