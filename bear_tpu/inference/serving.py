@@ -223,9 +223,42 @@ class BearServer:
             d = logp(r_mt, n_mt) - logp(r_wt, n_wt)
             return jnp.sum(jnp.where(valid, d, 0.0), axis=-1)
 
+        def snv_delta_sampled(table_arr, rows_wt, nxt_wt, seq_len, pos, alt,
+                              ref, key):
+            """Posterior-SAMPLED Δ log-prob for substitutions: every touched
+            window's transition distribution is one Dirichlet draw, keyed
+            statelessly on the table row (fold_in(key, row)) so the shared
+            i==0 context draws identically for wt and mt — the same
+            stateless-draw semantics as log_prob_sampled / assembly."""
+            i = jnp.arange(lag + 1, dtype=jnp.int32)[None, :]
+            t = pos[:, None] + i
+            valid = t <= seq_len
+            tc = jnp.clip(t, 0, seq_len)
+            r_wt = rows_wt[tc]
+            n_wt = nxt_wt[tc]
+            powA = jnp.asarray(
+                [1] + [A ** k for k in range(lag)], jnp.int32)[None, :]
+            shift = (alt - ref)[:, None] * powA
+            r_mt = jnp.where(i >= 1, r_wt + shift, r_wt)
+            n_mt = jnp.where(i == 0, alt[:, None], n_wt)
+
+            def logp(rows, nxt):
+                conc = concentrations(rows, gather_rows(table_arr, rows))
+
+                def draw(row, c):
+                    lg = log_dirichlet_draw(jax.random.fold_in(key, row), c)
+                    return lg - jax.scipy.special.logsumexp(lg)
+
+                lp = jax.vmap(jax.vmap(draw))(rows, conc)
+                return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
+
+            d = logp(r_mt, n_mt) - logp(r_wt, n_wt)
+            return jnp.sum(jnp.where(valid, d, 0.0), axis=-1)
+
         self._map_fn = jax.jit(log_prob_map)
         self._sample_fn = jax.jit(log_prob_sampled)
         self._snv_fn = jax.jit(snv_delta_map)
+        self._snv_sample_fn = jax.jit(snv_delta_sampled)
 
     def log_prob_map(self, codes, lengths):
         """MAP per-sequence log-probabilities: [B]."""
@@ -240,8 +273,9 @@ class BearServer:
         )
 
     def delta_scores_snv(self, wt_seq: str, positions, alt_bases,
-                         batch: int = 1 << 17):
-        """MAP Δ log-prob (mutant − wild-type) for a batch of substitutions,
+                         batch: int = 1 << 17, mode: str = "map",
+                         key=None, mc_samples: int = 1):
+        """Δ log-prob (mutant − wild-type) for a batch of substitutions,
         entirely on device: DMS-scale scoring (10^6 SNVs in seconds) where
         the host get_bear_probs path loops per variant.
 
@@ -250,9 +284,14 @@ class BearServer:
         wt_seq : wild-type sequence (string over the alphabet).
         positions : [V] 0-based positions into wt_seq.
         alt_bases : [V] alternate letters (str/array) or integer codes.
+        mode : "map" (posterior-mean log-probs; exactly matches
+            ``get_bear_probs(..., get_map=True)``, tested) or "sample"
+            (each touched window scored under a posterior Dirichlet draw —
+            the MC mode; requires ``key``).
+        mc_samples : with mode="sample", number of independent draws;
+            output gains a trailing sample axis when > 1.
 
-        Returns [V] float scores, exactly matching
-        ``get_bear_probs(..., get_map=True)`` on the same model (tested).
+        Returns [V] float scores (or [V, mc_samples]).
         """
         codes = alphabets.encode_kmers(
             np.array([wt_seq]), self._alphabet
@@ -273,21 +312,36 @@ class BearServer:
             alt = alphabets.encode_kmers(alt, self._alphabet)[:, 0]
         alt = alt.astype(np.int32)
         ref = codes[0, pos].astype(np.int32)
-        out = np.empty(len(pos), np.float32)
-        for s in range(0, len(pos), batch):
-            e = min(s + batch, len(pos))
-            n = e - s
-            # Pad the tail chunk to the batch shape (one compilation);
-            # alt == ref rows are exact zero-delta no-ops.
-            p_b = np.zeros(min(batch, max(len(pos), 1)), np.int32)
-            a_b = np.zeros_like(p_b)
-            r_b = np.zeros_like(p_b)
-            p_b[:n], a_b[:n], r_b[:n] = pos[s:e], alt[s:e], ref[s:e]
-            out[s:e] = np.asarray(self._snv_fn(
-                self._table, rows1, nxt1, jnp.int32(L),
-                jnp.asarray(p_b), jnp.asarray(a_b), jnp.asarray(r_b),
-            ))[:n]
-        return out
+        if mode == "map":
+            variants = [(None, self._snv_fn)]
+        elif mode == "sample":
+            if key is None:
+                raise ValueError('mode="sample" requires key=')
+            variants = [(jax.random.fold_in(key, s), self._snv_sample_fn)
+                        for s in range(mc_samples)]
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        outs = []
+        for k, fn in variants:
+            out = np.empty(len(pos), np.float32)
+            for s in range(0, len(pos), batch):
+                e = min(s + batch, len(pos))
+                n = e - s
+                # Pad the tail chunk to the batch shape (one compilation);
+                # alt == ref rows are exact zero-delta no-ops.
+                p_b = np.zeros(min(batch, max(len(pos), 1)), np.int32)
+                a_b = np.zeros_like(p_b)
+                r_b = np.zeros_like(p_b)
+                p_b[:n], a_b[:n], r_b[:n] = pos[s:e], alt[s:e], ref[s:e]
+                args = (self._table, rows1, nxt1, jnp.int32(L),
+                        jnp.asarray(p_b), jnp.asarray(a_b), jnp.asarray(r_b))
+                if k is not None:
+                    args = args + (k,)
+                out[s:e] = np.asarray(fn(*args))[:n]
+            outs.append(out)
+        if mode == "map":
+            return outs[0]
+        return outs[0] if mc_samples == 1 else np.stack(outs, axis=-1)
 
     def score(self, seqs, mode: str = "map", key=None, pad_to: Optional[int] = None):
         """Convenience host API: list of strings -> [B] scores. Pads to

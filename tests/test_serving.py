@@ -236,3 +236,52 @@ def test_snv_delta_scores_bear_model():
         wt_k, mt_k = _variant_windows(padded, parse_var(v), LAG)
         want = logp_win(mt_k) - logp_win(wt_k)
         np.testing.assert_allclose(g, want, rtol=1e-5, err_msg=v)
+
+
+def test_snv_delta_sampled_mean_matches_analytic():
+    # mode="sample": the MC mean over draws converges to the analytic
+    # expectation E[log p] = digamma(alpha_k) - digamma(sum alpha) summed
+    # over the touched windows (same Beta/Dirichlet-moment oracle style as
+    # the reference's tests/test_var_prob.py).
+    tc = _counter()
+    van = 1.5
+    server = BearServer(tc.tables[LAG][0], LAG, van=van, dtype=jnp.float64)
+    wt = "TTTATTCTT"
+    pos, alt = [2, 6], ["G", "A"]
+
+    S = 1500
+    key = jax.random.key(0)
+    draws = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key,
+                                    mc_samples=S)
+    assert draws.shape == (2, S)
+
+    # analytic expectation via the MAP machinery's windows
+    from bear_tpu.inference.scoring import _variant_windows, parse_var
+    from bear_tpu.counting.engine import context_to_row
+
+    table = tc.tables[LAG][0].astype(np.float64)
+    padded = LAG * "[" + wt + "]"
+
+    def e_logp(kmers):
+        tot = 0.0
+        for km in kmers:
+            row = context_to_row(km[:-1], LAG)
+            conc = table[row] + van
+            k = "ACGT]".index(km[-1])
+            tot += digamma(conc[k]) - digamma(conc.sum())
+        return tot
+
+    for j, (p, a) in enumerate(zip(pos, alt)):
+        var = parse_var(f"{wt[p]}{p}{a}")
+        wt_k, mt_k = _variant_windows(padded, var, LAG)
+        want = e_logp(mt_k) - e_logp(wt_k)
+        got = draws[j].mean()
+        se = draws[j].std() / np.sqrt(S)
+        assert abs(got - want) < 5 * se + 1e-3, (got, want, se)
+
+    # single-draw convenience shape
+    one = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key)
+    assert one.shape == (2,)
+    import pytest
+    with pytest.raises(ValueError, match="requires key"):
+        server.delta_scores_snv(wt, pos, alt, mode="sample")
