@@ -470,7 +470,9 @@ def train_streaming(
         ``lambda: (load_dense(f, ...).train_pair(col) for f in files)``. It
         is re-invoked once per epoch. Each shard's final batch may be
         partial; batches never span shard boundaries (matching the
-        reference's interleave semantics rather than concat).
+        reference's interleave semantics rather than concat). A third
+        element per shard carries prepared reference counts for the
+        reference-guided model (see bear_ref.train_streaming).
     num_kmers : global k-mer count across ALL shards (the unbiased ELBO
         scale must see the full corpus).
     """
@@ -497,8 +499,11 @@ def train_streaming(
     bsz = int(batch_size)
     K = int(block_steps)
 
-    def loss_fn(p, codes_b, counts_b, actual_size):
-        if ar_func.apply_codes is not None:
+    def loss_fn(p, codes_b, counts_b, ref_b, actual_size):
+        if ref_b is not None:
+            oh = alphabets.one_hot(codes_b, A1, dtype)
+            ar_probs = ar_func.apply(p["ar"], oh, ref_b)
+        elif ar_func.apply_codes is not None:
             ar_probs = ar_func.apply_codes(p["ar"], codes_b)
         else:
             oh = alphabets.one_hot(codes_b, A1, dtype)
@@ -511,9 +516,11 @@ def train_streaming(
 
     grad_fn = jax.value_and_grad(loss_fn)
     lag_w = None  # set from the first shard; all shards must share the lag
+    with_ref = None  # set from the first shard; all shards must agree
 
     @jax.jit
-    def run_block(p, o, codes_blk, counts_blk, sizes_blk, valid_blk):
+    def run_block(p, o, codes_blk, counts_blk, ref_blk, sizes_blk,
+                  valid_blk):
         def apply_step(carry, idx):
             p, o = carry
 
@@ -523,6 +530,7 @@ def train_streaming(
                     p,
                     codes_blk[idx].reshape(bsz, lag_w),
                     counts_blk[idx].reshape(bsz, A1),
+                    None if not with_ref else ref_blk[idx].reshape(bsz, A1),
                     sizes_blk[idx],
                 )
                 updates, o = optimizer.update(grads, o, p)
@@ -542,6 +550,12 @@ def train_streaming(
     for _epoch in range(int(epochs)):
         for shard in shards():
             codes, counts = shard[0], shard[1]
+            ref = shard[2] if len(shard) > 2 else None
+            if with_ref is None:
+                with_ref = ref is not None
+            elif with_ref != (ref is not None):
+                raise ValueError("all shards must agree on carrying "
+                                 "reference counts")
             codes_s, counts_s, sizes = _stack_batches(
                 np.asarray(codes),
                 np.asarray(counts, dtype=np.dtype(dtype)),
@@ -558,18 +572,27 @@ def train_streaming(
             # array would tile its 5-wide minor dim to 128 lanes (25x HBM).
             codes_f = codes_s.reshape(steps, -1)
             counts_f = counts_s.reshape(steps, -1)
+            ref_f = None
+            if with_ref:
+                ref_f = _stack_one(
+                    np.asarray(ref, dtype=np.dtype(dtype)), bsz
+                ).reshape(steps, -1)
             for s0 in range(0, steps, K):
                 n = min(K, steps - s0)
                 cb = np.zeros((K, codes_f.shape[1]), codes_f.dtype)
                 nb = np.zeros((K, counts_f.shape[1]), counts_f.dtype)
+                rb = (np.zeros((K, ref_f.shape[1]), ref_f.dtype)
+                      if with_ref else np.zeros((K, 1), np.dtype(dtype)))
                 sb = np.ones(K, dtype=np.dtype(dtype))  # avoid 0-div in pads
                 vb = np.zeros(K, dtype=bool)
                 cb[:n], nb[:n] = codes_f[s0:s0 + n], counts_f[s0:s0 + n]
+                if with_ref:
+                    rb[:n] = ref_f[s0:s0 + n]
                 sb[:n] = sizes[s0:s0 + n]
                 vb[:n] = True
                 (params, opt_state), elbos = run_block(
                     params, opt_state, jnp.asarray(cb), jnp.asarray(nb),
-                    jnp.asarray(sb), jnp.asarray(vb),
+                    jnp.asarray(rb), jnp.asarray(sb), jnp.asarray(vb),
                 )
                 elbo_parts.append(np.asarray(elbos)[:n])
     if lag_w is None:

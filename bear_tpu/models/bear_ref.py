@@ -139,6 +139,39 @@ def train(
     )
 
 
+def train_streaming(
+    shards,
+    num_kmers,
+    net_func_factory,
+    af_kwargs=None,
+    *,
+    alphabet="dna",
+    lag: int,
+    dtype=jnp.float32,
+    compute_dtype=None,
+    **kwargs,
+) -> bear_net.TrainResult:
+    """Shard-streamed reference-guided training (memory bounded by one
+    shard; see bear_net.train_streaming). ``shards`` yields
+    (codes, counts, raw_ref_column) triples — the stop-strip + epsilon
+    preparation (reference bear_ref.py:332-337) is applied per shard here."""
+    from bear_tpu.ops import alphabets as _alph
+
+    A = _alph.alphabet_size(alphabet)
+    ar_func = make_ref_ar_func(lag, A, net_func_factory, af_kwargs,
+                               dtype=dtype, compute_dtype=compute_dtype)
+
+    def prepared():
+        for codes, counts, ref_col in shards():
+            yield codes, counts, np.asarray(
+                prepare_ref_counts(ref_col, A, dtype))
+
+    return bear_net.train_streaming(
+        prepared, num_kmers, ar_func, alphabet=alphabet, dtype=dtype,
+        **kwargs,
+    )
+
+
 def evaluation(
     codes,
     counts,

@@ -189,3 +189,34 @@ def test_counts_to_probs_zero_rows_and_emulation_safe_floor():
     # invariant; reading the source keeps this from silently regressing).
     src = inspect.getsource(bear_ref.counts_to_probs)
     assert "float32).tiny" in src and "ref_counts.dtype).tiny" not in src
+
+
+def test_ref_train_streaming_matches_concat():
+    # Reference-guided shard streaming follows the concat trajectory exactly
+    # when batch composition matches.
+    from bear_tpu.models.ar_funcs import make_ar_func_stop
+
+    rng = np.random.default_rng(9)
+    lag, n, bsz = 4, 64, 16
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(6.0, (n, 5)).astype(np.float64)
+    ref_col = (counts + rng.poisson(1.0, (n, 5))).astype(np.float64)
+
+    concat = bear_ref.train(
+        codes, counts, ref_col, num_kmers=n,
+        net_func_factory=make_ar_func_stop, af_kwargs={},
+        batch_size=bsz, epochs=4, learning_rate=0.02, seed=5,
+        dtype=jnp.float64)
+
+    def shards():
+        for s0 in range(0, n, 32):
+            yield (codes[s0:s0 + 32], counts[s0:s0 + 32],
+                   ref_col[s0:s0 + 32])
+
+    streamed = bear_ref.train_streaming(
+        shards, n, make_ar_func_stop, {}, lag=lag, batch_size=bsz,
+        epochs=4, learning_rate=0.02, seed=5, dtype=jnp.float64,
+        block_steps=3)
+    np.testing.assert_array_equal(concat.losses, streamed.losses)
+    for a, b in zip(concat.params_list, streamed.params_list):
+        np.testing.assert_array_equal(a, b)
