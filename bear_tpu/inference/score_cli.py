@@ -45,6 +45,29 @@ def build_parser():
     s.add_argument("seqs", nargs="*", help="Sequences to score.")
     s.add_argument("--fasta", help="Score the sequences in this FASTA file instead.")
     s.add_argument("--marg", action="store_true", help="Exact marginal likelihoods.")
+
+    d = sub.add_parser(
+        "snv",
+        help="DMS-scale substitution scan, entirely on device (BearServer): "
+             "Δ log-prob per SNV under the fitted BEAR posterior.",
+    )
+    d.add_argument("model_dir", help="Trained model directory (config.cfg + results.pickle).")
+    d.add_argument("wt_seq", help="Wild-type sequence (no padding symbols).")
+    d.add_argument("vars", nargs="*",
+                   help="SNVs like A12T (single-base wt, 0-based position, "
+                        "single-base mutant); omit with --all.")
+    d.add_argument("--all", action="store_true",
+                   help="Score every position x every alternate base "
+                        "(a full deep-mutational-scan grid).")
+    d.add_argument("--train-col", type=int, default=0)
+    d.add_argument("--mc-samples", type=int, default=41,
+                   help="Posterior draws with --sample.")
+    d.add_argument("--sample", action="store_true",
+                   help="Posterior-sampled scores (mean over --mc-samples) "
+                        "instead of exact MAP.")
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--batch", type=int, default=1 << 17,
+                   help="Device batch size (variants per launch).")
     return p
 
 
@@ -53,10 +76,69 @@ def _validate(args, parser):
         parser.error("--map and --marg are mutually exclusive")
 
 
+def _main_snv(args, parser) -> int:
+    """Device route: BearServer.from_model_dir + delta_scores_snv."""
+    import jax
+
+    from bear_tpu.inference import BearServer, parse_var
+    from bear_tpu.ops import alphabets
+
+    server = BearServer.from_model_dir(args.model_dir, train_col=args.train_col)
+    letters = alphabets.input_letters(server.alphabet)[:-1]  # residues only
+    wt = args.wt_seq
+    if args.all:
+        if args.vars:
+            parser.error("give explicit SNVs or --all, not both")
+        positions, alts, labels = [], [], []
+        for i, ref in enumerate(wt):
+            for alt in letters:
+                if alt == ref:
+                    continue
+                positions.append(i)
+                alts.append(alt)
+                labels.append(f"{ref}{i}{alt}")
+    else:
+        if not args.vars:
+            parser.error("no SNVs given (positional or --all)")
+        positions, alts, labels = [], [], []
+        for var in args.vars:
+            ref, alt, pos = parse_var(var)
+            if len(ref) != 1 or len(alt) != 1:
+                parser.error(
+                    f"{var!r} is not a single-base substitution; use the "
+                    "'variants' subcommand for indels/multi-base variants"
+                )
+            if pos < 0 or pos >= len(wt) or wt[pos] != ref:
+                parser.error(f"{var!r} does not match the wild-type sequence")
+            positions.append(pos)
+            alts.append(alt)
+            labels.append(var)
+    import numpy as np
+
+    if args.sample:
+        scores = server.delta_scores_snv(
+            wt, positions, np.array(alts), batch=args.batch, mode="sample",
+            key=jax.random.key(args.seed), mc_samples=args.mc_samples,
+        )
+        scores = np.asarray(scores)
+        if scores.ndim == 2:
+            scores = scores.mean(-1)
+    else:
+        scores = server.delta_scores_snv(
+            wt, positions, np.array(alts), batch=args.batch, mode="map"
+        )
+    print("variant\tBEAR")
+    for label, val in zip(labels, scores):
+        print(f"{label}\t{val:.6f}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     _validate(args, parser)
+    if args.command == "snv":
+        return _main_snv(args, parser)
     from bear_tpu.inference import get_bear_probs, get_bear_probs_seqs
 
     vans = args.van if args.van is not None else []

@@ -57,6 +57,30 @@ def _context_rows_and_next(codes, lengths, lag, A=4):
     return rows, nxt, mask
 
 
+def table_from_dataset(dataset, lag: int, train_col: int = 0) -> np.ndarray:
+    """Dense ``[table_rows(lag), A+1]`` transition table from one column of
+    an in-memory CountDataset — the bridge from a trained model directory's
+    count TSVs (load_bear_dataset) to a device-resident serving table.
+
+    Vectorized general-alphabet version of the row math in
+    TableCounter.rows / the counting kernel; duplicate k-mer rows (possible
+    across summarize shard files) accumulate."""
+    if dataset.lag != lag:
+        raise ValueError(
+            f"dataset lag {dataset.lag} != model lag {lag}"
+        )
+    A = alphabets.alphabet_size(dataset.alphabet)
+    codes = dataset.codes.astype(np.int64)  # [n, lag]; '[' coded as A
+    is_pad = codes == A
+    n_pad = is_pad.sum(axis=-1)
+    powA = A ** np.arange(lag - 1, -1, -1, dtype=np.int64)
+    code = np.where(is_pad, 0, codes) @ powA
+    rows = (A ** (lag - n_pad) - 1) // (A - 1) + code
+    table = np.zeros((table_rows(lag, A), A + 1), dataset.counts.dtype)
+    np.add.at(table, rows, dataset.counts[:, train_col, :])
+    return table
+
+
 def _rows_to_onehot_contexts(rows, lag, dtype, A=4):
     """Device-side inverse of the row index: [..,] rows -> one-hot
     [.., lag, A+1] '['-padded contexts (integer-exact suffix-length decode)."""
@@ -157,6 +181,8 @@ class BearServer:
 
         self._lag = lag
         self._alphabet = alphabet
+        self.lag = lag
+        self.alphabet = alphabet
 
         def concentrations(rows, counts):
             # No extra epsilon: get_pdf forms concs = ar/h + counts with
@@ -259,6 +285,26 @@ class BearServer:
         self._sample_fn = jax.jit(log_prob_sampled)
         self._snv_fn = jax.jit(snv_delta_map)
         self._snv_sample_fn = jax.jit(snv_delta_sampled)
+
+    @classmethod
+    def from_model_dir(cls, path: str, *, train_col: int = 0,
+                       double_softmax: bool = True, dtype=jnp.float32,
+                       mesh=None, mesh_axis: str = "kmer"):
+        """Build a server from a trained model directory (config.cfg +
+        results.pickle): loads the fitted (h, ar_func) via load_bear and the
+        training counts via load_bear_dataset, densifies the ``train_col``
+        column into a device table, and precompiles the scoring kernels.
+        The device analogue of the reference's load-model-then-scan-counts
+        setup in get_var_probs.py:59-82 + 429-451."""
+        from bear_tpu.inference.scoring import load_bear, load_bear_dataset
+
+        lag, alphabet_name, h, ar_apply, info = load_bear(
+            path, double_softmax=double_softmax
+        )
+        dataset = load_bear_dataset(info)
+        table = table_from_dataset(dataset, lag, train_col=train_col)
+        return cls(table, lag, h=h, ar_apply=ar_apply, dtype=dtype,
+                   alphabet=alphabet_name, mesh=mesh, mesh_axis=mesh_axis)
 
     def log_prob_map(self, codes, lengths):
         """MAP per-sequence log-probabilities: [B]."""
