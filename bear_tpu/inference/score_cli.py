@@ -39,6 +39,10 @@ def build_parser():
     common(v)
     v.add_argument("wt_seq", help="Wild-type sequence (no padding symbols).")
     v.add_argument("vars", nargs="+", help="Variants like A12T, CG45T (wt, position, mutant).")
+    v.add_argument("--device", action="store_true",
+                   help="Batched device route (BearServer): BEAR scores only, "
+                        "one kernel launch per batch — for large variant sets "
+                        "incl. indels.")
 
     s = sub.add_parser("seqs", help="Log-probabilities of whole sequences.")
     common(s)
@@ -139,6 +143,26 @@ def main(argv=None) -> int:
     _validate(args, parser)
     if args.command == "snv":
         return _main_snv(args, parser)
+    if args.command == "variants" and args.device:
+        import jax
+
+        from bear_tpu.inference import BearServer
+
+        server = BearServer.from_model_dir(args.model_dir, train_col=args.train_col)
+        if args.map:
+            scores = server.delta_scores_variants(args.wt_seq, args.vars)
+        else:
+            scores = server.delta_scores_variants(
+                args.wt_seq, args.vars, mode="sample",
+                key=jax.random.key(args.seed), mc_samples=args.mc_samples,
+            )
+            scores = np.asarray(scores)
+            if scores.ndim == 2:
+                scores = scores.mean(-1)
+        print("target\tBEAR")
+        for label, val in zip(args.vars, scores):
+            print(f"{label}\t{val:.6f}")
+        return 0
     from bear_tpu.inference import get_bear_probs, get_bear_probs_seqs
 
     vans = args.van if args.van is not None else []

@@ -57,25 +57,38 @@ def _context_rows_and_next(codes, lengths, lag, A=4):
     return rows, nxt, mask
 
 
+def _rows_from_codes(codes: np.ndarray, lag: int, A: int) -> np.ndarray:
+    """Vectorized general-alphabet context-code -> table-row math (same
+    index math as TableCounter.rows / the counting kernel). codes [.., lag]
+    with '[' coded as A."""
+    codes = codes.astype(np.int64)
+    is_pad = codes == A
+    n_pad = is_pad.sum(axis=-1)
+    powA = A ** np.arange(lag - 1, -1, -1, dtype=np.int64)
+    code = np.where(is_pad, 0, codes) @ powA
+    return (A ** (lag - n_pad) - 1) // (A - 1) + code
+
+
+def contexts_to_rows(contexts, lag: int, alphabet: str = "dna") -> np.ndarray:
+    """Context strings (may contain leading '[') -> table rows, vectorized
+    over any alphabet."""
+    codes = alphabets.encode_kmers(np.asarray(contexts), alphabet)
+    return _rows_from_codes(codes, lag, alphabets.alphabet_size(alphabet))
+
+
 def table_from_dataset(dataset, lag: int, train_col: int = 0) -> np.ndarray:
     """Dense ``[table_rows(lag), A+1]`` transition table from one column of
     an in-memory CountDataset — the bridge from a trained model directory's
     count TSVs (load_bear_dataset) to a device-resident serving table.
 
-    Vectorized general-alphabet version of the row math in
-    TableCounter.rows / the counting kernel; duplicate k-mer rows (possible
-    across summarize shard files) accumulate."""
+    Duplicate k-mer rows (possible across summarize shard files)
+    accumulate."""
     if dataset.lag != lag:
         raise ValueError(
             f"dataset lag {dataset.lag} != model lag {lag}"
         )
     A = alphabets.alphabet_size(dataset.alphabet)
-    codes = dataset.codes.astype(np.int64)  # [n, lag]; '[' coded as A
-    is_pad = codes == A
-    n_pad = is_pad.sum(axis=-1)
-    powA = A ** np.arange(lag - 1, -1, -1, dtype=np.int64)
-    code = np.where(is_pad, 0, codes) @ powA
-    rows = (A ** (lag - n_pad) - 1) // (A - 1) + code
+    rows = _rows_from_codes(dataset.codes, lag, A)
     table = np.zeros((table_rows(lag, A), A + 1), dataset.counts.dtype)
     np.add.at(table, rows, dataset.counts[:, train_col, :])
     return table
@@ -281,10 +294,49 @@ class BearServer:
             d = logp(r_mt, n_mt) - logp(r_wt, n_wt)
             return jnp.sum(jnp.where(valid, d, 0.0), axis=-1)
 
+        def var_delta_map(table_arr, rows_wt, nxt_wt, m_wt, rows_mt, nxt_mt,
+                          m_mt):
+            """MAP Δ log-prob for ARBITRARY variants (multi-base
+            substitutions, insertions, deletions): the host supplies the
+            padded wild-type/mutant window rows + next symbols + validity
+            masks (exactly get_bear_probs' covering windows, reference
+            get_var_probs.py:293-334); the device does all the gathers and
+            likelihood math in one launch."""
+
+            def logp(rows, nxt):
+                conc = concentrations(rows, gather_rows(table_arr, rows))
+                lp = jnp.log(conc / jnp.sum(conc, axis=-1, keepdims=True))
+                return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
+
+            return (jnp.sum(jnp.where(m_mt, logp(rows_mt, nxt_mt), 0.0), -1)
+                    - jnp.sum(jnp.where(m_wt, logp(rows_wt, nxt_wt), 0.0), -1))
+
+        def var_delta_sampled(table_arr, rows_wt, nxt_wt, m_wt, rows_mt,
+                              nxt_mt, m_mt, key):
+            """Posterior-SAMPLED Δ for arbitrary variants; draws are keyed
+            statelessly on the table row so windows shared between wild type
+            and mutant draw identically (their Δ contribution cancels
+            exactly, as in the host MC path)."""
+
+            def logp(rows, nxt):
+                conc = concentrations(rows, gather_rows(table_arr, rows))
+
+                def draw(row, c):
+                    lg = log_dirichlet_draw(jax.random.fold_in(key, row), c)
+                    return lg - jax.scipy.special.logsumexp(lg)
+
+                lp = jax.vmap(jax.vmap(draw))(rows, conc)
+                return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
+
+            return (jnp.sum(jnp.where(m_mt, logp(rows_mt, nxt_mt), 0.0), -1)
+                    - jnp.sum(jnp.where(m_wt, logp(rows_wt, nxt_wt), 0.0), -1))
+
         self._map_fn = jax.jit(log_prob_map)
         self._sample_fn = jax.jit(log_prob_sampled)
         self._snv_fn = jax.jit(snv_delta_map)
         self._snv_sample_fn = jax.jit(snv_delta_sampled)
+        self._var_fn = jax.jit(var_delta_map)
+        self._var_sample_fn = jax.jit(var_delta_sampled)
 
     @classmethod
     def from_model_dir(cls, path: str, *, train_col: int = 0,
@@ -384,6 +436,95 @@ class BearServer:
                 if k is not None:
                     args = args + (k,)
                 out[s:e] = np.asarray(fn(*args))[:n]
+            outs.append(out)
+        if mode == "map":
+            return outs[0]
+        return outs[0] if mc_samples == 1 else np.stack(outs, axis=-1)
+
+    def delta_scores_variants(self, wt_seq: str, variants, *,
+                              batch: int = 4096, mode: str = "map",
+                              key=None, mc_samples: int = 1):
+        """Δ log-prob (mutant − wild-type) for ARBITRARY variants — multi-
+        base substitutions, insertions, deletions in the reference's
+        'AAG23CC' syntax (get_var_probs.py:336-341) — batched on device.
+
+        The host builds each variant's covering (k+1)-mer windows once
+        (identical semantics to get_bear_probs / _variant_windows,
+        reference get_var_probs.py:293-334), encodes them to table rows
+        vectorized, and the device scores every variant in fixed-shape
+        batches. For pure SNV scans prefer :meth:`delta_scores_snv`, whose
+        windows are pure row arithmetic (no host window building at all).
+
+        Returns [V] float scores (or [V, mc_samples] with mode="sample"
+        and mc_samples > 1); MAP scores exactly match
+        ``get_bear_probs(..., get_map=True)``.
+        """
+        from bear_tpu.inference.scoring import (
+            STOP, _variant_windows, parse_var,
+        )
+
+        lag = self._lag
+        padded = lag * "[" + wt_seq + STOP
+        parsed = [parse_var(v) if isinstance(v, str) else tuple(v)
+                  for v in np.asarray(variants)]
+        V = len(parsed)
+        if V == 0:
+            return np.zeros((0,), np.float32)
+
+        ctx, nxt, counts = {"wt": [], "mt": []}, {"wt": [], "mt": []}, {"wt": [], "mt": []}
+        for var in parsed:
+            wt_k, mt_k = _variant_windows(padded, var, lag)
+            for side, ks in (("wt", wt_k), ("mt", mt_k)):
+                ctx[side] += [k[:-1] for k in ks]
+                nxt[side] += [k[-1] for k in ks]
+                counts[side].append(len(ks))
+
+        sides = {}
+        for side in ("wt", "mt"):
+            n = np.asarray(counts[side], np.int64)
+            W = int(n.max()) if len(n) else 1
+            rows_f = contexts_to_rows(ctx[side], lag, self._alphabet)
+            nxt_f = alphabets.encode_output_symbols(
+                np.asarray(nxt[side]), self._alphabet
+            ).astype(np.int32)
+            rows = np.zeros((V, W), np.int32)
+            nxts = np.zeros((V, W), np.int32)
+            mask = np.arange(W)[None, :] < n[:, None]
+            rows[mask] = rows_f
+            nxts[mask] = nxt_f
+            sides[side] = (rows, nxts, mask)
+
+        if mode == "map":
+            variants_fns = [(None, self._var_fn)]
+        elif mode == "sample":
+            if key is None:
+                raise ValueError('mode="sample" requires key=')
+            variants_fns = [(jax.random.fold_in(key, s), self._var_sample_fn)
+                            for s in range(mc_samples)]
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        outs = []
+        B = min(batch, V)
+        for k, fn in variants_fns:
+            out = np.empty(V, np.float32)
+            for s in range(0, V, B):
+                e = min(s + B, V)
+                chunk = []
+                for side in ("wt", "mt"):
+                    rows, nxts, mask = sides[side]
+                    # Pad the tail chunk to the batch shape (one
+                    # compilation); padded rows are fully masked no-ops.
+                    r = np.zeros((B, rows.shape[1]), np.int32)
+                    x = np.zeros_like(r)
+                    m = np.zeros((B, rows.shape[1]), bool)
+                    r[: e - s], x[: e - s], m[: e - s] = (
+                        rows[s:e], nxts[s:e], mask[s:e])
+                    chunk += [jnp.asarray(r), jnp.asarray(x), jnp.asarray(m)]
+                args = (self._table, *chunk)
+                if k is not None:
+                    args = args + (k,)
+                out[s:e] = np.asarray(fn(*args))[: e - s]
             outs.append(out)
         if mode == "map":
             return outs[0]

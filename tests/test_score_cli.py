@@ -131,6 +131,23 @@ def test_variants_and_seqs_subcommands(model_dir, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].startswith("target\tAR\tBEAR")
     assert len(out) == 3
+    host_bear = {
+        r.split("\t")[0]: float(r.split("\t")[2]) for r in out[1:]
+    }
+
+    # The batched device route (--device, handles indels too) gives the
+    # same BEAR MAP deltas as the host path.
+    rc = score_main(
+        ["variants", model_dir, "ACGTACGT", "A0C", "G2T", "GT2CA",
+         "T3", "--map", "--device"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "target\tBEAR"
+    dev = {r.split("\t")[0]: float(r.split("\t")[1]) for r in out[1:]}
+    assert len(dev) == 4 and np.isfinite(list(dev.values())).all()
+    for v in ("A0C", "G2T"):
+        np.testing.assert_allclose(dev[v], host_bear[v], rtol=1e-4, atol=1e-5)
 
     rc = score_main(["seqs", model_dir, "ACGTACGT", "TTTT", "--map"])
     assert rc == 0

@@ -285,3 +285,72 @@ def test_snv_delta_sampled_mean_matches_analytic():
     import pytest
     with pytest.raises(ValueError, match="requires key"):
         server.delta_scores_snv(wt, pos, alt, mode="sample")
+
+
+def test_variant_delta_scores_generic_match_get_bear_probs():
+    # delta_scores_variants == host get_bear_probs MAP for the full variant
+    # grammar: SNVs, multi-base substitutions, insertions, deletions,
+    # including edge positions whose windows are '['-padded or '$'-covering.
+    from bear_tpu.inference.scoring import TableCounter, get_bear_probs
+
+    tc = _counter()
+    van = 0.7
+    server = BearServer(tc.tables[LAG][0], LAG, van=van, dtype=jnp.float64)
+    wt = "TTTATTCTTAG"
+    vars_ = [
+        "T0A",          # SNV at the left edge
+        "G10C",         # SNV at the right edge
+        "TA2CG",        # multi-base substitution
+        "T5ACT",        # insertion (1 -> 3)
+        "TTC4G",        # deletion (3 -> 1)
+        "T8",           # pure deletion (1 -> 0)
+        "A3A",          # identity
+    ]
+    got = server.delta_scores_variants(wt, vars_)
+    want = get_bear_probs(
+        None, wt, vars_, 0, vans=[van], get_map=True,
+        counter=TableCounter(tc, LAG), lag=LAG, alphabet_name="dna",
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+    assert got[-1] == 0.0  # identity: every window shared
+
+    # small-batch chunking equals one-shot
+    chunked = server.delta_scores_variants(wt, vars_, batch=2)
+    np.testing.assert_allclose(chunked, got, rtol=1e-6)
+
+    # empty variant list
+    assert server.delta_scores_variants(wt, []).shape == (0,)
+
+
+def test_variant_delta_scores_snv_agreement_and_sampling():
+    # On pure SNVs the generic window path and the row-arithmetic SNV path
+    # agree exactly, in BOTH modes (sampled draws are keyed on the table
+    # row, so the two paths see identical Dirichlet draws).
+    tc = _counter()
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.4, dtype=jnp.float64)
+    wt = "TTTATTCTT"
+    vars_ = ["T0G", "A3C", "C6A", "T8C"]
+    pos = [0, 3, 6, 8]
+    alt = ["G", "C", "A", "C"]
+
+    map_var = server.delta_scores_variants(wt, vars_)
+    map_snv = server.delta_scores_snv(wt, pos, alt)
+    np.testing.assert_allclose(map_var, map_snv, rtol=1e-6)
+
+    key = jax.random.key(5)
+    s_var = server.delta_scores_variants(wt, vars_, mode="sample", key=key,
+                                         mc_samples=3)
+    s_snv = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key,
+                                    mc_samples=3)
+    assert s_var.shape == (4, 3)
+    np.testing.assert_allclose(s_var, s_snv, rtol=1e-5)
+
+    # sampled identity variant: all windows shared -> exact zero
+    z = server.delta_scores_variants(wt, ["T0T"], mode="sample", key=key)
+    np.testing.assert_array_equal(z, np.zeros(1, np.float32))
+
+    import pytest
+    with pytest.raises(ValueError, match="requires key"):
+        server.delta_scores_variants(wt, vars_, mode="sample")
+    with pytest.raises(ValueError, match="unknown mode"):
+        server.delta_scores_variants(wt, vars_, mode="nope")
