@@ -66,9 +66,17 @@ def padded_size(total: int, window: int = WINDOW) -> int:
     return -(-total // window) * window
 
 
-def _hist_kernel(bounds_ref, keys_ref, tbl_ref, out_ref, keys_vmem, hist, sem,
+def _hist_kernel(win_map_ref, bounds_ref, keys_ref, tbl_ref, out_ref,
+                 keys_vmem, hist, sem,
                  *, group: int, window: int, oh_dtype=jnp.bfloat16):
-    w = pl.program_id(0)
+    # The grid walks win_map, not the table: touched windows appear exactly
+    # once (ascending); every UNTOUCHED window is mapped to the first
+    # untouched index, so its block is fetched at most once (consecutive
+    # equal block indices elide the DMA) and its zero-key visits write the
+    # block back unchanged. Untouched windows other than that one are never
+    # streamed at all — the dynamic "touched-window skip" with a static grid.
+    i_grid = pl.program_id(0)
+    w = win_map_ref[i_grid]
     # DMA offsets into HBM must be 128-lane aligned: align the window's key
     # range DOWN to 128. The <=127 extra leading keys belong to earlier
     # windows, so local < 0 and the arithmetic-shift hi never matches the
@@ -78,7 +86,13 @@ def _hist_kernel(bounds_ref, keys_ref, tbl_ref, out_ref, keys_vmem, hist, sem,
     base = w * window
     rows256 = window // 256
     nchunks = pl.cdiv(n, jnp.int32(group))
-    hist[...] = jnp.zeros_like(hist)
+    # A REVISIT (same block index as the previous grid step) keeps the block
+    # resident in VMEM — tbl_ref/out_ref still hold the previous step's
+    # correct content, so a zero-key revisit may skip the whole body (its
+    # ~2 us of hist zero + VMEM add is the per-window fixed cost that
+    # dominates sparse chunks). A NEW block must always write out_ref, even
+    # with zero keys, or uninitialized VMEM would be flushed back to HBM.
+    is_new = (i_grid == 0) | (w != win_map_ref[jnp.maximum(i_grid - 1, 0)])
 
     def get_dma(i):
         i = jnp.asarray(i, jnp.int32)  # fori_loop index is int64 under x64
@@ -89,46 +103,51 @@ def _hist_kernel(bounds_ref, keys_ref, tbl_ref, out_ref, keys_vmem, hist, sem,
             sem.at[slot],
         )
 
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0).start()
+    @pl.when((nchunks > 0) | is_new)
+    def _run():
+        hist[...] = jnp.zeros_like(hist)
 
-    def body(i, carry):
-        # Double-buffered: the next group streams in while this one matmuls.
-        @pl.when(i + 1 < nchunks)
+        @pl.when(nchunks > 0)
         def _():
-            get_dma(i + 1).start()
+            get_dma(0).start()
 
-        get_dma(i).wait()
-        slot = jax.lax.rem(jnp.asarray(i, jnp.int32), jnp.int32(2))
-        local = keys_vmem[slot] - base  # (1, G); <0 or >= window if foreign
-        hi = local >> 8
-        lo = local & 255
-        oh_hi = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows256, group), 0) == hi
-        ).astype(oh_dtype)  # zero column if hi out of [0, rows256)
-        oh_lo = (
-            jax.lax.broadcasted_iota(jnp.int32, (256, group), 0) == lo
-        ).astype(oh_dtype)
-        acc_dtype = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
-        part = jax.lax.dot_general(
-            oh_hi, oh_lo,
-            dimension_numbers=(((1,), (1,)), ((), ())),  # contract the G axis
-            preferred_element_type=acc_dtype,
-        )
-        hist[...] += part.astype(jnp.int32)
-        return carry
+        def body(i, carry):
+            # Double-buffered: next group streams in while this one matmuls.
+            @pl.when(i + 1 < nchunks)
+            def _():
+                get_dma(i + 1).start()
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
-    out_ref[...] = tbl_ref[...] + hist[...]
+            get_dma(i).wait()
+            slot = jax.lax.rem(jnp.asarray(i, jnp.int32), jnp.int32(2))
+            local = keys_vmem[slot] - base  # (1, G); <0/>= window if foreign
+            hi = local >> 8
+            lo = local & 255
+            oh_hi = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows256, group), 0) == hi
+            ).astype(oh_dtype)  # zero column if hi out of [0, rows256)
+            oh_lo = (
+                jax.lax.broadcasted_iota(jnp.int32, (256, group), 0) == lo
+            ).astype(oh_dtype)
+            acc_dtype = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
+            part = jax.lax.dot_general(
+                oh_hi, oh_lo,
+                dimension_numbers=(((1,), (1,)), ((), ())),  # contract G axis
+                preferred_element_type=acc_dtype,
+            )
+            hist[...] += part.astype(jnp.int32)
+            return carry
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+        out_ref[...] = tbl_ref[...] + hist[...]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "window", "oh_dtype"),
+    jax.jit, static_argnames=("group", "window", "oh_dtype", "skip_empty"),
     donate_argnums=(0,),
 )
 def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
-                         window: int = WINDOW, oh_dtype=jnp.bfloat16):
+                         window: int = WINDOW, oh_dtype=jnp.bfloat16,
+                         skip_empty: bool = True):
     """Add one count at each index of ``flat_idx`` into ``table_flat``.
 
     table_flat : (n_windows * WINDOW,) int32 — dense table, padded to whole
@@ -160,6 +179,25 @@ def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
         s, jnp.arange(n_windows + 1, dtype=jnp.int32) * window
     ).astype(jnp.int32)
 
+    # Touched-window compaction: windows with zero keys are skipped (their
+    # table blocks are never DMA'd). Sorting `where(touched, idx, u0)` with
+    # u0 = the FIRST untouched window keeps every touched window exactly
+    # once in ascending order and clusters all skip slots on u0, whose
+    # key range is empty by construction — its repeated visits add nothing
+    # and rewrite identical bytes, so they are safe under any pipeline
+    # fetch/elide behavior. Empty chunks (nothing touched) degenerate to
+    # n_windows no-op visits of window 0.
+    if skip_empty:
+        counts_per_win = bounds[1:] - bounds[:-1]
+        touched = counts_per_win > 0
+        u0 = jnp.argmin(touched).astype(jnp.int32)  # first False (0 if none)
+        win_map = jax.lax.sort(
+            jnp.where(touched, jnp.arange(n_windows, dtype=jnp.int32), u0),
+            is_stable=False,
+        )
+    else:  # A/B baseline: stream every window (the round-1 behavior)
+        win_map = jnp.arange(n_windows, dtype=jnp.int32)
+
     tbl2d = table_flat.reshape(n_windows * rows256, 256)
     keys2d = s.reshape(1, -1)
     n_keys = flat_idx.size
@@ -168,13 +206,15 @@ def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
         functools.partial(_hist_kernel, group=group, window=window,
                           oh_dtype=oh_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # bounds
+            num_scalar_prefetch=2,  # win_map, bounds
             grid=(n_windows,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # keys stay in HBM
-                pl.BlockSpec((rows256, 256), lambda w, bounds: (w, 0)),
+                pl.BlockSpec((rows256, 256),
+                             lambda i, win_map, bounds: (win_map[i], 0)),
             ],
-            out_specs=pl.BlockSpec((rows256, 256), lambda w, bounds: (w, 0)),
+            out_specs=pl.BlockSpec((rows256, 256),
+                                   lambda i, win_map, bounds: (win_map[i], 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, 1, group), jnp.int32),  # double-buffered keys
                 pltpu.VMEM((rows256, 256), jnp.int32),
@@ -182,7 +222,7 @@ def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_windows * rows256, 256), jnp.int32),
-        input_output_aliases={2: 0},  # bounds, keys, TABLE -> out
+        input_output_aliases={3: 0},  # win_map, bounds, keys, TABLE -> out
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -192,5 +232,5 @@ def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
             transcendentals=0,
         ),
         interpret=INTERPRET,
-    )(bounds, keys2d, tbl2d)
+    )(win_map, bounds, keys2d, tbl2d)
     return out.reshape(-1)

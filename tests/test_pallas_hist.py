@@ -124,6 +124,32 @@ def test_kernel_negative_keys_dropped(interpret):
     assert out.sum() == 6 and (out[:6] == 1).all()
 
 
+@pytest.mark.parametrize("n_touched", [0, 1, 2, 7])
+def test_skip_empty_matches_full_stream(interpret, n_touched):
+    # Touched-window compaction must be exact for any sparsity pattern,
+    # including the all-empty chunk (degenerates to repeated visits of
+    # window 0) and a single touched window.
+    rng = np.random.default_rng(10 + n_touched)
+    n_windows = 8
+    padded = n_windows * ph.WINDOW
+    touched = rng.choice(n_windows, size=n_touched, replace=False)
+    idx_parts = [rng.integers(w * ph.WINDOW, (w + 1) * ph.WINDOW,
+                              size=rng.integers(1, 400)).astype(np.int32)
+                 for w in touched]
+    idx_parts.append(np.full(64, padded, np.int32))  # sentinels
+    idx = np.concatenate(idx_parts)
+    base = rng.integers(0, 3, size=padded).astype(np.int32)
+
+    skip = np.asarray(ph.sorted_window_update(
+        jnp.asarray(base), jnp.asarray(idx), group=256, skip_empty=True))
+    full = np.asarray(ph.sorted_window_update(
+        jnp.asarray(base), jnp.asarray(idx), group=256, skip_empty=False))
+    oracle = base.astype(np.int64)
+    np.add.at(oracle, idx[idx < padded], 1)
+    np.testing.assert_array_equal(skip, oracle)
+    np.testing.assert_array_equal(full, oracle)
+
+
 def test_sorted_window_update_int8_variant(interpret):
     # int8 one-hot matmul variant (2x MXU peak on v5e) must be exact too.
     import jax.numpy as jnp
