@@ -147,6 +147,47 @@ Parsed* parse_fastq(Stream& f) {
   return out;
 }
 
+struct TsvParsed {
+  std::vector<char> kmers;     // n_rows fixed-width byte strings, no seps
+  std::vector<double> counts;  // n_rows * n_groups * n_cols
+  int64_t kmer_len = 0;
+  int64_t n_rows = 0;
+};
+
+// One numeric field at p (within [p, end); *end is NUL). Fast path for the
+// common case (plain nonnegative integers in count TSVs); strtod for
+// anything with a sign/decimal/exponent. Returns false if no number starts
+// at p.
+inline bool parse_count(const char*& p, const char* end, double* out) {
+  const char* q = p;
+  uint64_t v = 0;
+  int nd = 0;
+  while (q < end && *q >= '0' && *q <= '9' && nd < 18) {
+    v = v * 10 + (uint64_t)(*q - '0');
+    ++q;
+    ++nd;
+  }
+  if (nd > 0 &&
+      (q == end || (*q != '.' && *q != 'e' && *q != 'E' &&
+                    !(*q >= '0' && *q <= '9')))) {
+    *out = (double)v;
+    p = q;
+    return true;
+  }
+  // strtod skips leading whitespace INCLUDING '\n' — a short row must not
+  // steal fields from the next line, so only dispatch when a number starts
+  // exactly at p.
+  if (p == end ||
+      !((*p >= '0' && *p <= '9') || *p == '-' || *p == '+' || *p == '.'))
+    return false;
+  char* endp;
+  double d = strtod(p, &endp);  // buffer is NUL-terminated at end
+  if (endp == p || endp > end) return false;
+  *out = d;
+  p = endp;
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -267,5 +308,121 @@ int64_t bear_format_tsv(const char* kmers, int64_t kmer_len,
   }
   return (int64_t)(p - out);
 }
+
+// Parse a dense count TSV (the reference dataloader.dataloader format):
+// rows "<kmer>\t[[c00,c01,...],[c10,...]]" with exactly n_groups * n_cols
+// numeric fields per row and a fixed context width (set by the first data
+// row). Blank lines are skipped; CRLF accepted; with skip_header the first
+// line is dropped. Reads through gzopen when built with zlib, so .tsv.gz
+// works transparently. Returns nullptr on ANY irregularity (ragged
+// contexts, wrong field count, trailing junk) — the caller falls back to
+// the tolerant Python parser, which '['-pads ragged contexts.
+void* bear_tsv_parse(const char* path, int skip_header, int64_t n_groups,
+                     int64_t n_cols) {
+  g_last_error = 0;
+  Stream f;
+  if (!f.open(path)) {
+    g_last_error = 1;
+    return nullptr;
+  }
+  std::string data;
+#ifdef BEAR_HAS_ZLIB
+  {
+    char buf[1 << 20];
+    int n;
+    while ((n = gzread(f.f, buf, sizeof(buf))) > 0) data.append(buf, (size_t)n);
+  }
+#else
+  {
+    char buf[1 << 20];
+    size_t n;
+    while ((n = fread(buf, 1, sizeof(buf), f.f)) > 0) data.append(buf, n);
+  }
+#endif
+  bool ok = f.ok();
+  f.close();
+  if (!ok) {
+    g_last_error = 2;
+    return nullptr;
+  }
+
+  const char* p = data.data();
+  const char* end = p + data.size();  // data.data()[size] is NUL (C++11)
+  const int64_t fields = n_groups * n_cols;
+  auto* out = new TsvParsed();
+  // Reserve from the first row's byte length (cheap; vectors grow if short).
+  {
+    const char* nl = (const char*)memchr(p, '\n', (size_t)(end - p));
+    size_t row_bytes = nl ? (size_t)(nl - p) + 1 : data.size() + 1;
+    size_t est = data.size() / row_bytes + 16;
+    out->counts.reserve(est * (size_t)fields);
+  }
+  if (skip_header && p < end) {
+    const char* nl = (const char*)memchr(p, '\n', (size_t)(end - p));
+    p = nl ? nl + 1 : end;
+  }
+  while (p < end) {
+    // Blank (or CR-only) lines are skipped, as in the Python parser.
+    if (*p == '\n') {
+      ++p;
+      continue;
+    }
+    if (*p == '\r' && p + 1 < end && p[1] == '\n') {
+      p += 2;
+      continue;
+    }
+    const char* tab = (const char*)memchr(p, '\t', (size_t)(end - p));
+    if (!tab) goto fail;
+    {
+      int64_t klen = (int64_t)(tab - p);
+      if (out->n_rows == 0) {
+        out->kmer_len = klen;
+        out->kmers.reserve((out->counts.capacity() / (size_t)fields) *
+                           (size_t)klen);
+      } else if (klen != out->kmer_len) {
+        goto fail;  // ragged contexts: Python fallback '['-pads them
+      }
+      out->kmers.insert(out->kmers.end(), p, tab);
+    }
+    p = tab + 1;
+    for (int64_t k = 0; k < fields; ++k) {
+      while (p < end &&
+             (*p == '[' || *p == ']' || *p == ',' || *p == ' ' || *p == '\r'))
+        ++p;
+      double v;
+      if (!parse_count(p, end, &v)) goto fail;
+      out->counts.push_back(v);
+    }
+    while (p < end &&
+           (*p == '[' || *p == ']' || *p == ',' || *p == ' ' || *p == '\r'))
+      ++p;
+    if (p < end) {
+      if (*p != '\n') goto fail;  // extra fields / junk: wrong field count
+      ++p;
+    }
+    ++out->n_rows;
+  }
+  return out;
+fail:
+  delete out;
+  g_last_error = 3;  // format mismatch: use the Python fallback
+  return nullptr;
+}
+
+int64_t bear_tsv_num_rows(void* handle) { return ((TsvParsed*)handle)->n_rows; }
+
+int64_t bear_tsv_kmer_len(void* handle) {
+  return ((TsvParsed*)handle)->kmer_len;
+}
+
+const char* bear_tsv_kmers(void* handle) {
+  return ((TsvParsed*)handle)->kmers.data();
+}
+
+const double* bear_tsv_counts(void* handle) {
+  return ((TsvParsed*)handle)->counts.data();
+}
+
+void bear_tsv_free(void* handle) { delete (TsvParsed*)handle; }
 
 }  // extern "C"

@@ -56,6 +56,21 @@ class NativeFastx:
             lib.bear_fastx_parse2.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ]
+        self._has_tsv = hasattr(lib, "bear_tsv_parse")
+        if self._has_tsv:
+            lib.bear_tsv_parse.restype = ctypes.c_void_p
+            lib.bear_tsv_parse.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.bear_tsv_num_rows.restype = ctypes.c_int64
+            lib.bear_tsv_num_rows.argtypes = [ctypes.c_void_p]
+            lib.bear_tsv_kmer_len.restype = ctypes.c_int64
+            lib.bear_tsv_kmer_len.argtypes = [ctypes.c_void_p]
+            lib.bear_tsv_kmers.restype = ctypes.POINTER(ctypes.c_char)
+            lib.bear_tsv_kmers.argtypes = [ctypes.c_void_p]
+            lib.bear_tsv_counts.restype = ctypes.POINTER(ctypes.c_double)
+            lib.bear_tsv_counts.argtypes = [ctypes.c_void_p]
+            lib.bear_tsv_free.argtypes = [ctypes.c_void_p]
         self._has_fill = hasattr(lib, "bear_fill_chunks")
         if self._has_fill:
             lib.bear_fill_chunks.restype = None
@@ -125,6 +140,43 @@ class NativeFastx:
             out.shape[1],
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         )
+
+    def parse_tsv(self, path: str, header: bool, n_groups: int,
+                  n_cols: int):
+        """Parse a dense count TSV natively. Returns (kmers_bytes 'S{lag}'
+        [n], counts float64 [n, n_groups, n_cols]) or None if the file does
+        not fit the regular dense format (caller uses the Python parser)."""
+        if not self._has_tsv:
+            return None
+        handle = self.lib.bear_tsv_parse(
+            path.encode(), 1 if header else 0, n_groups, n_cols
+        )
+        if not handle:
+            err = (self.lib.bear_fastx_last_error()
+                   if hasattr(self.lib, "bear_fastx_last_error") else 1)
+            if err == 1:
+                raise FileNotFoundError(path)
+            return None  # read error or irregular format: Python fallback
+        try:
+            n = self.lib.bear_tsv_num_rows(handle)
+            lag = self.lib.bear_tsv_kmer_len(handle)
+            if n == 0:
+                return (np.zeros(0, dtype="S1"),
+                        np.zeros((0, n_groups, n_cols), np.float64))
+            if lag == 0:  # degenerate zero-width contexts: Python fallback
+                return None
+            kmers = np.ctypeslib.as_array(
+                ctypes.cast(self.lib.bear_tsv_kmers(handle),
+                            ctypes.POINTER(ctypes.c_uint8)),
+                shape=(n * lag,),
+            ).copy().view(f"S{lag}")
+            counts = np.ctypeslib.as_array(
+                self.lib.bear_tsv_counts(handle),
+                shape=(n, n_groups, n_cols),
+            ).copy()
+        finally:
+            self.lib.bear_tsv_free(handle)
+        return kmers, counts
 
     def format_tsv(self, kmers_bytes: np.ndarray, counts: np.ndarray) -> bytes:
         """Format count TSV rows natively: kmers_bytes is an [n] 'S{lag}'

@@ -115,3 +115,87 @@ def test_load_files_empty_list_raises():
 
     with pytest.raises(ValueError, match="no count files"):
         load_files([], "dna", 1)
+
+
+def _native_tsv_available():
+    try:
+        from bear_tpu.counting.fastx import _native
+
+        lib = _native()
+        return lib is not None and lib._has_tsv
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _native_tsv_available(),
+                    reason="native TSV parser not built (no compiler)")
+def test_load_dense_native_matches_numpy(tmp_path):
+    # The C++ one-pass parser must agree with the NumPy path byte-for-byte
+    # on every regular-format wrinkle: headers, CRLF, blank lines, float
+    # counts, '['-padded contexts, multiple groups.
+    p = tmp_path / "mix.tsv"
+    p.write_bytes(
+        b"kmer\tcounts\n"                                # header
+        b"ACG\t[[1,2,3,4,5],[0,0,1,0,2]]\r\n"            # CRLF
+        b"\n"                                            # blank line
+        b"[AC\t[[9,8,7,6,5],[1,1,1,1,1]]\n"              # '['-padded context
+        b"GGT\t[[0.5,2,3,4,5],[1e2,0,0,0,3]]\n"          # float + exponent
+    )
+    a = load_dense(str(p), "dna", 2, header=True, native=True)
+    b = load_dense(str(p), "dna", 2, header=True, native=False)
+    assert list(a.kmers) == list(b.kmers)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    np.testing.assert_array_equal(a.counts, b.counts)
+    assert a.counts[2, 0, 0] == 0.5 and a.counts[2, 1, 0] == 100.0
+
+
+@pytest.mark.skipif(not _native_tsv_available(),
+                    reason="native TSV parser not built (no compiler)")
+def test_load_dense_native_fixture_parity():
+    fx = bundled_ysd1_path()
+    a = load_dense(fx, "dna", 3, native=True)
+    b = load_dense(fx, "dna", 3, native=False)
+    assert list(a.kmers) == list(b.kmers)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    np.testing.assert_array_equal(a.counts, b.counts)
+
+
+@pytest.mark.skipif(not _native_tsv_available(),
+                    reason="native TSV parser not built (no compiler)")
+def test_load_dense_native_rejects_irregular(tmp_path):
+    # Ragged contexts route to the Python fallback, which '['-pads them —
+    # the native path must not mis-parse them as fixed-width.
+    p = tmp_path / "ragged_ctx.tsv"
+    p.write_text("C\t[[1,2,3,4,5]]\nGT\t[[6,7,8,9,10]]\n")
+    ds = load_dense(str(p), "dna", 1)  # auto: native fails -> fallback
+    assert list(ds.kmers) == ["[C", "GT"]
+    # Wrong field counts must raise through every path (no silent shifts).
+    q = tmp_path / "ragged_fields.tsv"
+    q.write_text("AC\t[[1,2,3,4]]\nGT\t[[5,6,7,8,9,10]]\n")
+    with pytest.raises(Exception):
+        load_dense(str(q), "dna", 1, native=True)
+
+
+@pytest.mark.skipif(not _native_tsv_available(),
+                    reason="native TSV parser not built (no compiler)")
+def test_load_dense_native_gzip(tmp_path):
+    # New capability over the NumPy path: .tsv.gz reads transparently when
+    # the native library is built against zlib.
+    from bear_tpu.counting.fastx import _native
+
+    lib = _native()
+    if not lib.supports_gzip:
+        pytest.skip("native library built without zlib")
+    import gzip
+
+    p = tmp_path / "counts.tsv.gz"
+    with gzip.open(p, "wb") as fh:
+        fh.write(b"AC\t[[1,2,3,4,5]]\nGT\t[[6,7,8,9,10]]\n")
+    ds = load_dense(str(p), "dna", 1, native=True)
+    assert list(ds.kmers) == ["AC", "GT"]
+    np.testing.assert_array_equal(ds.counts[1, 0], [6, 7, 8, 9, 10])
+
+
+def test_load_dense_native_missing_file():
+    with pytest.raises(FileNotFoundError):
+        load_dense("/nonexistent/never.tsv", "dna", 1)
