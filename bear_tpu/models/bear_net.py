@@ -251,6 +251,8 @@ def train(
     ref_counts=None,
     opt_state_restart=None,
     shuffle: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> TrainResult:
     """Train a BEAR (empirical-Bayes h) or AR (max-likelihood) model.
 
@@ -272,6 +274,14 @@ def train(
     shuffle : permute the k-mer order once before batching (seeded by
         ``seed``) — replaces the reference workflow's external ``shuf`` step
         on unshuffled summarize output (docs/usage.rst:192-196).
+    checkpoint_dir : when set with checkpoint_every > 0, run the scan in
+        chunks of ``checkpoint_every`` optimizer applies, atomically
+        checkpointing {params, opt_state, applies_done} between chunks, and
+        RESUME from an existing checkpoint in that directory — a killed run
+        replays to a bit-identical final trajectory (the scan sequence is a
+        pure function of the apply index). Only process 0 writes. The
+        reference can only restart from a COMPLETED run's pickle
+        (train_bear_net.py:113-118).
     """
     A1 = alphabets.alphabet_size(alphabet) + 1
     key = jax.random.key(seed)
@@ -294,6 +304,24 @@ def train(
         )
     else:
         opt_state = optimizer.init(params)
+
+    applies_done = 0
+    if checkpoint_dir is not None:
+        from bear_tpu.utils.checkpoint import load_train_state
+
+        _state = load_train_state(checkpoint_dir)
+        if _state is not None:
+            params = params_from_list(_state["params"], dtype=dtype)
+            opt_state = jax.tree.map(
+                lambda x: jnp.asarray(
+                    x,
+                    dtype=dtype
+                    if np.issubdtype(np.asarray(x).dtype, np.floating)
+                    else None,
+                ),
+                _state["opt_state"],
+            )
+            applies_done = int(_state["applies_done"])
 
     if isinstance(codes, jax.Array):
         # Device dataset (counting-engine handoff): stays on device.
@@ -392,7 +420,10 @@ def train(
     # The data stacks enter run() as ARGUMENTS, not closure constants:
     # multi-process global arrays may not be closed over, and as args large
     # stacks are never re-embedded into the program per trace.
-    def run(p, o, codes_s, counts_s, ref_s, sizes):
+    # The apply ids also enter as an argument so the checkpointed mode can
+    # run the SAME scan in chunks — each apply is a pure function of its
+    # index, so a chunked (or resumed) run replays bit-identically.
+    def run(p, o, codes_s, counts_s, ref_s, sizes, apply_ids):
         def apply_step(carry, apply_idx):
             p, o = carry
             start = apply_idx * acc_steps
@@ -417,21 +448,60 @@ def train(
             # ELBO estimate recorded at each apply (reference bear_net.py:303-307).
             return (p, o), -loss_sum / acc_steps
 
-        return jax.lax.scan(apply_step, (p, o), jnp.arange(n_apply))
+        return jax.lax.scan(apply_step, (p, o), apply_ids)
 
     run = jax.jit(run)
-    (params, opt_state), elbos = run(
-        params, opt_state, codes_s, counts_s, ref_s, sizes
-    )
-    elbos = np.asarray(elbos)
+    start_apply = applies_done
+    if checkpoint_dir is not None and int(checkpoint_every) > 0:
+        from bear_tpu.utils.checkpoint import save_train_state
+
+        is_proc0 = jax.process_index() == 0
+        ce = int(checkpoint_every)
+        elbo_parts = []
+        for a0 in range(applies_done, n_apply, ce):
+            a1 = min(a0 + ce, n_apply)
+            (params, opt_state), e = run(
+                params, opt_state, codes_s, counts_s, ref_s, sizes,
+                jnp.arange(a0, a1),
+            )
+            elbo_parts.append(np.asarray(e))
+            applies_done = a1
+            if is_proc0:
+                save_train_state(checkpoint_dir, {
+                    "params": [np.asarray(x) for x in params_to_list(
+                        jax.tree.map(np.asarray, params))],
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "applies_done": applies_done,
+                })
+        elbos = (np.concatenate(elbo_parts) if elbo_parts
+                 else np.zeros(0, np.dtype(dtype)))
+    else:
+        (params, opt_state), elbos = run(
+            params, opt_state, codes_s, counts_s, ref_s, sizes,
+            jnp.arange(applies_done, n_apply),
+        )
+        elbos = np.asarray(elbos)
     if writer is not None:
         for i, e in enumerate(elbos):
-            writer.scalar("elbo", float(e), step=(i + 1) * acc_steps)
+            writer.scalar("elbo", float(e),
+                          step=(start_apply + i + 1) * acc_steps)
     return TrainResult(
         params=jax.tree.map(lambda x: np.asarray(x), params),
         losses=-elbos,
         opt_state=jax.tree.map(lambda x: np.asarray(x), opt_state),
     )
+
+
+def _shards_takes_epoch(shards) -> bool:
+    """Whether a shards callable accepts an epoch argument (the hook for
+    per-epoch shard-ORDER shuffling — the caller decides the order, e.g.
+    permuting its file list; see train_bear_net's streaming path)."""
+    import inspect
+
+    try:
+        return len(inspect.signature(shards).parameters) >= 1
+    except (TypeError, ValueError):
+        return False
 
 
 def train_streaming(
@@ -451,30 +521,55 @@ def train_streaming(
     dtype=jnp.float32,
     writer=None,
     block_steps: int = 64,
+    mesh=None,
+    acc_steps: int = 1,
+    shuffle: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> TrainResult:
     """Shard-streamed training: host/device memory bounded by ONE shard.
 
     ``train()`` stacks the whole dataset on device; for beyond-RAM corpora
     (the reference streams shards with tf.data interleave,
     dataloader.py:6-50 / train_bear_net.py:79-86) this variant consumes an
-    iterator of shards instead. Each shard's batches stream through a
-    fixed-geometry jitted block of ``block_steps`` optimizer applies — ONE
-    compilation regardless of shard count or ragged tails (padded applies
-    are skipped with lax.cond, leaving params and optimizer state untouched,
-    so the trajectory equals the concat-loaded one whenever the batch
-    composition matches).
+    iterator of shards instead. The stream of batches (batches never span
+    shard boundaries) is grouped into optimizer applies of ``acc_steps``
+    batches each — accumulation groups DO span shard boundaries, exactly as
+    the reference accumulates consecutive batches of its interleaved stream
+    (bear_net.py:296-315) — and the applies run through a fixed-geometry
+    jitted block of ``block_steps`` applies: ONE compilation regardless of
+    shard count or ragged tails (padded applies are skipped with lax.cond,
+    leaving params and optimizer state untouched, so the trajectory equals
+    the concat-loaded one whenever the batch composition matches).
 
     Parameters
     ----------
     shards : callable returning an iterable of (codes, counts) pairs — e.g.
         ``lambda: (load_dense(f, ...).train_pair(col) for f in files)``. It
-        is re-invoked once per epoch. Each shard's final batch may be
-        partial; batches never span shard boundaries (matching the
-        reference's interleave semantics rather than concat). A third
-        element per shard carries prepared reference counts for the
-        reference-guided model (see bear_ref.train_streaming).
+        is re-invoked once per epoch; a callable accepting one argument is
+        passed the epoch number (the hook for per-epoch shard-order
+        shuffling). Each shard's final batch may be partial. A third element
+        per shard carries prepared reference counts for the reference-guided
+        model (see bear_ref.train_streaming).
     num_kmers : global k-mer count across ALL shards (the unbiased ELBO
         scale must see the full corpus).
+    mesh : optional jax.sharding.Mesh with a ``data`` axis: each block's
+        batch rows are sharded over it (multi-process capable via
+        put_global) and XLA inserts the gradient psum — streaming and data
+        parallelism compose, matching the reference's
+        MirroredStrategy-over-streamed-dataset (bear_net.py:246, 273).
+    acc_steps : gradient-accumulation group size; a trailing group of fewer
+        than acc_steps batches is dropped (``train()`` parity).
+    shuffle : permute rows WITHIN each shard per epoch (seeded by
+        (seed, epoch, stream position)); combine with an epoch-aware
+        ``shards`` callable for shard-order shuffling.
+    checkpoint_dir : when set, atomically checkpoint {params, opt_state,
+        applies_done} there every ``checkpoint_every`` blocks (and at
+        completion), and RESUME from an existing checkpoint: the stream is
+        fast-forwarded past the applies already done (shards before the
+        resume point are loaded but not computed on), giving a
+        bit-identical final trajectory after a kill. Only process 0 writes
+        in multi-process runs.
     """
     A1 = alphabets.alphabet_size(alphabet) + 1
     key = jax.random.key(seed)
@@ -495,9 +590,33 @@ def train_streaming(
     else:
         opt_state = optimizer.init(params)
 
+    applies_done = 0
+    if checkpoint_dir is not None:
+        from bear_tpu.utils.checkpoint import load_train_state
+
+        state = load_train_state(checkpoint_dir)
+        if state is not None:
+            params = params_from_list(state["params"], dtype=dtype)
+            opt_state = jax.tree.map(
+                lambda x: jnp.asarray(
+                    x,
+                    dtype=dtype
+                    if np.issubdtype(np.asarray(x).dtype, np.floating)
+                    else None,
+                ),
+                state["opt_state"],
+            )
+            applies_done = int(state["applies_done"])
+
     num_kmers = jnp.asarray(num_kmers, dtype=dtype)
-    bsz = int(batch_size)
+    acc_steps = int(acc_steps)
     K = int(block_steps)
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+    # Batch rows pad to a mesh multiple so the flat [.., B*width] sharding
+    # stays row-aligned (same geometry as train()).
+    bsz = -(-int(batch_size) // n_dev) * n_dev
 
     def loss_fn(p, codes_b, counts_b, ref_b, actual_size):
         if ref_b is not None:
@@ -515,26 +634,49 @@ def train_streaming(
         return -(num_kmers / actual_size) * jnp.sum(ll)
 
     grad_fn = jax.value_and_grad(loss_fn)
-    lag_w = None  # set from the first shard; all shards must share the lag
-    with_ref = None  # set from the first shard; all shards must agree
+    meta = {}  # lag_w / with_ref, set by the first shard of the stream
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
 
     @jax.jit
     def run_block(p, o, codes_blk, counts_blk, ref_blk, sizes_blk,
                   valid_blk):
+        lag_w, with_ref = meta["lag_w"], meta["with_ref"]
+
         def apply_step(carry, idx):
             p, o = carry
 
             def do(po):
                 p, o = po
-                loss, grads = grad_fn(
-                    p,
-                    codes_blk[idx].reshape(bsz, lag_w),
-                    counts_blk[idx].reshape(bsz, A1),
-                    None if not with_ref else ref_blk[idx].reshape(bsz, A1),
-                    sizes_blk[idx],
-                )
+
+                def one_step(k):
+                    return grad_fn(
+                        p,
+                        codes_blk[idx, k].reshape(bsz, lag_w),
+                        counts_blk[idx, k].reshape(bsz, A1),
+                        None if not with_ref
+                        else ref_blk[idx, k].reshape(bsz, A1),
+                        sizes_blk[idx, k],
+                    )
+
+                if acc_steps == 1:
+                    # No accumulation machinery in the compiled program: the
+                    # 0+grads / loss/1 identities are exact but shift XLA's
+                    # fusion choices by ulps vs train() — and bit parity with
+                    # the concat trajectory is a tested contract.
+                    loss_sum, grads = one_step(0)
+                else:
+                    def inner(inner_carry, k):
+                        acc, loss_sum = inner_carry
+                        loss, grads = one_step(k)
+                        return (jax.tree.map(jnp.add, acc, grads),
+                                loss_sum + loss), None
+
+                    (grads, loss_sum), _ = jax.lax.scan(
+                        inner, (zero_grads, jnp.zeros((), dtype)),
+                        jnp.arange(acc_steps),
+                    )
                 updates, o = optimizer.update(grads, o, p)
-                return (optax.apply_updates(p, updates), o), -loss
+                return (optax.apply_updates(p, updates), o), -loss_sum / acc_steps
 
             def skip(po):
                 # Padded apply: a true no-op — params AND optimizer state
@@ -546,61 +688,153 @@ def train_streaming(
 
         return jax.lax.scan(apply_step, (p, o), jnp.arange(K))
 
+    takes_epoch = _shards_takes_epoch(shards)
+
+    def batch_stream():
+        """Flat stream over epochs/shards of per-batch flat rows:
+        (codes_flat, counts_flat, ref_flat|None, actual_size)."""
+        pos = 0  # position in the stream: the in-shard shuffle seed index
+        for epoch in range(int(epochs)):
+            it = shards(epoch) if takes_epoch else shards()
+            for shard in it:
+                codes = np.asarray(shard[0])
+                counts = np.asarray(shard[1], dtype=np.dtype(dtype))
+                ref = np.asarray(shard[2], dtype=np.dtype(dtype)) \
+                    if len(shard) > 2 else None
+                if "with_ref" not in meta:
+                    meta["with_ref"] = ref is not None
+                elif meta["with_ref"] != (ref is not None):
+                    raise ValueError("all shards must agree on carrying "
+                                     "reference counts")
+                if shuffle:
+                    perm = np.random.default_rng(
+                        [seed, epoch, pos]).permutation(len(codes))
+                    codes, counts = codes[perm], counts[perm]
+                    if ref is not None:
+                        ref = ref[perm]
+                pos += 1
+                codes_s, counts_s, sizes = _stack_batches(codes, counts, bsz)
+                if "lag_w" not in meta:
+                    meta["lag_w"] = codes_s.shape[2]
+                elif codes_s.shape[2] != meta["lag_w"]:
+                    raise ValueError(
+                        f"shard lag {codes_s.shape[2]} != first shard's "
+                        f"{meta['lag_w']}"
+                    )
+                ref_s = None
+                if ref is not None:
+                    ref_s = _stack_one(ref, bsz)
+                for t in range(codes_s.shape[0]):
+                    yield (codes_s[t].reshape(-1), counts_s[t].reshape(-1),
+                           None if ref_s is None else ref_s[t].reshape(-1),
+                           sizes[t])
+
+    def group_stream():
+        """Accumulation groups of acc_steps consecutive batches (groups span
+        shard boundaries); the trailing partial group is dropped — identical
+        effect on the parameters as train()/the reference (bear_net.py:301)."""
+        pending = []
+        for b in batch_stream():
+            pending.append(b)
+            if len(pending) == acc_steps:
+                yield pending
+                pending = []
+
+    is_proc0 = jax.process_index() == 0
+
+    def save_state(applies):
+        if checkpoint_dir is None or not is_proc0:
+            return
+        from bear_tpu.utils.checkpoint import save_train_state
+
+        save_train_state(checkpoint_dir, {
+            "params": [np.asarray(x) for x in params_to_list(
+                jax.tree.map(np.asarray, params))],
+            "opt_state": jax.tree.map(np.asarray, opt_state),
+            "applies_done": int(applies),
+        })
+
+    put = jnp.asarray
+    put_dummy = jnp.asarray  # the width-1 ref placeholder cannot be sharded
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from bear_tpu.parallel.mesh import put_global
+
+        # Blocks are [K, acc, B*width] flat: sharding the last axis over
+        # 'data' splits whole rows (B is a mesh multiple — see bsz above).
+        batch_sharding = NamedSharding(mesh, P(None, None, "data"))
+        repl_sharding = NamedSharding(mesh, P())
+        put = lambda a: put_global(a, batch_sharding)  # noqa: E731
+        put_dummy = lambda a: put_global(a, repl_sharding)  # noqa: E731
+
     elbo_parts = []
-    for _epoch in range(int(epochs)):
-        for shard in shards():
-            codes, counts = shard[0], shard[1]
-            ref = shard[2] if len(shard) > 2 else None
-            if with_ref is None:
-                with_ref = ref is not None
-            elif with_ref != (ref is not None):
-                raise ValueError("all shards must agree on carrying "
-                                 "reference counts")
-            codes_s, counts_s, sizes = _stack_batches(
-                np.asarray(codes),
-                np.asarray(counts, dtype=np.dtype(dtype)),
-                bsz,
-            )
-            if lag_w is None:
-                lag_w = codes_s.shape[2]
-            elif codes_s.shape[2] != lag_w:
-                raise ValueError(
-                    f"shard lag {codes_s.shape[2]} != first shard's {lag_w}"
-                )
-            steps = codes_s.shape[0]
-            # Blocks are stored FLAT ([K, B*width]) — a [K, B, 5] device
-            # array would tile its 5-wide minor dim to 128 lanes (25x HBM).
-            codes_f = codes_s.reshape(steps, -1)
-            counts_f = counts_s.reshape(steps, -1)
-            ref_f = None
-            if with_ref:
-                ref_f = _stack_one(
-                    np.asarray(ref, dtype=np.dtype(dtype)), bsz
-                ).reshape(steps, -1)
-            for s0 in range(0, steps, K):
-                n = min(K, steps - s0)
-                cb = np.zeros((K, codes_f.shape[1]), codes_f.dtype)
-                nb = np.zeros((K, counts_f.shape[1]), counts_f.dtype)
-                rb = (np.zeros((K, ref_f.shape[1]), ref_f.dtype)
-                      if with_ref else np.zeros((K, 1), np.dtype(dtype)))
-                sb = np.ones(K, dtype=np.dtype(dtype))  # avoid 0-div in pads
-                vb = np.zeros(K, dtype=bool)
-                cb[:n], nb[:n] = codes_f[s0:s0 + n], counts_f[s0:s0 + n]
-                if with_ref:
-                    rb[:n] = ref_f[s0:s0 + n]
-                sb[:n] = sizes[s0:s0 + n]
-                vb[:n] = True
-                (params, opt_state), elbos = run_block(
-                    params, opt_state, jnp.asarray(cb), jnp.asarray(nb),
-                    jnp.asarray(rb), jnp.asarray(sb), jnp.asarray(vb),
-                )
-                elbo_parts.append(np.asarray(elbos)[:n])
-    if lag_w is None:
+    blocks_done = 0
+    applies_seen = 0  # groups consumed from the stream (incl. skipped resume)
+    cb = nb = rb = sb = vb = None  # block staging buffers, fresh per block
+    n_in_block = 0
+
+    def alloc_block(first_group):
+        nonlocal cb, nb, rb, sb, vb
+        w_codes = first_group[0][0].shape[0]
+        w_counts = first_group[0][1].shape[0]
+        w_ref = (first_group[0][2].shape[0] if meta["with_ref"] else 1)
+        cb = np.zeros((K, acc_steps, w_codes), first_group[0][0].dtype)
+        nb = np.zeros((K, acc_steps, w_counts), first_group[0][1].dtype)
+        rb = np.zeros((K, acc_steps, w_ref), np.dtype(dtype))
+        sb = np.ones((K, acc_steps), np.dtype(dtype))  # pads: no 0-div
+        vb = np.zeros(K, dtype=bool)
+
+    def flush_block():
+        nonlocal params, opt_state, blocks_done, applies_done
+        nonlocal n_in_block, cb, nb, rb, sb, vb
+        n = n_in_block
+        if n == 0:
+            return
+        (params, opt_state), elbos = run_block(
+            params, opt_state, put(cb), put(nb),
+            put(rb) if meta["with_ref"] else put_dummy(rb),
+            jnp.asarray(sb), jnp.asarray(vb),
+        )
+        elbo_parts.append(np.asarray(elbos)[:n])
+        applies_done += n
+        blocks_done += 1
+        n_in_block = 0
+        cb = nb = rb = sb = vb = None  # fresh buffers next block: never
+        # mutate host memory a device transfer may still alias
+        if checkpoint_dir is not None and blocks_done % max(
+                int(checkpoint_every), 1) == 0:
+            save_state(applies_done)
+
+    for group in group_stream():
+        applies_seen += 1
+        if applies_seen <= applies_done:
+            continue  # resume fast-forward: already applied before the kill
+        if cb is None:
+            alloc_block(group)
+        i = n_in_block
+        for k, (c, n_, r, s) in enumerate(group):
+            cb[i, k], nb[i, k] = c, n_
+            if r is not None:
+                rb[i, k] = r
+            sb[i, k] = s
+        vb[i] = True
+        n_in_block += 1
+        if n_in_block == K:
+            flush_block()
+    flush_block()
+
+    if "lag_w" not in meta:
         raise ValueError("shards() yielded no shards")
+    if applies_seen == 0:
+        raise ValueError("fewer total batches than acc_steps; nothing to train")
+    save_state(applies_done)
+    start_apply = applies_done - sum(len(e) for e in elbo_parts)
     elbos = np.concatenate(elbo_parts) if elbo_parts else np.zeros(0)
     if writer is not None:
         for i, e in enumerate(elbos):
-            writer.scalar("elbo", float(e), step=i + 1)
+            writer.scalar("elbo", float(e),
+                          step=(start_apply + i + 1) * acc_steps)
     return TrainResult(
         params=jax.tree.map(lambda x: np.asarray(x), params),
         losses=-elbos,

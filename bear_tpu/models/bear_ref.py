@@ -161,8 +161,11 @@ def train_streaming(
     ar_func = make_ref_ar_func(lag, A, net_func_factory, af_kwargs,
                                dtype=dtype, compute_dtype=compute_dtype)
 
-    def prepared():
-        for codes, counts, ref_col in shards():
+    takes_epoch = bear_net._shards_takes_epoch(shards)
+
+    def prepared(epoch=0):
+        it = shards(epoch) if takes_epoch else shards()
+        for codes, counts, ref_col in it:
             yield codes, counts, np.asarray(
                 prepare_ref_counts(ref_col, A, dtype))
 

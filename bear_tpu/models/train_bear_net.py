@@ -83,16 +83,19 @@ def main(config: configparser.ConfigParser, mesh=None):
 
     params_restart, opt_state_restart = load_restart(run)
 
+    ckpt = dict(checkpoint_dir=out_folder,
+                checkpoint_every=run.checkpoint_every) \
+        if run.checkpoint_every > 0 else {}
     if run.train and streaming:
-        if run.accumulation_steps != 1:
-            raise ValueError("[train] streaming requires accumulation_steps=1")
-        if mesh is not None:
-            raise ValueError("[train] streaming and data_parallel are "
-                             "mutually exclusive (stream per host instead)")
-
-        def shards():
-            for f in files:
-                d = load_files([f], run.alphabet, run.num_ds, sparse=run.sparse)
+        def shards(epoch=0):
+            # Per-epoch file-order shuffle (the in-shard permutation is
+            # train_streaming's shuffle flag).
+            order = list(range(len(files)))
+            if run.shuffle:
+                np.random.default_rng([run.seed, epoch]).shuffle(order)
+            for fi in order:
+                d = load_files([files[fi]], run.alphabet, run.num_ds,
+                               sparse=run.sparse)
                 yield d.codes, d.counts[:, ds_loc]
 
         result = bear_net.train_streaming(
@@ -105,11 +108,15 @@ def main(config: configparser.ConfigParser, mesh=None):
             learning_rate=run.learning_rate,
             optimizer_name=run.optimizer_name,
             train_ar=run.train_ar,
+            acc_steps=run.accumulation_steps,
             params_restart=params_restart,
             opt_state_restart=opt_state_restart,
             seed=run.seed,
             dtype=dtype,
+            mesh=mesh,
+            shuffle=run.shuffle,
             writer=writer,
+            **ckpt,
         )
         writer.close()
         params = result.params
@@ -132,7 +139,9 @@ def main(config: configparser.ConfigParser, mesh=None):
             seed=run.seed,
             dtype=dtype,
             mesh=mesh,
+            shuffle=run.shuffle,
             writer=writer,
+            **ckpt,
         )
         writer.close()
         params = result.params
@@ -150,6 +159,12 @@ def main(config: configparser.ConfigParser, mesh=None):
     save_results(
         out_folder, bear_net.params_to_list(params), extra={"opt_state": opt_state}
     )
+    if run.checkpoint_every > 0:
+        # Training is durably complete (results.pickle written): drop the
+        # mid-run state so a rerun into this literal out folder starts fresh.
+        from bear_tpu.utils.checkpoint import clear_train_state
+
+        clear_train_state(out_folder)
 
     van_reg = np.array(run.van_reg)
 

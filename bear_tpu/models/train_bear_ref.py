@@ -43,7 +43,12 @@ def main(config: configparser.ConfigParser, mesh=None):
     num_kmers = count_kmers(files, header=run.sparse)
     batch_size = run.resolve_batch_size(num_kmers)
     epochs = run.resolve_epochs(num_kmers, batch_size)
-    ds = load_files(files, run.alphabet, run.num_ds, sparse=run.sparse)
+    streaming = run.streaming and run.train
+    ds = None
+    if not streaming or run.test or run.train_test:
+        # Evaluation for the reference-guided model is in-memory; streaming
+        # mode defers/avoids the full load only for train-only runs.
+        ds = load_files(files, run.alphabet, run.num_ds, sparse=run.sparse)
     print("data_loaded")
 
     result_file = os.path.join(out_folder, "results.pickle")
@@ -64,7 +69,50 @@ def main(config: configparser.ConfigParser, mesh=None):
 
     params_restart, opt_state_restart = load_restart(run)
 
-    if run.train:
+    ckpt = dict(checkpoint_dir=out_folder,
+                checkpoint_every=run.checkpoint_every) \
+        if run.checkpoint_every > 0 else {}
+    common_train = dict(
+        alphabet=run.alphabet,
+        dtype=dtype,
+        compute_dtype=run.compute_dtype(),
+        batch_size=batch_size,
+        epochs=epochs,
+        learning_rate=run.learning_rate,
+        optimizer_name=run.optimizer_name,
+        train_ar=run.train_ar,
+        acc_steps=run.accumulation_steps,
+        params_restart=params_restart,
+        opt_state_restart=opt_state_restart,
+        seed=run.seed,
+        mesh=mesh,
+        shuffle=run.shuffle,
+        writer=writer,
+        **ckpt,
+    )
+    if run.train and streaming:
+        def shards(epoch=0):
+            order = list(range(len(files)))
+            if run.shuffle:
+                np.random.default_rng([run.seed, epoch]).shuffle(order)
+            for fi in order:
+                d = load_files([files[fi]], run.alphabet, run.num_ds,
+                               sparse=run.sparse)
+                yield d.codes, d.counts[:, ds_loc], d.counts[:, ds_loc_ref]
+
+        result = bear_ref.train_streaming(
+            shards,
+            num_kmers,
+            net_factory,
+            run.af_kwargs,
+            lag=run.lag,
+            **common_train,
+        )
+        writer.close()
+        params = result.params
+        opt_state = result.opt_state
+        save_loss_curve(result.elbos, out_folder)
+    elif run.train:
         result = bear_ref.train(
             ds.codes,
             ds.counts[:, ds_loc],
@@ -72,21 +120,8 @@ def main(config: configparser.ConfigParser, mesh=None):
             num_kmers,
             net_factory,
             run.af_kwargs,
-            alphabet=run.alphabet,
             lag=run.lag,
-            dtype=dtype,
-            compute_dtype=run.compute_dtype(),
-            batch_size=batch_size,
-            epochs=epochs,
-            learning_rate=run.learning_rate,
-            optimizer_name=run.optimizer_name,
-            train_ar=run.train_ar,
-            acc_steps=run.accumulation_steps,
-            params_restart=params_restart,
-            opt_state_restart=opt_state_restart,
-            seed=run.seed,
-            mesh=mesh,
-            writer=writer,
+            **common_train,
         )
         writer.close()
         params = result.params
@@ -106,6 +141,10 @@ def main(config: configparser.ConfigParser, mesh=None):
     save_results(
         out_folder, bear_net.params_to_list(params), extra={"opt_state": opt_state}
     )
+    if run.checkpoint_every > 0:
+        from bear_tpu.utils.checkpoint import clear_train_state
+
+        clear_train_state(out_folder)
 
     van_reg = np.array(run.van_reg)
 

@@ -44,3 +44,46 @@ def load_results(path_or_dir: str) -> dict:
 def load_params_list(path_or_dir: str) -> List[np.ndarray]:
     results = load_results(path_or_dir)
     return [np.asarray(p) for p in results["params"]]
+
+
+# --- mid-run training state (periodic checkpoints) -------------------------
+#
+# The reference can only restart from a previous COMPLETED run's pickle
+# (train_bear_net.py:113-118, losing optimizer state); a preempted multi-hour
+# run loses everything. train/train_streaming checkpoint
+# {params, opt_state, applies_done} here every N blocks so a killed run
+# resumes to a bit-identical trajectory.
+
+TRAIN_STATE_FILE = "train_state.pickle"
+
+
+def save_train_state(out_dir: str, state: dict) -> str:
+    """Atomically write a mid-run training-state dict (host/numpy trees:
+    callers convert device arrays before handing off). Keys used by the
+    trainers: 'params' (list, params_to_list order), 'opt_state' (pytree),
+    'applies_done' (int optimizer applies completed)."""
+    path = os.path.join(out_dir, TRAIN_STATE_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump(state, fh)
+    os.replace(tmp, path)
+    return path
+
+
+def load_train_state(out_dir: str) -> Optional[dict]:
+    """Load a mid-run training state, or None when no checkpoint exists
+    (a fresh run)."""
+    path = os.path.join(out_dir, TRAIN_STATE_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
+def clear_train_state(out_dir: str) -> None:
+    """Remove a completed run's mid-run state (the final results.pickle is
+    the durable artifact; a stale train_state would make a RE-run with the
+    same out_dir silently resume instead of starting fresh)."""
+    path = os.path.join(out_dir, TRAIN_STATE_FILE)
+    if os.path.exists(path):
+        os.remove(path)

@@ -105,9 +105,21 @@ class RunConfig:
     # optional [train] streaming: 'True' feeds training shard-by-shard
     # (bear_net.train_streaming) so host/device memory is bounded by one
     # count file — the beyond-RAM analog of the reference's tf.data
-    # interleave streaming (dataloader.py:6-50). Requires
-    # accumulation_steps = 1.
+    # interleave streaming (dataloader.py:6-50). Composes with
+    # data_parallel and accumulation_steps.
     streaming: bool = False
+    # optional [train] shuffle: 'True' shuffles the k-mer order per run
+    # (in-memory: one seeded permutation; streaming: per-epoch file order +
+    # in-shard permutation) — replaces the reference workflow's external
+    # ``shuf`` step on unshuffled summarize output (docs/usage.rst:192-196).
+    shuffle: bool = False
+    # optional [train] checkpoint_every: > 0 checkpoints
+    # {params, opt_state, applies_done} into the out folder every N
+    # optimizer applies (streaming: every N blocks) and RESUMES from an
+    # existing mid-run checkpoint there. Point out_folder at the interrupted
+    # run's literal directory (trailing '*') to resume it. The reference can
+    # only restart from a completed run's pickle (train_bear_net.py:113-118).
+    checkpoint_every: int = 0
 
     @classmethod
     def from_configparser(cls, config: configparser.ConfigParser) -> "RunConfig":
@@ -138,6 +150,8 @@ class RunConfig:
             restart_path=tr.get("restart_path", ""),
             data_parallel=tr.get("data_parallel", "False") == "True",
             streaming=tr.get("streaming", "False") == "True",
+            shuffle=tr.get("shuffle", "False") == "True",
+            checkpoint_every=int(tr.get("checkpoint_every", "0")),
             test=te["test"] == "True",
             train_test=te["train_test"] == "True",
             van_reg=json.loads(te["van_reg"]),

@@ -104,11 +104,31 @@ def worker(args) -> None:
     mesh = pmesh.data_parallel_mesh()  # every device of every host
     ar = get_ar_func("linear", args.lag, 4)
     t0 = time.time()
-    res = bear_net.train(
-        ds.codes, ds.counts[:, 0].astype(np.float32), len(ds.codes), ar,
-        batch_size=args.batch_size, epochs=args.epochs,
-        learning_rate=0.01, seed=args.seed, mesh=mesh,
-    )
+    if args.streaming:
+        # Streaming + DP compose (bear_net.train_streaming mesh=): the
+        # device never holds the full stacked dataset — batches flow
+        # through fixed-geometry blocks, each sharded over every host's
+        # devices. Here the stream is row-ranges of the merged table; in a
+        # beyond-RAM run it would be per-file count shards
+        # (load_dense(...).train_pair per file).
+        n = len(ds.codes)
+        shard_rows = max(args.batch_size, -(-n // 8))
+
+        def shards():
+            for s0 in range(0, n, shard_rows):
+                yield (ds.codes[s0:s0 + shard_rows],
+                       ds.counts[s0:s0 + shard_rows, 0].astype(np.float32))
+
+        res = bear_net.train_streaming(
+            shards, n, ar, batch_size=args.batch_size, epochs=args.epochs,
+            learning_rate=0.01, seed=args.seed, mesh=mesh, block_steps=16,
+        )
+    else:
+        res = bear_net.train(
+            ds.codes, ds.counts[:, 0].astype(np.float32), len(ds.codes), ar,
+            batch_size=args.batch_size, epochs=args.epochs,
+            learning_rate=0.01, seed=args.seed, mesh=mesh,
+        )
     train_s = time.time() - t0
     # With a single count group (e.g. a user CSV where every file is group 0)
     # there is no heldout column: evaluate the training column in prior mode
@@ -155,6 +175,8 @@ def launch(args) -> int:
            "--seed", str(args.seed),
            "--coordinator", f"127.0.0.1:{port}",
            "--cpu" if args.cpu else "--no-cpu"]
+    if args.streaming:
+        cmd.append("--streaming")
     procs = [subprocess.Popen(cmd + ["--pid", str(i)], env=env)
              for i in range(args.nproc)]
     try:
@@ -180,6 +202,10 @@ def main(argv=None) -> int:
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--streaming", action="store_true",
+                    help="train via bear_net.train_streaming(mesh=...): "
+                         "shard-streamed batches over the global mesh, "
+                         "device memory bounded by one block")
     ap.add_argument("--cpu", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="run on host CPU devices (default; --no-cpu keeps "

@@ -415,3 +415,215 @@ def test_evaluation_streaming_matches_in_memory():
                                  van, block_steps=3, **kw)
     for a, b in zip(want_p, got_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_train_streaming_mesh_acc_matches_concat():
+    # VERDICT r2 task 1: streaming + data-parallel mesh + gradient
+    # accumulation compose, with loss parity vs the concat-loaded path at
+    # matching batch composition (the reference composes exactly this:
+    # MirroredStrategy over a streamed dataset, bear_net.py:246,273 +
+    # models/train_bear_net.py:79-86).
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import train_streaming
+
+    rng = np.random.default_rng(11)
+    lag, A1, bsz = 4, 5, 16
+    n_total = 96  # 6 batches of 16; shards of 48 = 3 batches each
+    codes = rng.integers(0, 4, (n_total, lag)).astype(np.int8)
+    counts = rng.poisson(5.0, (n_total, A1)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    mesh = data_parallel_mesh(8)
+    kw = dict(num_kmers=n_total, ar_func=ar, batch_size=bsz, epochs=2,
+              learning_rate=0.02, seed=3, dtype=jnp.float64, acc_steps=2)
+
+    concat = bear_net.train(codes, counts, mesh=mesh, **kw)
+
+    def shards():
+        # 3 batches per shard with acc_steps=2: accumulation groups SPAN
+        # shard boundaries (group 1 = [batch 2 of shard 0, batch 0 of
+        # shard 1]), exactly like the reference's interleaved stream.
+        for s0 in range(0, n_total, 48):
+            yield codes[s0:s0 + 48], counts[s0:s0 + 48]
+
+    streamed = train_streaming(shards, mesh=mesh, block_steps=2, **kw)
+    assert len(streamed.losses) == len(concat.losses) == 2 * 6 // 2
+    np.testing.assert_allclose(concat.losses, streamed.losses, rtol=1e-12)
+    for a, b in zip(concat.params_list, streamed.params_list):
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-15)
+
+    # And without a mesh, the acc-steps streaming path is BIT-equal.
+    concat1 = bear_net.train(codes, counts, **kw)
+    streamed1 = train_streaming(shards, block_steps=2, **kw)
+    np.testing.assert_array_equal(concat1.losses, streamed1.losses)
+    for a, b in zip(concat1.params_list, streamed1.params_list):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_train_streaming_acc_drops_trailing_partial_group():
+    # 7 batches with acc_steps=2 -> 3 applies; the trailing single batch is
+    # dropped, matching train()/the reference (bear_net.py:301).
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import train_streaming
+
+    rng = np.random.default_rng(12)
+    lag, bsz = 3, 8
+    n_total = 7 * bsz
+    codes = rng.integers(0, 4, (n_total, lag)).astype(np.int8)
+    counts = rng.poisson(4.0, (n_total, 5)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    kw = dict(num_kmers=n_total, ar_func=ar, batch_size=bsz, epochs=1,
+              learning_rate=0.02, seed=0, dtype=jnp.float64, acc_steps=2)
+    concat = bear_net.train(codes, counts, **kw)
+    streamed = train_streaming(
+        lambda: iter([(codes[:24], counts[:24]), (codes[24:], counts[24:])]),
+        block_steps=2, **kw)
+    assert len(streamed.losses) == 3
+    np.testing.assert_array_equal(concat.losses, streamed.losses)
+    for a, b in zip(concat.params_list, streamed.params_list):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_train_streaming_shuffle_deterministic_and_epoch_aware():
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import train_streaming
+
+    rng = np.random.default_rng(13)
+    lag, bsz, n = 3, 8, 64
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(4.0, (n, 5)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    kw = dict(num_kmers=n, ar_func=ar, batch_size=bsz, epochs=2,
+              learning_rate=0.02, dtype=jnp.float64, block_steps=4)
+
+    epochs_seen = []
+
+    def shards(epoch):
+        epochs_seen.append(epoch)
+        yield codes, counts
+
+    a = train_streaming(shards, seed=1, shuffle=True, **kw)
+    assert epochs_seen == [0, 1]  # epoch-aware callables get the epoch
+    b = train_streaming(shards, seed=1, shuffle=True, **kw)
+    np.testing.assert_array_equal(a.losses, b.losses)  # seeded: deterministic
+    c = train_streaming(shards, seed=2, shuffle=True, **kw)
+    assert not np.array_equal(a.losses, c.losses)  # a different permutation
+    # Shuffling permutes rows WITHIN batches too, so individual losses move,
+    # but the k-mer set is identical: the final fit must be comparable.
+    d = train_streaming(shards, seed=1, shuffle=False, **kw)
+    assert abs(a.losses[-1] - d.losses[-1]) / abs(d.losses[-1]) < 0.15
+
+
+def test_train_checkpoint_chunked_matches_single_and_resumes(tmp_path):
+    # VERDICT r2 task 2 (train() side): the chunked checkpointing mode is
+    # bit-identical to the single-scan run, and resuming from a mid-run
+    # checkpoint replays the remaining applies to the same trajectory.
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(14)
+    lag, bsz, n = 3, 8, 64  # 8 batches/epoch x 2 epochs = 16 applies
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(4.0, (n, 5)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    kw = dict(num_kmers=n, ar_func=ar, batch_size=bsz, epochs=2,
+              learning_rate=0.02, seed=0, dtype=jnp.float64)
+
+    plain = bear_net.train(codes, counts, **kw)
+
+    d1 = tmp_path / "ck1"
+    d1.mkdir()
+    chunked = bear_net.train(codes, counts, checkpoint_dir=str(d1),
+                             checkpoint_every=5, **kw)
+    np.testing.assert_array_equal(plain.losses, chunked.losses)
+    for a, b in zip(plain.params_list, chunked.params_list):
+        np.testing.assert_array_equal(a, b)
+    # the completed state was saved
+    st = ckpt.load_train_state(str(d1))
+    assert st is not None and st["applies_done"] == 16
+
+    # Simulate a kill after the 2nd checkpoint write (applies_done=10):
+    d2 = tmp_path / "ck2"
+    d2.mkdir()
+    writes = []
+    real_save = ckpt.save_train_state
+
+    def killing_save(out_dir, state):
+        real_save(out_dir, state)
+        writes.append(state["applies_done"])
+        if len(writes) == 2:
+            raise RuntimeError("simulated preemption")
+
+    ckpt_mod = ckpt
+    orig = ckpt_mod.save_train_state
+    ckpt_mod.save_train_state = killing_save
+    try:
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            bear_net.train(codes, counts, checkpoint_dir=str(d2),
+                           checkpoint_every=5, **kw)
+    finally:
+        ckpt_mod.save_train_state = orig
+    assert ckpt.load_train_state(str(d2))["applies_done"] == 10
+
+    resumed = bear_net.train(codes, counts, checkpoint_dir=str(d2),
+                             checkpoint_every=5, **kw)
+    # post-resume losses cover applies 10..16 only
+    assert len(resumed.losses) == 6
+    np.testing.assert_array_equal(plain.losses[10:], resumed.losses)
+    for a, b in zip(plain.params_list, resumed.params_list):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(plain.opt_state),
+                    jax.tree.leaves(resumed.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_streaming_checkpoint_resume(tmp_path):
+    # Streaming side: kill between blocks (after a checkpoint write), resume
+    # fast-forwards the stream and lands on the uninterrupted trajectory.
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import train_streaming
+    from bear_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(15)
+    lag, bsz, n = 3, 8, 96  # 12 batches over 3 shards; 2 epochs
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(4.0, (n, 5)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+
+    def shards():
+        for s0 in range(0, n, 32):
+            yield codes[s0:s0 + 32], counts[s0:s0 + 32]
+
+    kw = dict(num_kmers=n, ar_func=ar, batch_size=bsz, epochs=2,
+              learning_rate=0.02, seed=0, dtype=jnp.float64, block_steps=3)
+
+    plain = train_streaming(shards, **kw)
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    writes = []
+    real_save = ckpt.save_train_state
+
+    def killing_save(out_dir, state):
+        real_save(out_dir, state)
+        writes.append(state["applies_done"])
+        if len(writes) == 3:
+            raise RuntimeError("simulated preemption")
+
+    ckpt.save_train_state = killing_save
+    try:
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            train_streaming(shards, checkpoint_dir=str(d), **kw)
+    finally:
+        ckpt.save_train_state = real_save
+    killed_at = ckpt.load_train_state(str(d))["applies_done"]
+    assert 0 < killed_at < 24
+
+    resumed = train_streaming(shards, checkpoint_dir=str(d), **kw)
+    assert len(resumed.losses) == 24 - killed_at
+    np.testing.assert_array_equal(plain.losses[killed_at:], resumed.losses)
+    for a, b in zip(plain.params_list, resumed.params_list):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(plain.opt_state),
+                    jax.tree.leaves(resumed.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.load_train_state(str(d))["applies_done"] == 24

@@ -320,3 +320,12 @@ def test_multihost_train_example():
 
     assert mh.main(["--nproc", "2", "--lag", "3", "--reads-per-file", "200",
                     "--read-len", "50", "--epochs", "8"]) == 0
+
+
+def test_multihost_train_example_streaming():
+    # Streaming + data-parallel over the 2-process global mesh
+    # (train_streaming mesh=; VERDICT r2 task 1's multi-host leg).
+    import examples.multihost_train as mh
+
+    assert mh.main(["--nproc", "2", "--lag", "3", "--reads-per-file", "200",
+                    "--read-len", "50", "--epochs", "8", "--streaming"]) == 0

@@ -148,15 +148,60 @@ def test_run_net_streaming_matches_in_memory(tmp_path):
     assert "heldout_perplex_BEAR" in cfg_str["results"]
 
 
-def test_run_net_streaming_guards(tmp_path):
+def test_run_net_streaming_composes_dp_and_acc(tmp_path):
+    # [train] streaming + data_parallel + accumulation_steps compose at the
+    # CLI level (VERDICT r2 task 1; the reference composes exactly this:
+    # MirroredStrategy over a streamed dataset, bear_net.py:246,273) and
+    # match the in-memory data-parallel accumulate run exactly.
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
     from bear_tpu.models import train_bear_net
 
-    config = configparser.ConfigParser()
-    config.read(CFG)
-    config["general"]["out_folder"] = str(tmp_path) + "*"
-    config["train"]["streaming"] = "True"
-    config["train"]["accumulation_steps"] = "2"
-    import pytest
+    def run(streaming, out):
+        config = configparser.ConfigParser()
+        config.read(CFG)
+        config["general"]["out_folder"] = str(out) + "*"
+        config["train"]["data_parallel"] = "True"
+        config["train"]["accumulation_steps"] = "2"
+        config["train"]["epochs"] = "4"  # the TEST config's one batch/epoch
+        # gives 2 accumulation groups over 4 epochs
+        if streaming:
+            config["train"]["streaming"] = "True"
+        code = train_bear_net.main(config)
+        return config
 
-    with pytest.raises(ValueError, match="accumulation_steps"):
+    cfg_mem = run(False, tmp_path / "mem")
+    cfg_str = run(True, tmp_path / "str")
+    np.testing.assert_allclose(float(cfg_str["results"]["h"]),
+                               float(cfg_mem["results"]["h"]), rtol=1e-10)
+    np.testing.assert_allclose(
+        float(cfg_str["results"]["heldout_perplex_BEAR"]),
+        float(cfg_mem["results"]["heldout_perplex_BEAR"]), rtol=1e-10)
+
+
+def test_run_net_checkpoint_every_and_shuffle(tmp_path):
+    # [train] checkpoint_every leaves no stale mid-run state after a
+    # completed run and reproduces the plain trajectory; [train] shuffle
+    # trains to a comparable fit.
+    from bear_tpu.models import train_bear_net
+    from bear_tpu.utils.checkpoint import load_train_state
+
+    def run(out, **keys):
+        config = configparser.ConfigParser()
+        config.read(CFG)
+        config["general"]["out_folder"] = str(out) + "*"
+        for k, v in keys.items():
+            config["train"][k] = v
         train_bear_net.main(config)
+        return config
+
+    plain = run(tmp_path / "plain")
+    ck = run(tmp_path / "ck", checkpoint_every="3")
+    np.testing.assert_allclose(float(ck["results"]["h"]),
+                               float(plain["results"]["h"]), rtol=1e-12)
+    assert load_train_state(str(tmp_path / "ck")) is None  # cleared when done
+    sh = run(tmp_path / "sh", shuffle="True")
+    np.testing.assert_allclose(float(sh["results"]["h"]),
+                               float(plain["results"]["h"]), rtol=0.5)
