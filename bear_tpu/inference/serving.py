@@ -27,7 +27,29 @@ import numpy as np
 
 from bear_tpu.counting.engine import table_rows
 from bear_tpu.ops import alphabets
-from bear_tpu.ops.loggamma import log_dirichlet_draw
+from bear_tpu.ops.loggamma import fold_in_many, log_dirichlet_draw_keyed
+
+
+# Marsaglia-Tsang proposals per lane in the serving samplers. Acceptance is
+# >= 95% per proposal and the proposal itself is the Wilson-Hilferty cube
+# (the standard Gamma approximation), so the ~0.05^n residual that falls
+# back to the clamped last proposal is still near-distribution — 3 keeps the
+# contamination at ~1e-4 with a ~2x cheaper kernel than 6 (measured on v5e).
+SAMPLE_PROPOSALS = 3
+
+
+def _sampled_logp(keys, conc):
+    """Row-keyed posterior Dirichlet log-probs for a [..., A+1] concentration
+    tensor: ONE fused fixed-iteration sampling pass over every row (see
+    log_dirichlet_draw_keyed), replacing a vmap-of-vmap of per-row
+    fold_in + rejection-loop draws (50x slower; PERF.md). keys.shape must
+    equal conc.shape[:-1]; same key + concentration => same draw (the
+    stateless revisit semantics of assembly/serving)."""
+    shp = conc.shape
+    lg = log_dirichlet_draw_keyed(keys.reshape(-1), conc.reshape(-1, shp[-1]),
+                                  n_iter=SAMPLE_PROPOSALS)
+    lg = lg - jax.scipy.special.logsumexp(lg, axis=-1, keepdims=True)
+    return lg.reshape(shp)
 
 
 def _context_rows_and_next(codes, lengths, lag, A=4):
@@ -220,13 +242,11 @@ class BearServer:
             rows, nxt, mask = _context_rows_and_next(codes, lengths, lag, A)
             conc = concentrations(rows, gather_rows(table_arr, rows))
             B = rows.shape[0]
+            # Per-(sequence, row) keys — each sequence scores under its own
+            # sampled AR model; same row within a sequence reuses one draw.
             seq_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
-
-            def draw(seq_key, row, c):
-                lg = log_dirichlet_draw(jax.random.fold_in(seq_key, row), c)
-                return lg - jax.scipy.special.logsumexp(lg)
-
-            logp = jax.vmap(jax.vmap(draw, in_axes=(None, 0, 0)))(seq_keys, rows, conc)
+            elem_keys = jax.vmap(fold_in_many, in_axes=(0, 0))(seq_keys, rows)
+            logp = _sampled_logp(elem_keys, conc)
             picked = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
             return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
 
@@ -283,36 +303,47 @@ class BearServer:
 
             def logp(rows, nxt):
                 conc = concentrations(rows, gather_rows(table_arr, rows))
-
-                def draw(row, c):
-                    lg = log_dirichlet_draw(jax.random.fold_in(key, row), c)
-                    return lg - jax.scipy.special.logsumexp(lg)
-
-                lp = jax.vmap(jax.vmap(draw))(rows, conc)
+                lp = _sampled_logp(fold_in_many(key, rows), conc)
                 return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
 
             d = logp(r_mt, n_mt) - logp(r_wt, n_wt)
             return jnp.sum(jnp.where(valid, d, 0.0), axis=-1)
 
-        def var_delta_map(table_arr, rows_wt, nxt_wt, m_wt, rows_mt, nxt_mt,
-                          m_mt):
+        def _wt_windows(rows1, nxt1, pos, n_wt, i_wt):
+            """Wild-type covering windows by TRANSITION arithmetic: a
+            variant's wild-type windows are exactly transitions
+            t = pos..pos+n_wt-1 of the precomputed per-sequence
+            (row, next) arrays — no wild-type window building at all (the
+            same trick as the SNV path; reference get_var_probs.py:293-334
+            slices window strings per variant instead). ``i_wt`` is
+            arange(max wt window count) (an argument so its width is free
+            of the mutant width)."""
+            i = i_wt.astype(jnp.int32)[None, :]
+            m_wt = i < n_wt[:, None]
+            tc = jnp.clip(pos[:, None] + i, 0, rows1.shape[0] - 1)
+            return rows1[tc], nxt1[tc], m_wt
+
+        def var_delta_map(table_arr, rows1, nxt1, pos, n_wt, i_wt, rows_mt,
+                          nxt_mt, m_mt):
             """MAP Δ log-prob for ARBITRARY variants (multi-base
-            substitutions, insertions, deletions): the host supplies the
-            padded wild-type/mutant window rows + next symbols + validity
-            masks (exactly get_bear_probs' covering windows, reference
-            get_var_probs.py:293-334); the device does all the gathers and
-            likelihood math in one launch."""
+            substitutions, insertions, deletions): wild-type windows are
+            gathered in-kernel from the sequence transition arrays; the host
+            supplies only the vectorized mutant window rows + next symbols +
+            validity mask. Covering-window semantics of get_bear_probs
+            (reference get_var_probs.py:293-334), all gathers and likelihood
+            math in one launch."""
 
             def logp(rows, nxt):
                 conc = concentrations(rows, gather_rows(table_arr, rows))
                 lp = jnp.log(conc / jnp.sum(conc, axis=-1, keepdims=True))
                 return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
 
+            rows_wt, nxt_wt, m_wt = _wt_windows(rows1, nxt1, pos, n_wt, i_wt)
             return (jnp.sum(jnp.where(m_mt, logp(rows_mt, nxt_mt), 0.0), -1)
                     - jnp.sum(jnp.where(m_wt, logp(rows_wt, nxt_wt), 0.0), -1))
 
-        def var_delta_sampled(table_arr, rows_wt, nxt_wt, m_wt, rows_mt,
-                              nxt_mt, m_mt, key):
+        def var_delta_sampled(table_arr, rows1, nxt1, pos, n_wt, i_wt,
+                              rows_mt, nxt_mt, m_mt, key):
             """Posterior-SAMPLED Δ for arbitrary variants; draws are keyed
             statelessly on the table row so windows shared between wild type
             and mutant draw identically (their Δ contribution cancels
@@ -320,14 +351,10 @@ class BearServer:
 
             def logp(rows, nxt):
                 conc = concentrations(rows, gather_rows(table_arr, rows))
-
-                def draw(row, c):
-                    lg = log_dirichlet_draw(jax.random.fold_in(key, row), c)
-                    return lg - jax.scipy.special.logsumexp(lg)
-
-                lp = jax.vmap(jax.vmap(draw))(rows, conc)
+                lp = _sampled_logp(fold_in_many(key, rows), conc)
                 return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
 
+            rows_wt, nxt_wt, m_wt = _wt_windows(rows1, nxt1, pos, n_wt, i_wt)
             return (jnp.sum(jnp.where(m_mt, logp(rows_mt, nxt_mt), 0.0), -1)
                     - jnp.sum(jnp.where(m_wt, logp(rows_wt, nxt_wt), 0.0), -1))
 
@@ -441,58 +468,140 @@ class BearServer:
             return outs[0]
         return outs[0] if mc_samples == 1 else np.stack(outs, axis=-1)
 
+    def _encode_ragged(self, strs, lens, maxlen):
+        """Encode a list of variable-length strings into a padded [N, maxlen]
+        code matrix, vectorized per length group (no per-string Python
+        encode)."""
+        out = np.zeros((len(strs), maxlen), np.int32)
+        lens = np.asarray(lens)
+        for n in np.unique(lens):
+            if n == 0:
+                continue
+            sel = np.nonzero(lens == n)[0]
+            sub = np.asarray([strs[i] for i in sel])
+            out[sel, :n] = alphabets.encode_kmers(sub, self._alphabet)
+        return out
+
     def delta_scores_variants(self, wt_seq: str, variants, *,
-                              batch: int = 4096, mode: str = "map",
+                              batch: int = 1 << 18, mode: str = "map",
                               key=None, mc_samples: int = 1):
         """Δ log-prob (mutant − wild-type) for ARBITRARY variants — multi-
         base substitutions, insertions, deletions in the reference's
         'AAG23CC' syntax (get_var_probs.py:336-341) — batched on device.
 
-        The host builds each variant's covering (k+1)-mer windows once
-        (identical semantics to get_bear_probs / _variant_windows,
-        reference get_var_probs.py:293-334), encodes them to table rows
-        vectorized, and the device scores every variant in fixed-shape
-        batches. For pure SNV scans prefer :meth:`delta_scores_snv`, whose
-        windows are pure row arithmetic (no host window building at all).
+        Covering-window semantics are identical to get_bear_probs /
+        _variant_windows (reference get_var_probs.py:293-334), but nothing
+        is built per variant in Python: wild-type windows are pure
+        transition arithmetic in-kernel (the SNV trick generalized), and
+        mutant windows are spliced as CODE ARRAYS — one vectorized gather
+        into the encoded sequence selects left-context / variant / right-
+        context characters for every (variant, window, offset) at once,
+        then `_rows_from_codes` turns the windows into table rows. 10^6
+        mixed SNV+indel variants score in seconds on one chip.
 
         Returns [V] float scores (or [V, mc_samples] with mode="sample"
         and mc_samples > 1); MAP scores exactly match
         ``get_bear_probs(..., get_map=True)``.
         """
-        from bear_tpu.inference.scoring import (
-            STOP, _variant_windows, parse_var,
-        )
+        from bear_tpu.inference.scoring import parse_var
 
         lag = self._lag
-        padded = lag * "[" + wt_seq + STOP
-        parsed = [parse_var(v) if isinstance(v, str) else tuple(v)
-                  for v in np.asarray(variants)]
+        A = alphabets.alphabet_size(self._alphabet)
+        wt_codes = alphabets.encode_kmers(
+            np.array([wt_seq]), self._alphabet)[0].astype(np.int32)  # [L]
+        L = len(wt_codes)
+        if isinstance(variants, np.ndarray):
+            variants = variants.tolist()
+        else:
+            variants = list(variants)
+        if variants and not isinstance(variants[0], str):
+            parsed = variants  # pre-parsed (wt_aa, mt_aa, pos) triples
+        else:
+            parsed = [parse_var(v) for v in variants]
         V = len(parsed)
         if V == 0:
             return np.zeros((0,), np.float32)
 
-        ctx, nxt, counts = {"wt": [], "mt": []}, {"wt": [], "mt": []}, {"wt": [], "mt": []}
-        for var in parsed:
-            wt_k, mt_k = _variant_windows(padded, var, lag)
-            for side, ks in (("wt", wt_k), ("mt", mt_k)):
-                ctx[side] += [k[:-1] for k in ks]
-                nxt[side] += [k[-1] for k in ks]
-                counts[side].append(len(ks))
+        # Per-sequence transition arrays, shared by every variant's
+        # wild-type side (computed once, on device).
+        rows, nxt, _ = _context_rows_and_next(
+            jnp.asarray(wt_codes[None, :]), jnp.asarray([L], jnp.int32),
+            lag, A)
+        rows1, nxt1 = rows[0], nxt[0]  # [L+1]
 
-        sides = {}
-        for side in ("wt", "mt"):
-            n = np.asarray(counts[side], np.int64)
-            W = int(n.max()) if len(n) else 1
-            rows_f = contexts_to_rows(ctx[side], lag, self._alphabet)
-            nxt_f = alphabets.encode_output_symbols(
-                np.asarray(nxt[side]), self._alphabet
-            ).astype(np.int32)
-            rows = np.zeros((V, W), np.int32)
-            nxts = np.zeros((V, W), np.int32)
-            mask = np.arange(W)[None, :] < n[:, None]
-            rows[mask] = rows_f
-            nxts[mask] = nxt_f
-            sides[side] = (rows, nxts, mask)
+        # '['-padded + '$'-terminated char codes; both out-of-alphabet
+        # symbols carry code A ('[' only ever appears in context prefixes,
+        # '$' only as a final next symbol, so the shared code is unambiguous
+        # — alphabets.py's input/output column convention).
+        padded_enc = np.concatenate([
+            np.full(lag, A, np.int32), wt_codes, np.full(1, A, np.int32)])
+        len_padded = L + lag + 1
+
+        pos = np.asarray([p[2] for p in parsed], np.int64)
+        wt_aas = [p[0] for p in parsed]
+        mt_aas = [p[1] for p in parsed]
+        lw = np.asarray([len(a) for a in wt_aas], np.int64)
+        lm = np.asarray([len(a) for a in mt_aas], np.int64)
+        if (pos < 0).any() or (pos + lw > L).any():
+            raise ValueError("variant outside the wild-type sequence")
+        max_lw, max_lm = int(max(lw.max(), 1)), int(max(lm.max(), 1))
+        wt_var = self._encode_ragged(wt_aas, lw, max_lw)
+        mt_var = self._encode_ragged(mt_aas, lm, max_lm)
+
+        # Vectorized wild-type match assert (reference get_var_probs.py:309).
+        span = np.arange(max_lw)[None, :]
+        in_wt = span < lw[:, None]
+        ref_at = wt_codes[np.clip(pos[:, None] + span, 0, L - 1)]
+        mism = in_wt & (ref_at != wt_var)
+        if mism.any():
+            bad = int(np.nonzero(mism.any(1))[0][0])
+            raise AssertionError(
+                f"variant {parsed[bad]} does not match wild-type sequence "
+                f"at position {int(pos[bad])}"
+            )
+
+        p_pad = pos + lag
+        right_len = np.clip(len_padded - (p_pad + lw), 0, lag)
+        n_wt = (lw + right_len).astype(np.int32)  # wt covering windows
+        n_mt = (lm + right_len).astype(np.int32)  # mt covering windows
+        W_wt, W_mt = int(n_wt.max()), int(n_mt.max())
+
+        # Mutant local char matrix C[v, q]: left context (lag), variant
+        # letters (lm), right context (truncated at '$') — one vectorized
+        # 3-way select over gathers.
+        Q = 2 * lag + max_lm
+        q = np.arange(Q)[None, :]
+        is_left = q < lag
+        is_mid = (q >= lag) & (q < lag + lm[:, None])
+        idx_l = np.clip(p_pad[:, None] - lag + q, 0, len_padded - 1)
+        idx_r = np.clip(p_pad[:, None] + lw[:, None] + (q - lag - lm[:, None]),
+                        0, len_padded - 1)
+        C = np.where(
+            is_left, padded_enc[idx_l],
+            np.where(is_mid,
+                     mt_var[np.arange(V)[:, None],
+                            np.clip(q - lag, 0, max_lm - 1)],
+                     padded_enc[idx_r]))
+
+        # Window table rows by a Horner recurrence over C: code[v, i] for
+        # window i accumulates digit C[v, i+k] at each of the lag steps —
+        # [V, W_mt] arrays only, never a [V, W_mt, lag] window tensor (the
+        # 4x-memory/4x-time hot spot of the naive build). Pads ('[', always
+        # a window prefix) contribute digit 0 and are counted for the
+        # prefix-block offset, exactly _rows_from_codes' math.
+        iw = np.arange(W_mt)
+        code = np.zeros((V, W_mt), np.int64)
+        npad = np.zeros((V, W_mt), np.int64)
+        for k in range(lag):
+            ch = C[:, k:k + W_mt]
+            is_pad = ch == A
+            npad += is_pad
+            code *= A
+            code += np.where(is_pad, 0, ch)
+        rows_mt = ((A ** (lag - npad) - 1) // (A - 1) + code).astype(np.int32)
+        nxt_mt = C[:, iw + lag].astype(np.int32)           # [V, W_mt]
+        m_mt = iw[None, :] < n_mt[:, None]
+        pos32 = pos.astype(np.int32)
 
         if mode == "map":
             variants_fns = [(None, self._var_fn)]
@@ -504,27 +613,31 @@ class BearServer:
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
+        i_wt = jnp.arange(W_wt, dtype=jnp.int32)
         outs = []
         B = min(batch, V)
         for k, fn in variants_fns:
             out = np.empty(V, np.float32)
             for s in range(0, V, B):
                 e = min(s + B, V)
-                chunk = []
-                for side in ("wt", "mt"):
-                    rows, nxts, mask = sides[side]
-                    # Pad the tail chunk to the batch shape (one
-                    # compilation); padded rows are fully masked no-ops.
-                    r = np.zeros((B, rows.shape[1]), np.int32)
-                    x = np.zeros_like(r)
-                    m = np.zeros((B, rows.shape[1]), bool)
-                    r[: e - s], x[: e - s], m[: e - s] = (
-                        rows[s:e], nxts[s:e], mask[s:e])
-                    chunk += [jnp.asarray(r), jnp.asarray(x), jnp.asarray(m)]
-                args = (self._table, *chunk)
+                n = e - s
+                # Pad the tail chunk to the batch shape (one compilation);
+                # padded variants are fully masked no-ops (n_wt=0, m_mt
+                # False).
+                p_b = np.zeros(B, np.int32)
+                nw_b = np.zeros(B, np.int32)
+                r_b = np.zeros((B, W_mt), np.int32)
+                x_b = np.zeros((B, W_mt), np.int32)
+                m_b = np.zeros((B, W_mt), bool)
+                p_b[:n], nw_b[:n] = pos32[s:e], n_wt[s:e]
+                r_b[:n], x_b[:n], m_b[:n] = (
+                    rows_mt[s:e], nxt_mt[s:e], m_mt[s:e])
+                args = (self._table, rows1, nxt1, jnp.asarray(p_b),
+                        jnp.asarray(nw_b), i_wt, jnp.asarray(r_b),
+                        jnp.asarray(x_b), jnp.asarray(m_b))
                 if k is not None:
                     args = args + (k,)
-                out[s:e] = np.asarray(fn(*args))[: e - s]
+                out[s:e] = np.asarray(fn(*args))[:n]
             outs.append(out)
         if mode == "map":
             return outs[0]

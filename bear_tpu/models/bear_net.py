@@ -1183,3 +1183,34 @@ def h_scan(
     )
     ll_ear, _, _, perp_ear, _, _, acc_ear, _, _ = out
     return ll_ear, perp_ear, acc_ear
+
+
+def h_scan_streaming(
+    shards,
+    ds_loc_train,
+    ds_loc_test,
+    alphabet,
+    h_values,
+    ar_func: ARFunc,
+    ar_params,
+    **kwargs,
+):
+    """Shard-streamed h_scan: the paper's model-selection tool (reference
+    bear_net.py:465-531, docs/usage.rst:269-282) with memory bounded by one
+    shard — the vector-h broadcast rides evaluation_streaming's block
+    machinery unchanged (metrics are pure per-k-mer sums, so shard
+    boundaries cannot move them). Same contract/returns as ``h_scan``;
+    ``shards`` as in ``evaluation_streaming``."""
+    out = evaluation_streaming(
+        shards,
+        ds_loc_train,
+        ds_loc_test,
+        alphabet,
+        np.asarray(h_values),
+        ar_func,
+        ar_params,
+        van_reg=np.ones(1),
+        **kwargs,
+    )
+    ll_ear, _, _, perp_ear, _, _, acc_ear, _, _ = out
+    return ll_ear, perp_ear, acc_ear

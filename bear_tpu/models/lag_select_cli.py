@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-ds", type=int, default=None,
                    help="Dataset columns in the TSVs (--counts mode; "
                         "default: sniff).")
+    p.add_argument("--passes", type=int, default=1,
+                   help="Count in N sequential row-range passes on one chip "
+                        "(lag 14-15 tables beyond one chip's HBM; the "
+                        "marginal sweep then streams the sparse rows).")
+    p.add_argument("--kmer-shards", type=int, default=1,
+                   help="Shard the count tables over N devices along a "
+                        "'kmer' mesh axis (counting mode).")
     p.add_argument("--json", action="store_true",
                    help="Print one machine-readable JSON line instead of "
                         "the table.")
@@ -66,7 +73,9 @@ def main(args) -> int:
 
         enable_compilation_cache()
         counter = run_counting(args.input, lags=lags, reverse=args.r,
-                               alphabet=args.alphabet, ambig=args.ambig)
+                               alphabet=args.alphabet, ambig=args.ambig,
+                               passes=args.passes,
+                               kmer_shards=args.kmer_shards)
         sel = select_lag(counter, alphas=args.alphas, group=args.group)
 
     best = sel.best

@@ -70,7 +70,14 @@ def select_lag(
     rows, not 4^lag.
     """
     alphas = np.asarray(list(alphas), dtype=np.float64)
-    tables = counter.tables
+    try:
+        tables = counter.tables
+    except ValueError:
+        # Lag 14-15 scale: the dense host table is infeasible, but the sweep
+        # only ever needs nonzero rows — stream them through the sparse
+        # accessors (KmerSharded / MultiPass counters).
+        return select_lag_sparse(counter, alphas=alphas, group=group,
+                                 batch_size=batch_size)
     out = np.zeros((len(counter.lags), len(alphas)))
     for i, lag in enumerate(counter.lags):
         rows = np.nonzero(tables[lag][group].sum(axis=-1))[0]
@@ -78,6 +85,29 @@ def select_lag(
             out[i] += marginal_from_counts(
                 tables[lag][group][rows[start : start + batch_size]], alphas
             )
+    return LagSelection(lags=tuple(counter.lags), log_marginals=out, alphas=alphas)
+
+
+def select_lag_sparse(
+    counter,
+    alphas: Sequence[float] = (0.01, 0.1, 1.0),
+    group: int = 0,
+    batch_size: int = 1 << 20,
+) -> LagSelection:
+    """select_lag over a SPARSE counter (KmerShardedTransitionCounter /
+    MultiPassTransitionCounter): streams nonzero rows through
+    counts_for_rows in ``batch_size`` blocks, so lag 14-15 model selection
+    — the paper's tool (reference bear_net.py:465-531, docs/usage.rst:269-271)
+    — runs without ever materializing a dense table. Rows absent from the
+    sparse set contribute exactly 0, so the result equals the dense sweep."""
+    alphas = np.asarray(list(alphas), dtype=np.float64)
+    out = np.zeros((len(counter.lags), len(alphas)))
+    for i, lag in enumerate(counter.lags):
+        rows = counter.nonzero_rows(lag)
+        for start in range(0, len(rows), batch_size):
+            counts = counter.counts_for_rows(
+                lag, rows[start : start + batch_size])[:, group]
+            out[i] += marginal_from_counts(counts, alphas)
     return LagSelection(lags=tuple(counter.lags), log_marginals=out, alphas=alphas)
 
 

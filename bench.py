@@ -299,6 +299,73 @@ def bench_serving():
     return dict(seqs_per_sec=REPS * B / dt, bases_per_sec=REPS * B * L / dt)
 
 
+def bench_serving_sampled():
+    """Posterior-SAMPLED batch scoring (BEAR's distinguishing capability):
+    per-sequence AR draws, row-keyed fixed-iteration sampler
+    (ops/loggamma.log_dirichlet_draw_keyed). Same protocol as bench_serving."""
+    from bear_tpu.counting.engine import table_rows
+    from bear_tpu.inference.serving import BearServer
+
+    lag, B, L = 10, 4096, 256
+    rng = np.random.default_rng(0)
+    table = rng.poisson(0.05, size=(table_rows(lag), 5)).astype(np.float32)
+    server = BearServer(table, lag, van=0.5, dtype=jnp.float32)
+    codes = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8))
+    lengths = jnp.full((B,), L, jnp.int32)
+    key = jax.random.key(0)
+    REPS = 8
+
+    @jax.jit
+    def score_many(table_arr, codes, lengths, key):
+        def body(acc, i):
+            return acc + jnp.sum(server._sample_fn(
+                table_arr, codes, lengths, jax.random.fold_in(key, i))), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
+        return acc
+
+    _ = float(score_many(server._table, codes, lengths, key))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(score_many(server._table, codes, lengths, key))
+        dt = min(dt, time.perf_counter() - t0)
+    return dict(seqs_per_sec=REPS * B / dt, bases_per_sec=REPS * B * L / dt)
+
+
+def bench_variants():
+    """Full-grammar DMS: 10^6 MIXED variants (SNVs + multi-base subs +
+    insertions + deletions) MAP Δ-scored via vectorized code-array window
+    construction (BearServer.delta_scores_variants)."""
+    from bear_tpu.counting.engine import table_rows
+    from bear_tpu.inference.serving import BearServer
+
+    lag, L, V = 10, 20000, 1_000_000
+    rng = np.random.default_rng(0)
+    table = rng.poisson(0.05, size=(table_rows(lag), 5)).astype(np.float32)
+    server = BearServer(table, lag, van=0.5, dtype=jnp.float32)
+    letters = np.array(list("ACGT"))
+    wt = "".join(rng.choice(letters, L))
+    kinds = rng.integers(0, 4, V)
+    pos = rng.integers(0, L - 4, V)
+    variants = []
+    for k, p in zip(kinds, pos):
+        if k == 0:    # SNV
+            variants.append((wt[p], letters[rng.integers(4)], p))
+        elif k == 1:  # multi-base substitution (2 -> 2)
+            variants.append((wt[p:p + 2], "".join(rng.choice(letters, 2)), p))
+        elif k == 2:  # insertion (1 -> 3)
+            variants.append((wt[p], wt[p] + "".join(rng.choice(letters, 2)), p))
+        else:         # deletion (3 -> 1)
+            variants.append((wt[p:p + 3], wt[p], p))
+    server.delta_scores_variants(wt, variants[:1 << 14])  # compile
+    t0 = time.perf_counter()
+    out = server.delta_scores_variants(wt, variants)
+    _ = float(out[-1])
+    dt = time.perf_counter() - t0
+    return dict(variants_per_sec=V / dt, million_variants_seconds=dt)
+
+
 def bench_snv():
     """DMS-scale variant scoring: 10^6 SNVs MAP Δ-scored on device
     (BearServer.delta_scores_snv; the reference's get_var_probs loops per
@@ -431,9 +498,17 @@ def main():
     except Exception as e:
         results["serving_error"] = repr(e)
     try:
+        results["serving_sampled"] = bench_serving_sampled()
+    except Exception as e:
+        results["serving_sampled_error"] = repr(e)
+    try:
         results["snv"] = bench_snv()
     except Exception as e:
         results["snv_error"] = repr(e)
+    try:
+        results["variants"] = bench_variants()
+    except Exception as e:
+        results["variants_error"] = repr(e)
     try:
         results["ysd1"] = bench_ysd1_train()
     except Exception as e:
@@ -456,7 +531,9 @@ def main():
         "host_pack_mbases_per_sec": round((results.get("host_pack") or {}).get("mbases_per_sec", 0.0)),
         "assemble_letters_per_sec": round((results.get("assemble") or {}).get("letters_per_sec", 0.0)),
         "serving_map_seqs_per_sec": round((results.get("serving") or {}).get("seqs_per_sec", 0.0)),
+        "serving_sampled_seqs_per_sec": round((results.get("serving_sampled") or {}).get("seqs_per_sec", 0.0)),
         "snv_scores_per_sec": round((results.get("snv") or {}).get("snvs_per_sec", 0.0)),
+        "variant_scores_per_sec": round((results.get("variants") or {}).get("variants_per_sec", 0.0)),
         "bmm_heldout_perplexity": ysd1.get("bmm_heldout_perplexity"),
         "bear_heldout_perplexity": ysd1.get("bear_heldout_perplexity"),
         "learned_h": ysd1.get("h"),
@@ -465,7 +542,8 @@ def main():
     }
     for k in ("lag13_error", "counting_error", "loggamma_error",
               "host_pack_error", "assemble_error", "serving_error",
-              "snv_error", "ysd1_error"):
+              "serving_sampled_error", "snv_error", "variants_error",
+              "ysd1_error"):
         if k in results:
             line[k] = results[k]
     print(json.dumps(line))

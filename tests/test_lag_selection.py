@@ -124,3 +124,71 @@ def test_cli_counting_route_honors_ambig(tmp_path):
     got_default = run([])
     assert not np.allclose(np.array(got_default["log_marginals"]),
                            sel_skip.log_marginals)
+
+
+def test_select_lag_sparse_matches_dense():
+    # The sparse-accessor sweep (lag 14-15 scale model selection) equals the
+    # dense-table sweep exactly, through both a MultiPass and a kmer-sharded
+    # counter, and through select_lag's auto-dispatch.
+    import numpy as np
+
+    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+    from bear_tpu.counting.multipass import MultiPassTransitionCounter
+    from bear_tpu.models.lag_selection import select_lag, select_lag_sparse
+
+    rng = np.random.default_rng(0)
+    n_reads, rlen = 16, 40
+    codes = rng.integers(0, 4, size=(n_reads, rlen)).astype(np.int8)
+    chunk = ReadChunk(
+        codes=codes,
+        lengths=np.full(n_reads, rlen, np.int32),
+        skip=np.zeros(n_reads, np.int32),
+        stopped=np.ones(n_reads, bool),
+        groups=rng.integers(0, 2, n_reads).astype(np.int32),
+    )
+    dense = TransitionCounter(lags=[2, 3], n_groups=2, method="scatter")
+    dense.add_chunk(chunk)
+    want = select_lag(dense, group=1)
+
+    mp = MultiPassTransitionCounter(lags=[2, 3], n_groups=2, passes=3,
+                                    method="scatter")
+    for p in range(mp.passes):
+        mp.begin_pass(p)
+        mp.add_chunk(chunk)
+    mp.finish()
+    got = select_lag_sparse(mp, group=1)
+    np.testing.assert_allclose(got.log_marginals, want.log_marginals,
+                               rtol=1e-12)
+    assert got.best == want.best
+    # tiny batch_size exercises the row streaming
+    got_b = select_lag_sparse(mp, group=1, batch_size=7)
+    np.testing.assert_allclose(got_b.log_marginals, want.log_marginals,
+                               rtol=1e-12)
+
+
+def test_h_scan_streaming_matches_in_memory():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bear_tpu.models import bear_net, get_ar_func
+
+    rng = np.random.default_rng(4)
+    lag, n = 3, 96
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(5.0, (n, 2, 5)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    params = [np.asarray(p) for p in ar.init(jax.random.key(0))]
+    hs = [0.01, 0.1, 1.0]
+    kw = dict(batch_size=16, dtype=jnp.float64, seed=3)
+
+    want = bear_net.h_scan(codes, counts, 0, 1, "dna", hs, ar, params, **kw)
+
+    def shards():  # >= 2 shards, batch-aligned
+        yield codes[:32], counts[:32]
+        yield codes[32:], counts[32:]
+
+    got = bear_net.h_scan_streaming(shards, 0, 1, "dna", hs, ar, params,
+                                    block_steps=2, **kw)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)

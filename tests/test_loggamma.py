@@ -64,3 +64,57 @@ def test_log_gamma_pdf_matches_change_of_variables():
         np.testing.assert_allclose(
             np.asarray(log_gamma_pdf(c, ys)), want, rtol=1e-5, atol=1e-12
         )
+
+
+def test_log_dirichlet_draw_keyed_ks_and_determinism():
+    # The fixed-iteration batched sampler behind fast posterior-SAMPLED
+    # serving: distributionally Gamma (KS, incl. the tiny-conc h-regime) and
+    # deterministic per (key, row) — the stateless revisit semantics.
+    import jax
+    import jax.numpy as jnp
+    from scipy import stats
+    from scipy.special import gammainc
+
+    from bear_tpu.ops.loggamma import fold_in_many, log_dirichlet_draw_keyed
+
+    key = jax.random.key(0)
+    N = 100_000
+    keys = fold_in_many(key, jnp.arange(N))
+    concs = [0.01, 0.1, 1.0, 30.0]
+    conc_mat = jnp.broadcast_to(jnp.asarray(concs, jnp.float32), (N, 4))
+    lg = np.asarray(log_dirichlet_draw_keyed(keys, conc_mat), np.float64)
+    for j, c in enumerate(concs):
+        u = gammainc(c, np.exp(np.clip(lg[:, j], -700.0, 700.0)))
+        p = stats.kstest(u, "uniform").pvalue
+        assert p > 0.1 / len(concs), (c, p)
+    # determinism: same keys + concs -> bit-identical draws
+    lg2 = np.asarray(log_dirichlet_draw_keyed(keys, conc_mat), np.float64)
+    np.testing.assert_array_equal(lg, lg2)
+    # different rows -> different draws
+    keys_b = fold_in_many(key, jnp.arange(N) + N)
+    lg3 = np.asarray(log_dirichlet_draw_keyed(keys_b, conc_mat))
+    assert not np.array_equal(lg, lg3)
+    # zero concentration -> excluded category
+    lgz = np.asarray(log_dirichlet_draw_keyed(
+        keys[:8], jnp.asarray([[0.0, 1.0, 2.0, 0.5]] * 8, jnp.float32)))
+    assert np.all(np.isneginf(lgz[:, 0])) and np.all(np.isfinite(lgz[:, 1:]))
+
+
+def test_log_dirichlet_draw_keyed_dirichlet_moments():
+    import jax
+    import jax.numpy as jnp
+    from scipy.special import logsumexp
+
+    from bear_tpu.ops.loggamma import fold_in_many, log_dirichlet_draw_keyed
+
+    key = jax.random.key(3)
+    N = 200_000
+    crow = np.array([0.3, 2.0, 0.0, 5.0, 0.05], np.float32)
+    keys = fold_in_many(key, jnp.arange(N))
+    lg = np.asarray(log_dirichlet_draw_keyed(
+        keys, jnp.broadcast_to(crow, (N, 5))), np.float64)
+    p = np.exp(lg - logsumexp(lg, axis=1, keepdims=True))
+    want = crow / crow.sum()
+    np.testing.assert_allclose(p.mean(0), want, atol=3e-3)
+    var_want = want * (1 - want) / (crow.sum() + 1)
+    np.testing.assert_allclose(p.var(0), var_want, rtol=0.05, atol=1e-5)

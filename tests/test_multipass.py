@@ -167,3 +167,50 @@ def test_run_counting_passes_guards(tmp_path):
         run_counting(str(csv), lags=[2], passes=2, kmer_shards=2)
     with pytest.raises(ValueError, match="checkpoint"):
         run_counting(str(csv), lags=[2], passes=2, checkpoint=str(tmp_path / "c"))
+
+
+def test_multipass_lag15_row_codes_int32_edge():
+    # The 4^15 row-code edge (VERDICT r2 task 4): the all-T lag-15 context
+    # sits at the table's last row, (4^15-1)/3 + 4^15 - 1 = 1,431,655,764 —
+    # 0.67 * int32 max. Counting a poly-T read at lag 15 must place exact
+    # counts there through the multipass kernel's int32 row math, and the
+    # '['-padded prefix rows must land in pass 0's range.
+    from bear_tpu.counting.engine import ReadChunk, table_rows
+
+    lag, P = 15, 16
+    rlen = 40
+    codes = np.full((2, rlen), 3, np.int8)  # TTTT...T
+    chunk = ReadChunk(
+        codes=codes, lengths=np.full(2, rlen, np.int32),
+        skip=np.zeros(2, np.int32), stopped=np.ones(2, bool),
+        groups=np.zeros(2, np.int32),
+    )
+    mp = MultiPassTransitionCounter(lags=[lag], n_groups=1, passes=P,
+                                    method="scatter")
+    for p in range(P):
+        mp.begin_pass(p)
+        mp.add_chunk(chunk)
+    mp.finish()
+    mp.validate(expected_transitions=2 * (rlen + 1))
+
+    A = 4
+    last_row = (A**lag - 1) // (A - 1) + A**lag - 1
+    assert last_row == table_rows(lag) - 1 > np.iinfo(np.int32).max // 2
+    got = mp.counts_for_rows(lag, np.array([last_row]))[0, 0]
+    # all-T context occurs at transitions lag..rlen per read: next T for
+    # j < rlen, stop at j = rlen -> per read (rlen - lag) T's and 1 stop.
+    np.testing.assert_array_equal(got, [0, 0, 0, 2 * (rlen - lag), 2])
+    # '['-padded full-pad prefix row (row 0) counts the first base of each
+    # read exactly once.
+    got0 = mp.counts_for_rows(lag, np.array([0]))[0, 0]
+    np.testing.assert_array_equal(got0, [0, 0, 0, 2, 0])
+
+
+def test_lag15_demo_small_smoke():
+    # The demo harness end-to-end at a CPU-friendly lag (same code path the
+    # chip run uses: multipass count -> validate -> oracle -> streamed train
+    # -> sparse TableCounter serving).
+    import tools.lag15_demo as demo
+
+    assert demo.main(["--lag", "5", "--passes", "3", "--bases", "4e4",
+                      "--read-len", "50", "--oracle-reads", "1000"]) == 0

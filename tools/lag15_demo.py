@@ -1,0 +1,180 @@
+"""Lag-15 single-chip end-to-end demo: count -> validate -> train -> serve.
+
+The last rung single-chip hardware can reach (VERDICT r2 task 4): the dense
+lag-15 DNA table is ``table_rows(15) = (4^16-1)/3 = 1.431e9`` rows x 5 = 28 GB
+int32 — beyond one chip's HBM — but a 1/``passes`` row-range slice fits, so
+``MultiPassTransitionCounter`` counts it exactly by re-streaming the reads
+once per pass (the device analog of KMC's bounded-RAM disk passes; KMC
+handles k <= 256, reference summarize.py:322-328).
+
+Steps:
+1. synthesize a Markov genome's reads (deterministic seed);
+2. count lag 15 in ``--passes`` sequential row-range passes on ONE chip;
+3. validate: exact count conservation + oracle spot-check of every distinct
+   k-mer in a subsampled region against a brute-force Python recount;
+4. train a streamed linear BEAR on row-range shards of the counted dataset;
+5. serve: posterior MAP scores for held-out reads through the sparse
+   TableCounter random-access path (the py_kmc_api role).
+
+Run on the chip:  python tools/lag15_demo.py --passes 16
+Small smoke test: python tools/lag15_demo.py --lag 6 --passes 3 --bases 2e5
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def synth_reads(n_bases: int, read_len: int, seed: int = 0):
+    """Markov-structured reads (so the model has something to learn)."""
+    rng = np.random.default_rng(seed)
+    trans = rng.dirichlet(np.full(4, 0.7), size=4)
+    cum = np.cumsum(trans, axis=1)
+    n_reads = max(1, int(n_bases) // read_len)
+    u = rng.random((n_reads, read_len))
+    codes = np.empty((n_reads, read_len), np.int8)
+    codes[:, 0] = rng.integers(0, 4, size=n_reads)
+    for j in range(1, read_len):
+        codes[:, j] = (u[:, j:j + 1] > cum[codes[:, j - 1]]).sum(1)
+    return codes
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--lag", type=int, default=15)
+    ap.add_argument("--passes", type=int, default=16)
+    ap.add_argument("--bases", type=float, default=8e6)
+    ap.add_argument("--read-len", type=int, default=200)
+    ap.add_argument("--batch-reads", type=int, default=4096)
+    ap.add_argument("--oracle-reads", type=int, default=20,
+                    help="reads in the brute-force oracle spot check")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from bear_tpu.counting.engine import ReadChunk, table_rows
+    from bear_tpu.counting.multipass import MultiPassTransitionCounter
+    from bear_tpu.models import bear_net, get_ar_func
+    from bear_tpu.inference.scoring import TableCounter, get_bear_probs_seqs
+
+    lag, P = args.lag, args.passes
+    print(f"device: {jax.devices()[0]}", flush=True)
+    rows_total = table_rows(lag)
+    stride = -(-rows_total // P)
+    slice_gb = stride * 5 * 4 / 1e9
+    print(f"lag {lag}: {rows_total:,} table rows; {P} passes -> "
+          f"{stride:,} rows/pass ({slice_gb:.2f} GB int32 slice)", flush=True)
+
+    codes = synth_reads(args.bases, args.read_len)
+    n_reads, rlen = codes.shape
+    total_transitions = n_reads * (rlen + 1)
+    print(f"{n_reads:,} reads x {rlen} bp = {n_reads * rlen / 1e6:.1f}M bases",
+          flush=True)
+
+    def chunks():
+        for s in range(0, n_reads, args.batch_reads):
+            c = codes[s:s + args.batch_reads]
+            n = len(c)
+            yield ReadChunk(
+                codes=c, lengths=np.full(n, rlen, np.int32),
+                skip=np.zeros(n, np.int32), stopped=np.ones(n, bool),
+                groups=np.zeros(n, np.int32),
+            )
+
+    # ---- count ----------------------------------------------------------
+    t0 = time.time()
+    counter = MultiPassTransitionCounter(lags=[lag], n_groups=1, passes=P)
+    for p in range(P):
+        tp = time.time()
+        counter.begin_pass(p)
+        for ch in chunks():
+            counter.add_chunk(ch)
+        counter.sync()
+        print(f"  pass {p + 1}/{P}: {time.time() - tp:.1f}s", flush=True)
+    counter.finish()
+    count_s = time.time() - t0
+    print(f"counted in {count_s:.1f}s "
+          f"({P * total_transitions / count_s / 1e6:.1f}M kernel "
+          f"transitions/s incl. re-streaming)", flush=True)
+
+    # ---- validate -------------------------------------------------------
+    totals = counter.validate(expected_transitions=total_transitions)
+    print(f"count conservation exact: {totals[lag]:,} transitions", flush=True)
+
+    # Brute-force oracle over a subsampled region: every distinct k-mer of
+    # the first oracle reads, including '['-padded prefixes and the stop.
+    from collections import defaultdict
+
+    oracle = defaultdict(lambda: np.zeros(5, np.int64))
+    A = 4
+    for read in codes[:args.oracle_reads]:
+        padded = [A] * lag + list(read)
+        for j in range(len(read) + 1):
+            ctx = tuple(padded[j:j + lag])
+            nxt = int(read[j]) if j < len(read) else 4
+            oracle[ctx][nxt] += 1
+    ctxs = np.array(sorted(oracle.keys()), np.int64)
+    is_pad = ctxs == A
+    n_pad = is_pad.sum(1)
+    powA = A ** np.arange(lag - 1, -1, -1, dtype=np.int64)
+    rows = (A ** (lag - n_pad) - 1) // (A - 1) + np.where(is_pad, 0, ctxs) @ powA
+    got = counter.counts_for_rows(lag, rows)[:, 0, :]
+    want = np.stack([oracle[tuple(c)] for c in ctxs])
+    # counts_for_rows covers the WHOLE corpus; the oracle region is a
+    # subset, so oracle <= got elementwise, with equality whenever a context
+    # is unique to the region. Check exact equality on a full recount
+    # instead when the corpus is small, else the subset inequality.
+    if args.oracle_reads >= n_reads:
+        assert np.array_equal(got, want), "oracle mismatch"
+        print(f"oracle spot-check: EXACT equality on all {len(rows):,} "
+              "distinct contexts", flush=True)
+    else:
+        assert np.all(got >= want), "oracle mismatch (missing counts)"
+        assert got.sum() >= want.sum()
+        print(f"oracle spot-check: {len(rows):,} distinct contexts of "
+              f"{args.oracle_reads} reads all covered (subset-consistent)",
+              flush=True)
+
+    # ---- train (streamed) ----------------------------------------------
+    ds = counter.to_dataset(lag)
+    n = len(ds.codes)
+    print(f"{n:,} distinct k-mer contexts -> streamed training", flush=True)
+    shard_rows = 1 << 20
+
+    def shards():
+        for s in range(0, n, shard_rows):
+            yield (ds.codes[s:s + shard_rows],
+                   ds.counts[s:s + shard_rows, 0].astype(np.float32))
+
+    t0 = time.time()
+    ar = get_ar_func("linear", lag, 4)
+    res = bear_net.train_streaming(
+        shards, n, ar, batch_size=1 << 15, epochs=1, learning_rate=0.01,
+        block_steps=16,
+    )
+    train_s = time.time() - t0
+    print(f"trained {len(res.losses)} applies in {train_s:.1f}s; "
+          f"h={res.h:.4f}; final ELBO {res.elbos[-1]:.4g}", flush=True)
+
+    # ---- serve (sparse random access) -----------------------------------
+    tc = TableCounter(counter, lag)
+    seqs = ["".join("ACGT"[b] for b in codes[i]) for i in range(4)]
+    t0 = time.time()
+    scores = get_bear_probs_seqs(
+        None, seqs, 0, get_map=True, vans=[0.5], lag=lag,
+        alphabet_name="dna", h=res.h, counter=tc,
+    )
+    print(f"served {len(seqs)} x {rlen} bp reads (MAP, sparse TableCounter) "
+          f"in {time.time() - t0:.1f}s; scores[0]={np.asarray(scores)[0]}",
+          flush=True)
+    print("LAG15 DEMO OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
