@@ -127,13 +127,21 @@ def log_dirichlet_draw_keyed(keys, conc, n_iter: int = 6):
     pos = v > 0
     vs = jnp.where(pos, v, 1.0)
     # Marsaglia-Tsang log acceptance test.
-    ok = pos & (-neg_log_u < 0.5 * x * x + d - d * vs + d * jnp.log(vs))
-    first = jnp.argmax(ok, axis=-1)  # first accepted proposal per lane
-    any_ok = jnp.any(ok, axis=-1)
-    v_sel = jnp.take_along_axis(vs, first[..., None], axis=-1)[..., 0]
+    ok = (pos & (-neg_log_u < 0.5 * x * x + d - d * vs + d * jnp.log(vs))
+          ).astype(dtype)
+    # FIRST-accept selection, gather-free: argmax + take_along_axis on the
+    # minor proposal axis lower to serial minor-dim gathers on TPU (measured
+    # 18x the cost of the draws themselves); a cumprod survival mask turns
+    # the whole selection into multiplies and one reduce.
+    not_prior = jnp.cumprod(1.0 - ok, axis=-1)  # no accept at <= i
+    prior_none = jnp.concatenate(
+        [jnp.ones_like(not_prior[..., :1]), not_prior[..., :-1]], axis=-1)
+    sel = ok * prior_none  # one-hot on the first accepted proposal
+    v_sel = jnp.sum(vs * sel, axis=-1)
+    none_ok = not_prior[..., -1]  # 1.0 where every proposal missed
     # Fallback (prob 0.04^F): clamp the LAST proposal's cube into support.
     v_fb = jnp.maximum(v[..., -1], jnp.asarray(1e-3, dtype))
-    v_fin = jnp.where(any_ok, v_sel, v_fb)
+    v_fin = v_sel + none_ok * v_fb
     log_g1 = jnp.log(d[..., 0]) + jnp.log(v_fin)  # log Gamma(conc + 1)
     lg = log_g1 - boost_e / safe
     return jnp.where(conc > 0, lg, -jnp.inf)

@@ -227,6 +227,7 @@ def test_packed_empty_reads_preserved():
         assert counter.tables[lag][0, stop_row, 4] == 1
 
 
+@pytest.mark.slow
 def test_sharded_counters_match_oracle():
     # Both multi-device counters (replicated-table DP and row-split TP) on
     # the virtual 8-device mesh under ambig pieces.

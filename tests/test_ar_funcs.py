@@ -1,5 +1,6 @@
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from bear_tpu.models import make_ar_func_cnn, make_ar_func_linear, make_ar_func_stop
@@ -70,6 +71,7 @@ def test_stop():
     np.testing.assert_array_equal(np.asarray(probs)[:, :-1], 0.0)
 
 
+@pytest.mark.slow
 def test_attention_shapes_and_training():
     from bear_tpu.models.ar_funcs import make_ar_func_attention
     from bear_tpu.models import bear_net
@@ -131,6 +133,7 @@ def test_apply_is_jittable_and_differentiable():
     assert np.all(np.isfinite(np.asarray(g[0])))
 
 
+@pytest.mark.slow
 def test_apply_codes_matches_apply():
     # The flat-one-hot fast path must agree with the one-hot apply for every
     # AR function that provides it (bit-compatible up to reassociation).

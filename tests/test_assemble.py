@@ -119,6 +119,7 @@ def test_assemble_cli_end_to_end(tmp_path):
     assert all(s.startswith("ACGT") and len(s) == 4 + 15 for _, s in gen)
 
 
+@pytest.mark.slow
 def test_assemble_cli_with_model_dir(tmp_path):
     # CLI --model-dir route: train the TEST config model, then extend seeds
     # under its BEAR posterior (exercises load_bear -> assemble end to end).

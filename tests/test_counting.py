@@ -510,6 +510,7 @@ def test_to_device_dataset_matches_host_handoff():
     np.testing.assert_array_equal(np.asarray(counts_h), ds.counts)
 
 
+@pytest.mark.slow
 def test_train_on_device_dataset_matches_host():
     # Training on the device handoff gives bit-identical losses/params to
     # training on the host dataset.

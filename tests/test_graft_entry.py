@@ -31,11 +31,13 @@ def test_entry_compiles_and_is_finite():
 
 
 @pytest.mark.parametrize("n", [8, 5])
+@pytest.mark.slow
 def test_dryrun_multichip(n):
     g = _load()
     g.dryrun_multichip(n)  # asserts internally (finite loss, exact counts)
 
 
+@pytest.mark.slow
 def test_dryrun_fallback_rewrites_device_count():
     # Regression (ADVICE r1): a pre-set SMALLER
     # xla_force_host_platform_device_count must be rewritten, not kept —

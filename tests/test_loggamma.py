@@ -78,7 +78,7 @@ def test_log_dirichlet_draw_keyed_ks_and_determinism():
     from bear_tpu.ops.loggamma import fold_in_many, log_dirichlet_draw_keyed
 
     key = jax.random.key(0)
-    N = 100_000
+    N = 60_000
     keys = fold_in_many(key, jnp.arange(N))
     concs = [0.01, 0.1, 1.0, 30.0]
     conc_mat = jnp.broadcast_to(jnp.asarray(concs, jnp.float32), (N, 4))
@@ -108,7 +108,7 @@ def test_log_dirichlet_draw_keyed_dirichlet_moments():
     from bear_tpu.ops.loggamma import fold_in_many, log_dirichlet_draw_keyed
 
     key = jax.random.key(3)
-    N = 200_000
+    N = 120_000
     crow = np.array([0.3, 2.0, 0.0, 5.0, 0.05], np.float32)
     keys = fold_in_many(key, jnp.arange(N))
     lg = np.asarray(log_dirichlet_draw_keyed(

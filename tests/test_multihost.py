@@ -111,6 +111,7 @@ SPARSE_WORKER = textwrap.dedent(
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+@pytest.mark.slow
 def test_two_process_sparse_allreduce(tmp_path):
     worker = tmp_path / "sparse_worker.py"
     worker.write_text(SPARSE_WORKER)
@@ -243,6 +244,7 @@ TRAIN_WORKER = textwrap.dedent(
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+@pytest.mark.slow
 def test_two_process_training(tmp_path):
     """count -> allreduce -> data-parallel train/eval over a GLOBAL 2-process
     mesh: both processes must agree bit-for-bit (same global computation) and
@@ -314,6 +316,7 @@ def test_multihost_counting_example():
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+@pytest.mark.slow
 def test_multihost_train_example():
     # The user-facing N-host count->merge->train harness (2 procs).
     import examples.multihost_train as mh
@@ -322,6 +325,7 @@ def test_multihost_train_example():
                     "--read-len", "50", "--epochs", "8"]) == 0
 
 
+@pytest.mark.slow
 def test_multihost_train_example_streaming():
     # Streaming + data-parallel over the 2-process global mesh
     # (train_streaming mesh=; VERDICT r2 task 1's multi-host leg).

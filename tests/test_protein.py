@@ -36,6 +36,7 @@ def test_protein_train_eval():
     assert np.isfinite(out[0]) and out[5].shape == (2,)
 
 
+@pytest.mark.slow
 def test_protein_cnn_and_attention():
     codes, counts, A1 = _protein_data(lag=5)
     for name, kwargs in [
@@ -130,6 +131,7 @@ def test_protein_counting_matches_oracle():
             np.testing.assert_array_equal(tab[:, r, :], want)
 
 
+@pytest.mark.slow
 def test_protein_counts_to_training_end_to_end():
     # counts -> dataset -> BEAR training -> evaluation, all protein.
     import jax.numpy as jnp

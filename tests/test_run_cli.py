@@ -95,6 +95,7 @@ def test_run_net_bfloat16_compute(tmp_path):
     np.testing.assert_allclose(calc[0], ll_van, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_run_net_data_parallel_config(tmp_path):
     # [train] data_parallel = True shards the CLI run over all local devices
     # (8 virtual CPU devices in CI); results must match the single-device run
@@ -123,6 +124,7 @@ def test_run_net_data_parallel_config(tmp_path):
         float(c1["results"]["heldout_perplex_BEAR"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_run_net_streaming_matches_in_memory(tmp_path):
     # [train] streaming = True: per-file shard streaming through the CLI
     # produces the same learned h as the in-memory path when the shard
@@ -181,6 +183,7 @@ def test_run_net_streaming_composes_dp_and_acc(tmp_path):
         float(cfg_mem["results"]["heldout_perplex_BEAR"]), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_run_net_checkpoint_every_and_shuffle(tmp_path):
     # [train] checkpoint_every leaves no stale mid-run state after a
     # completed run and reproduces the plain trajectory; [train] shuffle

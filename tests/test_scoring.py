@@ -85,6 +85,7 @@ def _true_var_scores_map(vans):
 
 
 @pytest.mark.parametrize("branch", ["counter", "data"])
+@pytest.mark.slow
 def test_variant_mc_and_map(branch):
     # Reference test_var_prob.py:20-78.
     wt_seq = "TTTAT"
@@ -108,6 +109,7 @@ def test_variant_mc_and_map(branch):
 
 
 @pytest.mark.parametrize("branch", ["counter", "data"])
+@pytest.mark.slow
 def test_seqs_mc_map_marg(branch):
     # Reference test_var_prob.py:81-173.
     seqs = ["TTTAT", "TTCAT", "TTTTTTTTTT"]

@@ -101,6 +101,7 @@ def test_kmer_sharded_matches_single_device():
 
 
 @needs_8
+@pytest.mark.slow
 def test_kmer_sharded_multiple_flushes():
     # Sparse host accumulation across flush boundaries stays exact.
     from jax.sharding import Mesh
@@ -126,6 +127,7 @@ def test_kmer_sharded_multiple_flushes():
 
 
 @needs_8
+@pytest.mark.slow
 def test_summarize_cli_kmer_shards(tmp_path):
     # The summarize CLI's --kmer-shards path writes the same TSVs as the
     # single-device counter.
@@ -150,6 +152,7 @@ def test_summarize_cli_kmer_shards(tmp_path):
         assert one == eight
 
 
+@pytest.mark.slow
 def test_summarize_checkpoint_resume_kmer_shards(tmp_path):
     # --checkpoint with --kmer-shards > 1 (sharded save_state/load_state is
     # wired into run_counting): a job killed between files resumes from the
@@ -193,6 +196,7 @@ def test_summarize_checkpoint_resume_kmer_shards(tmp_path):
 
 
 @needs_8
+@pytest.mark.slow
 def test_kmer_sharded_state_roundtrip_and_merge(tmp_path):
     from jax.sharding import Mesh
     from bear_tpu.parallel.counting import KmerShardedTransitionCounter
@@ -241,6 +245,7 @@ def test_to_device_dataset_float32_range_guard():
 
 
 @needs_8
+@pytest.mark.slow
 def test_kmer_sharded_protein_matches_single_device():
     # Protein (base-20) tensor-parallel counting: exact parity with the
     # single-device protein counter. (At lag 6 with multiple groups the
@@ -305,6 +310,7 @@ def test_kmer_sharded_guards_and_empty_rows(tmp_path):
 
 
 @needs_8
+@pytest.mark.slow
 def test_table_counter_over_kmer_sharded():
     # Scoring-path random access against a row-sharded counter must equal
     # the dense-table path exactly — including '['-padded prefix contexts

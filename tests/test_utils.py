@@ -2,6 +2,7 @@
 multihost single-process no-ops."""
 
 import configparser
+import pytest
 import json
 import os
 
@@ -90,6 +91,7 @@ def test_multihost_single_process_noops():
     multihost.allreduce_tables(tc)  # no-op at process_count == 1
 
 
+@pytest.mark.slow
 def test_metrics_writer_tensorboard(tmp_path):
     # Opt-in TensorBoard tee: event files appear alongside scalars.jsonl.
     from bear_tpu.utils.metrics import MetricsWriter

@@ -54,21 +54,24 @@ def reference_importable():
     return notes
 
 
-def measure(full: bool = False, steps: int = 600, warmup: int = 20):
+def measure(full: bool = False, steps: int = 600, warmup: int = 20,
+            dtype: str = "float64"):
     import tensorflow as tf
 
     from bear_tpu.data import load_dense
     from bear_tpu.utils.config import bundled_ysd1_path
 
-    ds = load_dense(bundled_ysd1_path(), "dna", 3, dtype=np.float64)
+    np_dtype = np.dtype(dtype)
+    tf_dtype = tf.float64 if dtype == "float64" else tf.float32
+    ds = load_dense(bundled_ysd1_path(), "dna", 3, dtype=np_dtype)
     B, lag, A1 = ds.num_kmers, ds.lag, 5
     # One-hot exactly as the reference maps it (core.py:156-174): '[' is the
     # last input column; training uses the train count column.
-    onehot = np.zeros((B, lag, A1), dtype=np.float64)
+    onehot = np.zeros((B, lag, A1), dtype=np_dtype)
     idx = np.asarray(ds.codes, dtype=np.int64)
     for j in range(lag):
         onehot[np.arange(B), j, idx[:, j]] = 1.0
-    counts = np.asarray(ds.counts[:, 0], dtype=np.float64)
+    counts = np.asarray(ds.counts[:, 0], dtype=np_dtype)
 
     onehot_t = tf.constant(onehot)
     counts_t = tf.constant(counts)
@@ -76,7 +79,7 @@ def measure(full: bool = False, steps: int = 600, warmup: int = 20):
     # batch 1500 > 1365 rows: each optimizer step sees the whole file, and
     # the unbiased ELBO scale num_kmers/actual_batch is exactly 1.
     batch = float(B)
-    eps = tf.constant(1e-7, tf.float64)  # reference bear_net.py:43 epsilon
+    eps = tf.constant(1e-7, tf_dtype)  # reference bear_net.py:43 epsilon
 
     # Linear AR init: the SAME seed-10 parameters the repo's train() draws
     # (the optimal h depends on the fixed AR function, so the --full h-parity
@@ -91,8 +94,8 @@ def measure(full: bool = False, steps: int = 600, warmup: int = 20):
 
     ar = get_ar_func("linear", lag, A1 - 1, dtype=jnp.float64)
     (w,) = ar.init(jax.random.key(10))
-    W = tf.Variable(np.asarray(w), dtype=tf.float64)
-    h_signed = tf.Variable(tf.zeros((), tf.float64))
+    W = tf.Variable(np.asarray(w, dtype=np_dtype), dtype=tf_dtype)
+    h_signed = tf.Variable(tf.zeros((), tf_dtype))
     # BEAR empirical Bayes trains the embedded AR f JOINTLY with h
     # (reference bear_net.py:146-197: the tape covers all params; train_ar
     # only switches the objective to the point-AR likelihood).
@@ -162,6 +165,14 @@ def main():
         record.update(measure(full=args.full, steps=args.steps))
     except Exception as e:
         record["error"] = repr(e)
+    # Same graph at float32, so the dtype asymmetry of the headline
+    # multiplier (f32-on-TPU numerator vs the f64-protocol TF denominator)
+    # is measured, not argued: both denominators live in this file.
+    try:
+        record["float32"] = measure(full=False, steps=args.steps,
+                                    dtype="float32")
+    except Exception as e:
+        record["float32"] = {"error": repr(e)}
     with open(args.out, "w") as fh:
         json.dump(record, fh, indent=1)
     print(json.dumps(record))
