@@ -1063,10 +1063,13 @@ def evaluation_streaming(
     cannot change them (up to float reassociation and per-batch argmax
     tie-break keys). Same contract and 9-tuple as ``evaluation``; ``shards``
     is a callable returning an iterable of (codes, counts[N, num_ds, A+1])
-    pairs, consumed once. Batches stream through one fixed-geometry jitted
-    block (single compilation); the tie-break key is folded on the GLOBAL
-    batch index so an aligned shard split reproduces the in-memory result
-    up to summation reassociation across block partials.
+    pairs, consumed once — an optional third element per shard carries
+    PREPARED reference counts [N, A+1] for the reference-guided model
+    (see bear_ref.evaluation_streaming). Batches stream through one
+    fixed-geometry jitted block (single compilation); the tie-break key is
+    folded on the GLOBAL batch index so an aligned shard split reproduces
+    the in-memory result up to summation reassociation across block
+    partials.
     """
     A1 = alphabets.alphabet_size(alphabet) + 1
     use_train = ds_loc_train >= 0
@@ -1076,14 +1079,19 @@ def evaluation_streaming(
     bsz = int(batch_size)
     K = int(block_steps)
     lag_w = None
+    with_ref = None  # set by the first shard
 
     @jax.jit
-    def run_block(codes_blk, test_blk, train_blk, valid_blk, step0):
+    def run_block(codes_blk, test_blk, train_blk, ref_blk, valid_blk, step0):
         def batch_metrics(k):
             codes_b = codes_blk[k].reshape(bsz, lag_w)
             ct_b = test_blk[k].reshape(bsz, A1)
             tr_b = train_blk[k].reshape(bsz, A1) if use_train else None
-            if ar_func.apply_codes is not None:
+            if with_ref:
+                oh = alphabets.one_hot(codes_b, A1, dtype)
+                ar_probs = ar_func.apply(ar_params, oh,
+                                         ref_blk[k].reshape(bsz, A1))
+            elif ar_func.apply_codes is not None:
                 ar_probs = ar_func.apply_codes(ar_params, codes_b)
             else:
                 oh = alphabets.one_hot(codes_b, A1, dtype)
@@ -1111,6 +1119,12 @@ def evaluation_streaming(
     step = 0
     for shard in shards():
         codes, counts = shard[0], shard[1]
+        ref = shard[2] if len(shard) > 2 else None
+        if with_ref is None:
+            with_ref = ref is not None
+        elif with_ref != (ref is not None):
+            raise ValueError("all shards must agree on carrying reference "
+                             "counts")
         counts = np.asarray(counts, dtype=np.dtype(dtype))
         counts_test = counts[:, ds_loc_test, :]
         codes_s, test_s, _ = _stack_batches(np.asarray(codes), counts_test,
@@ -1123,24 +1137,31 @@ def evaluation_streaming(
             )
         train_s = (_stack_one(counts[:, ds_loc_train, :], bsz)
                    if use_train else None)
+        ref_s = (_stack_one(np.asarray(ref, dtype=np.dtype(dtype)), bsz)
+                 if with_ref else None)
         steps = codes_s.shape[0]
         codes_f = codes_s.reshape(steps, -1)
         test_f = test_s.reshape(steps, -1)
         train_f = train_s.reshape(steps, -1) if use_train else None
+        ref_f = ref_s.reshape(steps, -1) if with_ref else None
         for s0 in range(0, steps, K):
             n = min(K, steps - s0)
             cb = np.zeros((K, codes_f.shape[1]), codes_f.dtype)
             tb = np.zeros((K, test_f.shape[1]), test_f.dtype)
             rb = (np.zeros((K, train_f.shape[1]), train_f.dtype)
                   if use_train else np.zeros((K, 1), np.dtype(dtype)))
+            fb = (np.zeros((K, ref_f.shape[1]), ref_f.dtype)
+                  if with_ref else np.zeros((K, 1), np.dtype(dtype)))
             vb = np.zeros(K, dtype=bool)
             cb[:n], tb[:n] = codes_f[s0:s0 + n], test_f[s0:s0 + n]
             if use_train:
                 rb[:n] = train_f[s0:s0 + n]
+            if with_ref:
+                fb[:n] = ref_f[s0:s0 + n]
             vb[:n] = True
             out = run_block(jnp.asarray(cb), jnp.asarray(tb),
-                            jnp.asarray(rb), jnp.asarray(vb),
-                            jnp.int32(step + s0))
+                            jnp.asarray(rb), jnp.asarray(fb),
+                            jnp.asarray(vb), jnp.int32(step + s0))
             out = jax.tree.map(np.asarray, out)
             totals = out if totals is None else jax.tree.map(
                 np.add, totals, out)

@@ -212,6 +212,40 @@ def evaluation(
     )
 
 
+def evaluation_streaming(
+    shards,
+    ds_loc_train,
+    ds_loc_test,
+    ds_loc_ref,
+    alphabet,
+    h,
+    ar_func: ARFunc,
+    ar_params,
+    van_reg,
+    **kwargs,
+):
+    """Shard-streamed reference-guided evaluation: memory bounded by one
+    shard (see bear_net.evaluation_streaming). ``shards`` yields
+    (codes, counts[N, num_ds, A+1]) pairs; the reference column's stop-strip
+    + epsilon preparation (reference bear_ref.py:497, 504-512) is applied
+    per shard here."""
+    from bear_tpu.ops import alphabets as _alph
+
+    A = _alph.alphabet_size(alphabet)
+    dtype = kwargs.get("dtype", jnp.float32)
+
+    def prepared():
+        for codes, counts in shards():
+            ref = np.asarray(prepare_ref_counts(
+                np.asarray(counts)[:, ds_loc_ref, :], A, dtype))
+            yield codes, counts, ref
+
+    return bear_net.evaluation_streaming(
+        prepared, ds_loc_train, ds_loc_test, alphabet, h, ar_func,
+        ar_params, van_reg, **kwargs,
+    )
+
+
 def error_rate(params) -> float:
     """1 - e^{-tau} (reference train_bear_ref.py:144-145)."""
     return float(1.0 - np.exp(-np.exp(np.asarray(params["ar"][0]))))

@@ -45,11 +45,14 @@ def main(config: configparser.ConfigParser, mesh=None):
     epochs = run.resolve_epochs(num_kmers, batch_size)
     streaming = run.streaming and run.train
     ds = None
-    if not streaming or run.test or run.train_test:
-        # Evaluation for the reference-guided model is in-memory; streaming
-        # mode defers/avoids the full load only for train-only runs.
+    if not run.streaming:
         ds = load_files(files, run.alphabet, run.num_ds, sparse=run.sparse)
     print("data_loaded")
+
+    def _eval_shards():
+        for f in files:
+            d = load_files([f], run.alphabet, run.num_ds, sparse=run.sparse)
+            yield d.codes, d.counts
 
     result_file = os.path.join(out_folder, "results.pickle")
     config["results"]["out_folder"] = out_folder
@@ -149,19 +152,26 @@ def main(config: configparser.ConfigParser, mesh=None):
     van_reg = np.array(run.van_reg)
 
 
-    common = dict(dtype=dtype, seed=run.seed, mesh=mesh)
-    if run.test:
-        out = bear_ref.evaluation(
-            ds.codes, ds.counts, ds_loc, run.test_column, ds_loc_ref,
-            run.alphabet, h, ar_func, params["ar"], van_reg, **common,
+    def _evaluate(train_loc, test_loc):
+        if run.streaming:
+            # Shard-streamed reference-guided evaluation: memory stays
+            # bounded by one file (metrics are pure sums).
+            return bear_ref.evaluation_streaming(
+                _eval_shards, train_loc, test_loc, ds_loc_ref, run.alphabet,
+                h, ar_func, params["ar"], van_reg, dtype=dtype, seed=run.seed,
+            )
+        return bear_ref.evaluation(
+            ds.codes, ds.counts, train_loc, test_loc, ds_loc_ref,
+            run.alphabet, h, ar_func, params["ar"], van_reg,
+            dtype=dtype, seed=run.seed, mesh=mesh,
         )
+
+    if run.test:
+        out = _evaluate(ds_loc, run.test_column)
         write_eval_results(config, out_folder, "heldout_", out)
 
     if run.train_test:
-        out = bear_ref.evaluation(
-            ds.codes, ds.counts, -1, ds_loc, ds_loc_ref,
-            run.alphabet, h, ar_func, params["ar"], van_reg, **common,
-        )
+        out = _evaluate(-1, ds_loc)
         write_eval_results(config, out_folder, "", out)
         return 1, np.asarray(out[2]), np.asarray(out[5])
 

@@ -220,3 +220,63 @@ def test_ref_train_streaming_matches_concat():
     np.testing.assert_array_equal(concat.losses, streamed.losses)
     for a, b in zip(concat.params_list, streamed.params_list):
         np.testing.assert_array_equal(a, b)
+
+def test_ref_evaluation_streaming_matches_in_memory():
+    # Streamed reference-guided evaluation (per-shard JC stop-strip prep)
+    # equals the in-memory result to summation reassociation.
+    import jax
+    import jax.numpy as jnp
+
+    from bear_tpu.models import bear_ref
+    from bear_tpu.models.ar_funcs import make_ar_func_stop
+
+    rng = np.random.default_rng(9)
+    lag, n = 3, 96
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(5.0, (n, 3, 5)).astype(np.float64)
+    ar = bear_ref.make_ref_ar_func(lag, 4, make_ar_func_stop,
+                                   dtype=jnp.float64)
+    params = [np.asarray(p) for p in ar.init(jax.random.key(0))]
+    van = [0.5]
+    kw = dict(dtype=jnp.float64, seed=3, batch_size=16)
+
+    want = bear_ref.evaluation(codes, counts, 0, 1, 2, "dna", 0.2, ar,
+                               params, van, **kw)
+
+    def shards():  # batch-aligned split
+        yield codes[:32], counts[:32]
+        yield codes[32:], counts[32:]
+
+    got = bear_ref.evaluation_streaming(shards, 0, 1, 2, "dna", 0.2, ar,
+                                        params, van, block_steps=2, **kw)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_run_ref_cli_streaming(tmp_path):
+    # [train] streaming = True through the reference-guided CLI: streamed
+    # training AND streamed evaluation produce the in-memory results.
+    from bear_tpu.models import train_bear_ref
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bear_tpu", "models", "config_files", "bear_test.cfg",
+    )
+
+    def run(streaming, out):
+        config = configparser.ConfigParser()
+        config.read(cfg_path)
+        config["general"]["out_folder"] = str(out) + "*"
+        if streaming:
+            config["train"]["streaming"] = "True"
+        code = train_bear_ref.main(config)
+        return config
+
+    mem = run(False, tmp_path / "mem")
+    st = run(True, tmp_path / "str")
+    np.testing.assert_allclose(float(st["results"]["h"]),
+                               float(mem["results"]["h"]), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(st["results"]["heldout_perplex_BEAR"]),
+        float(mem["results"]["heldout_perplex_BEAR"]), rtol=1e-9)
+    assert "error_rate" in st["results"]
