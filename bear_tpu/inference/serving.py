@@ -514,10 +514,10 @@ class BearServer:
             variants = variants.tolist()
         else:
             variants = list(variants)
-        if variants and not isinstance(variants[0], str):
-            parsed = variants  # pre-parsed (wt_aa, mt_aa, pos) triples
-        else:
-            parsed = [parse_var(v) for v in variants]
+        # Strings parse ('AAG23CC' grammar); (wt_aa, mt_aa, pos) triples
+        # pass through — mixing is allowed.
+        parsed = [parse_var(v) if isinstance(v, str) else v
+                  for v in variants]
         V = len(parsed)
         if V == 0:
             return np.zeros((0,), np.float32)

@@ -194,6 +194,39 @@ def _stack_one(arr, batch_size, pad_multiple=1):
     return arr_p.reshape(n_steps, bsz, *arr.shape[1:])
 
 
+def _host_tree(tree):
+    """Pytree -> host numpy, safe for multi-process GLOBAL arrays: params
+    and optimizer state are replicated, so any one addressable shard holds
+    the full value (np.asarray alone raises on non-fully-addressable
+    arrays)."""
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+
+    return jax.tree.map(leaf, tree)
+
+
+def _check_resume_consistent(applies_done: int):
+    """Multi-process resume sanity: every process must see the SAME
+    checkpoint (a host-local checkpoint_dir written only by process 0 would
+    silently fork the ranks' trajectories)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    seen = np.asarray(
+        multihost_utils.process_allgather(np.int64(applies_done))
+    ).reshape(-1)
+    if not np.all(seen == seen[0]):
+        raise RuntimeError(
+            f"checkpoint resume state differs across processes "
+            f"(applies_done per rank: {seen.tolist()}); checkpoint_dir "
+            "must be a path every process can read — use a shared "
+            "filesystem or replicate the checkpoint to every host"
+        )
+
+
 # Flatten batch stacks at rest once the TPU tile padding of the [B, width]
 # minor dims would waste more than this many bytes (see train/evaluation).
 FLAT_AT_REST_MIN_WASTE = 128 << 20
@@ -322,6 +355,7 @@ def train(
                 _state["opt_state"],
             )
             applies_done = int(_state["applies_done"])
+        _check_resume_consistent(applies_done)
 
     if isinstance(codes, jax.Array):
         # Device dataset (counting-engine handoff): stays on device.
@@ -468,9 +502,8 @@ def train(
             applies_done = a1
             if is_proc0:
                 save_train_state(checkpoint_dir, {
-                    "params": [np.asarray(x) for x in params_to_list(
-                        jax.tree.map(np.asarray, params))],
-                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "params": params_to_list(_host_tree(params)),
+                    "opt_state": _host_tree(opt_state),
                     "applies_done": applies_done,
                 })
         elbos = (np.concatenate(elbo_parts) if elbo_parts
@@ -607,6 +640,7 @@ def train_streaming(
                 state["opt_state"],
             )
             applies_done = int(state["applies_done"])
+        _check_resume_consistent(applies_done)
 
     num_kmers = jnp.asarray(num_kmers, dtype=dtype)
     acc_steps = int(acc_steps)
@@ -748,9 +782,8 @@ def train_streaming(
         from bear_tpu.utils.checkpoint import save_train_state
 
         save_train_state(checkpoint_dir, {
-            "params": [np.asarray(x) for x in params_to_list(
-                jax.tree.map(np.asarray, params))],
-            "opt_state": jax.tree.map(np.asarray, opt_state),
+            "params": params_to_list(_host_tree(params)),
+            "opt_state": _host_tree(opt_state),
             "applies_done": int(applies),
         })
 

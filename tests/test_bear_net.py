@@ -627,3 +627,57 @@ def test_train_streaming_checkpoint_resume(tmp_path):
                     jax.tree.leaves(resumed.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ckpt.load_train_state(str(d))["applies_done"] == 24
+
+
+def test_train_streaming_full_composition_resume(tmp_path):
+    # Everything at once: streaming + 8-device mesh DP + acc_steps +
+    # seeded shuffle + periodic checkpoints, killed after a checkpoint and
+    # resumed — the resumed run must land bit-identically on the
+    # uninterrupted trajectory (BASELINE config #5's composition).
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import train_streaming
+    from bear_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(21)
+    lag, bsz, n = 3, 16, 192
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(4.0, (n, 5)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    mesh = data_parallel_mesh(8)
+
+    def shards(epoch):
+        order = [0, 1, 2] if epoch % 2 == 0 else [2, 0, 1]
+        for i in order:
+            yield codes[i * 64:(i + 1) * 64], counts[i * 64:(i + 1) * 64]
+
+    kw = dict(num_kmers=n, ar_func=ar, batch_size=bsz, epochs=2,
+              learning_rate=0.02, seed=5, dtype=jnp.float64, mesh=mesh,
+              acc_steps=2, shuffle=True, block_steps=2)
+
+    plain = train_streaming(shards, **kw)
+    assert len(plain.losses) == 2 * (12 // 2)
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    writes = []
+    real_save = ckpt.save_train_state
+
+    def killing_save(out_dir, state):
+        real_save(out_dir, state)
+        writes.append(state["applies_done"])
+        if len(writes) == 2:
+            raise RuntimeError("simulated preemption")
+
+    ckpt.save_train_state = killing_save
+    try:
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            train_streaming(shards, checkpoint_dir=str(d), **kw)
+    finally:
+        ckpt.save_train_state = real_save
+    killed_at = ckpt.load_train_state(str(d))["applies_done"]
+    assert 0 < killed_at < 12
+
+    resumed = train_streaming(shards, checkpoint_dir=str(d), **kw)
+    np.testing.assert_array_equal(plain.losses[killed_at:], resumed.losses)
+    for a, b in zip(plain.params_list, resumed.params_list):
+        np.testing.assert_array_equal(a, b)
