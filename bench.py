@@ -136,7 +136,7 @@ def bench_lag13_elbo():
 
 
 def bench_counting():
-    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+    from bear_tpu.counting.engine import ReadChunk
 
     B, L = 8192, 2048  # ~16.8M transitions per chunk
     lag = 13

@@ -55,7 +55,6 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from bear_tpu.counting.engine import ReadChunk, table_rows
     from bear_tpu.counting.multipass import MultiPassTransitionCounter
