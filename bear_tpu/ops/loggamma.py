@@ -1,18 +1,29 @@
-"""Rejection-free log-gamma sampling, stable for tiny concentrations.
+"""Loop-free log-gamma sampling, stable for tiny concentrations.
 
 The reference samples ``log Gamma(c)`` with a NumPy rejection sampler
 (bear_model/log_gamma.py:17-76, ~1e6 samples/s on CPU) because for c ~ h-scale
 (1e-2 .. 1e-4) a plain ``log(standard_gamma(c))`` underflows to -inf.
 
-TPU-natively we avoid rejection entirely via the boost identity
+TPU-natively, two ideas compose:
+
+1. the boost identity
 
     G ~ Gamma(c+1), U ~ Uniform(0,1)  =>  G * U^{1/c} ~ Gamma(c)
     log Gamma(c)  =d=  log G + log(U) / c
 
-which is exact for every c > 0, fully vectorized, branch-free, and therefore
-jittable with static shapes. ``log G`` never underflows (c+1 >= 1) and
-``log(U)/c`` is computed in log space, so the tiny-c regime is exact where the
-naive sampler loses all precision.
+   exact for every c > 0: ``log G`` never underflows (c+1 >= 1) and
+   ``log(U)/c`` is computed in log space, so the tiny-c regime is exact
+   where the naive sampler loses all precision; and
+
+2. FIXED-proposal Marsaglia-Tsang for the boosted Gamma(c+1): with shape
+   >= 1 each proposal accepts with probability >= 0.95, so ``n_iter``
+   proposals computed in one vectorized pass (first acceptance selected
+   with a gather-free survival mask) replace any rejection ``while_loop``
+   — fully branch-free, static shapes, a handful of fused elementwise
+   kernels. The 0.04^n_iter residual falls back to the clamped last
+   proposal cube (the Wilson-Hilferty approximation, i.e. the proposal
+   distribution itself) — bias orders below the MC noise floor of every
+   consumer, held to KS + moment oracles in tests/test_loggamma.py.
 """
 
 from __future__ import annotations
@@ -21,8 +32,44 @@ import jax
 import jax.numpy as jnp
 
 
-def log_gamma(key, concs, size=(), dtype=None):
+def _mt_boosted_log_gamma(x, neg_log_u, safe_conc):
+    """Shared Marsaglia-Tsang core: log Gamma(safe_conc + 1) draws from
+    pre-drawn standard normals ``x`` and exponentials ``neg_log_u`` (each
+    shaped conc.shape + (n_iter,)). Fixed proposals, first acceptance
+    selected with a gather-free cumprod survival mask (argmax +
+    take_along_axis over the minor proposal axis lower to serial gathers on
+    TPU — measured 18x the cost of the draws; PERF.md). The 0.04^n_iter
+    residual that misses every proposal falls back to the clamped last
+    proposal cube — the Wilson-Hilferty approximation, i.e. the proposal
+    distribution itself."""
+    dtype = x.dtype
+    d = (safe_conc + (1.0 - 1.0 / 3.0))[..., None]  # boosted shape - 1/3
+    cc = 1.0 / jnp.sqrt(9.0 * d)
+    t = 1.0 + cc * x
+    v = t * t * t
+    pos = v > 0
+    vs = jnp.where(pos, v, 1.0)
+    ok = (pos & (-neg_log_u < 0.5 * x * x + d - d * vs + d * jnp.log(vs))
+          ).astype(dtype)
+    not_prior = jnp.cumprod(1.0 - ok, axis=-1)
+    prior_none = jnp.concatenate(
+        [jnp.ones_like(not_prior[..., :1]), not_prior[..., :-1]], axis=-1)
+    v_sel = jnp.sum(vs * (ok * prior_none), axis=-1)
+    v_fb = jnp.maximum(v[..., -1], jnp.asarray(1e-3, dtype))
+    v_fin = v_sel + not_prior[..., -1] * v_fb
+    return jnp.log(d[..., 0]) + jnp.log(v_fin)
+
+
+def log_gamma(key, concs, size=(), dtype=None, n_iter: int = 4):
     """Sample log(Gamma(conc, 1)) for each concentration.
+
+    Fixed-proposal Marsaglia-Tsang on the boosted shape conc+1 (always
+    >= 1, acceptance >= 95% per proposal), then the boost identity brings
+    it back down — no rejection while_loop anywhere, so the sampler is a
+    handful of fused elementwise kernels (the earlier
+    ``jax.random.gamma``-based version paid a vmapped per-element rejection
+    loop: every iteration re-samples EVERY lane until the whole batch
+    accepts).
 
     Parameters
     ----------
@@ -30,6 +77,8 @@ def log_gamma(key, concs, size=(), dtype=None):
     concs : array of positive concentrations
     size : tuple of leading sample dimensions (reference log_gamma.py:17's
         ``size``); the result has shape ``size + concs.shape``.
+    n_iter : fixed proposal count (residual miss 0.04^n_iter falls back to
+        the Wilson-Hilferty cube — see _mt_boosted_log_gamma).
 
     Returns
     -------
@@ -37,20 +86,25 @@ def log_gamma(key, concs, size=(), dtype=None):
     """
     concs = jnp.asarray(concs, dtype=dtype)
     shape = tuple(size) + concs.shape
-    k_gamma, k_unif = jax.random.split(key)
-    boosted = jax.random.gamma(k_gamma, concs + 1.0, shape=shape, dtype=concs.dtype)
-    # log(U) as -Exponential(1): exact and avoids U==0.
-    log_u = -jax.random.exponential(k_unif, shape=shape, dtype=concs.dtype)
-    return jnp.log(boosted) + log_u / concs
+    F = int(n_iter)
+    kn, ku, kb = jax.random.split(key, 3)
+    x = jax.random.normal(kn, shape + (F,), concs.dtype)
+    neg_log_u = jax.random.exponential(ku, shape + (F,), concs.dtype)
+    boost_e = jax.random.exponential(kb, shape, concs.dtype)
+    safe = jnp.broadcast_to(concs, shape)
+    log_g1 = _mt_boosted_log_gamma(x, neg_log_u, safe)
+    # Boost identity: log G(c) = log G(c+1) + log(U)/c, log U = -Exp(1).
+    return log_g1 - boost_e / safe
 
 
-def log_dirichlet_draw(key, conc):
+def log_dirichlet_draw(key, conc, n_iter: int = 4):
     """log of an unnormalized Dirichlet draw for one concentration vector:
     log Gamma(c_b) per bucket via the boost identity, with zero
     concentrations mapped to -inf (excluded categories). Normalizing with
     logsumexp over the last axis yields log Dirichlet probabilities. The
-    single shared implementation for the generation/serving samplers."""
-    lg = log_gamma(key, jnp.maximum(conc, 1e-30))
+    single shared implementation for the generation/analysis samplers
+    (serving uses the batched row-keyed variant below)."""
+    lg = log_gamma(key, jnp.maximum(conc, 1e-30), n_iter=n_iter)
     return jnp.where(conc > 0, lg, -jnp.inf)
 
 
@@ -119,30 +173,7 @@ def log_dirichlet_draw_keyed(keys, conc, n_iter: int = 6):
     boost_e = jax.vmap(lambda k: jax.random.exponential(k, (A,), dtype))(kb)
 
     safe = jnp.maximum(conc, jnp.asarray(1e-30, dtype))
-    c1 = safe + 1.0  # boosted shape, always >= 1
-    d = (c1 - 1.0 / 3.0)[..., None]  # [N, A, 1]
-    cc = 1.0 / jnp.sqrt(9.0 * d)
-    t = 1.0 + cc * x
-    v = t * t * t
-    pos = v > 0
-    vs = jnp.where(pos, v, 1.0)
-    # Marsaglia-Tsang log acceptance test.
-    ok = (pos & (-neg_log_u < 0.5 * x * x + d - d * vs + d * jnp.log(vs))
-          ).astype(dtype)
-    # FIRST-accept selection, gather-free: argmax + take_along_axis on the
-    # minor proposal axis lower to serial minor-dim gathers on TPU (measured
-    # 18x the cost of the draws themselves); a cumprod survival mask turns
-    # the whole selection into multiplies and one reduce.
-    not_prior = jnp.cumprod(1.0 - ok, axis=-1)  # no accept at <= i
-    prior_none = jnp.concatenate(
-        [jnp.ones_like(not_prior[..., :1]), not_prior[..., :-1]], axis=-1)
-    sel = ok * prior_none  # one-hot on the first accepted proposal
-    v_sel = jnp.sum(vs * sel, axis=-1)
-    none_ok = not_prior[..., -1]  # 1.0 where every proposal missed
-    # Fallback (prob 0.04^F): clamp the LAST proposal's cube into support.
-    v_fb = jnp.maximum(v[..., -1], jnp.asarray(1e-3, dtype))
-    v_fin = v_sel + none_ok * v_fb
-    log_g1 = jnp.log(d[..., 0]) + jnp.log(v_fin)  # log Gamma(conc + 1)
+    log_g1 = _mt_boosted_log_gamma(x, neg_log_u, safe)
     lg = log_g1 - boost_e / safe
     return jnp.where(conc > 0, lg, -jnp.inf)
 
