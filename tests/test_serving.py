@@ -354,3 +354,21 @@ def test_variant_delta_scores_snv_agreement_and_sampling():
         server.delta_scores_variants(wt, vars_, mode="sample")
     with pytest.raises(ValueError, match="unknown mode"):
         server.delta_scores_variants(wt, vars_, mode="nope")
+
+
+def test_variant_delta_scores_pure_insertions():
+    # Pure insertions (empty wt_aa) through the vectorized device windows:
+    # at the start, mid-sequence, and APPENDED at pos == len(wt) (the
+    # stop-transition edge), all exactly matching the host oracle.
+    from bear_tpu.inference.scoring import TableCounter, get_bear_probs
+
+    tc = _counter()
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.7, dtype=jnp.float64)
+    wt = "TTTATTCTTAG"
+    vars_ = ["0AC", "5G", "11TT"]
+    got = server.delta_scores_variants(wt, vars_)
+    want = get_bear_probs(
+        None, wt, vars_, 0, vans=[0.7], get_map=True,
+        counter=TableCounter(tc, LAG), lag=LAG, alphabet_name="dna",
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
