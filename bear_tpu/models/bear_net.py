@@ -286,6 +286,7 @@ def train(
     shuffle: bool = False,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
+    unroll: int = 1,
 ) -> TrainResult:
     """Train a BEAR (empirical-Bayes h) or AR (max-likelihood) model.
 
@@ -450,7 +451,10 @@ def train(
 
     # The whole run is one scan over optimizer applies; each apply holds an
     # inner scan accumulating acc_steps gradient sums (the reference's
-    # accumulator variables, bear_net.py:259-261, 296-315).
+    # accumulator variables, bear_net.py:259-261, 296-315) — except at
+    # acc_steps == 1, where the inner scan would be pure per-iteration
+    # overhead: a nested length-1 scan (plus the 0+grads identity) measured
+    # ~4x the whole step's cost on v5e for small protocols (PERF.md).
     # The data stacks enter run() as ARGUMENTS, not closure constants:
     # multi-process global arrays may not be closed over, and as args large
     # stacks are never re-embedded into the program per trace.
@@ -458,31 +462,38 @@ def train(
     # run the SAME scan in chunks — each apply is a pure function of its
     # index, so a chunked (or resumed) run replays bit-identically.
     def run(p, o, codes_s, counts_s, ref_s, sizes, apply_ids):
+        def one_step(p, idx):
+            return grad_fn(
+                p,
+                at_batch(codes_s, idx, lag_w),
+                at_batch(counts_s, idx, counts_w),
+                None if ref_s is None else at_batch(ref_s, idx, counts_w),
+                sizes[idx],
+            )
+
         def apply_step(carry, apply_idx):
             p, o = carry
             start = apply_idx * acc_steps
 
-            def inner(inner_carry, k):
-                acc, loss_sum = inner_carry
-                idx = (start + k) % steps_per_epoch
-                loss, grads = grad_fn(
-                    p,
-                    at_batch(codes_s, idx, lag_w),
-                    at_batch(counts_s, idx, counts_w),
-                    None if ref_s is None else at_batch(ref_s, idx, counts_w),
-                    sizes[idx],
-                )
-                return (jax.tree.map(jnp.add, acc, grads), loss_sum + loss), None
+            if acc_steps == 1:
+                loss_sum, grads = one_step(p, start % steps_per_epoch)
+            else:
+                def inner(inner_carry, k):
+                    acc, loss_sum = inner_carry
+                    loss, grads = one_step(p, (start + k) % steps_per_epoch)
+                    return (jax.tree.map(jnp.add, acc, grads),
+                            loss_sum + loss), None
 
-            (grads, loss_sum), _ = jax.lax.scan(
-                inner, (zero_grads, jnp.zeros((), dtype)), jnp.arange(acc_steps)
-            )
+                (grads, loss_sum), _ = jax.lax.scan(
+                    inner, (zero_grads, jnp.zeros((), dtype)),
+                    jnp.arange(acc_steps),
+                )
             updates, o = optimizer.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             # ELBO estimate recorded at each apply (reference bear_net.py:303-307).
             return (p, o), -loss_sum / acc_steps
 
-        return jax.lax.scan(apply_step, (p, o), apply_ids)
+        return jax.lax.scan(apply_step, (p, o), apply_ids, unroll=unroll)
 
     run = jax.jit(run)
     start_apply = applies_done
