@@ -681,3 +681,20 @@ def test_train_streaming_full_composition_resume(tmp_path):
     np.testing.assert_array_equal(plain.losses[killed_at:], resumed.losses)
     for a, b in zip(plain.params_list, resumed.params_list):
         np.testing.assert_array_equal(a, b)
+
+
+def test_train_unroll_matches_default():
+    # lax.scan unrolling is a codegen knob: the trajectory must not move.
+    from bear_tpu.models import get_ar_func
+
+    rng = np.random.default_rng(30)
+    codes = rng.integers(0, 4, (64, 3)).astype(np.int8)
+    counts = rng.poisson(4.0, (64, 5)).astype(np.float64)
+    ar = get_ar_func("linear", 3, 4, dtype=jnp.float64)
+    kw = dict(num_kmers=64, ar_func=ar, batch_size=16, epochs=3,
+              learning_rate=0.02, seed=0, dtype=jnp.float64)
+    a = bear_net.train(codes, counts, **kw)
+    b = bear_net.train(codes, counts, unroll=4, **kw)
+    np.testing.assert_allclose(a.losses, b.losses, rtol=1e-12)
+    for x, y in zip(a.params_list, b.params_list):
+        np.testing.assert_allclose(x, y, rtol=1e-12, atol=1e-15)
