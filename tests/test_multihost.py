@@ -333,3 +333,106 @@ def test_multihost_train_example_streaming():
 
     assert mh.main(["--nproc", "2", "--lag", "3", "--reads-per-file", "200",
                     "--read-len", "50", "--epochs", "8", "--streaming"]) == 0
+
+
+CKPT_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    mode = sys.argv[4]; ckdir = sys.argv[5]
+    from bear_tpu.parallel import multihost
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    multihost.initialize(coordinator_address=f"127.0.0.1:{{port}}",
+                         num_processes=nproc, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import train_streaming
+
+    rng = np.random.default_rng(7)
+    n, lag, bsz = 64, 3, 8
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(4.0, (n, 5)).astype(np.float64)
+
+    def shards():
+        yield codes[:32], counts[:32]
+        yield codes[32:], counts[32:]
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    kw = dict(num_kmers=n, ar_func=ar, batch_size=bsz, epochs=2,
+              learning_rate=0.02, seed=0, dtype=jnp.float64, block_steps=2,
+              mesh=mesh)
+    if mode == "diverged":
+        # Rank-local checkpoint dirs: rank 0 holds a mid-run state, rank 1
+        # nothing -> the resume consistency check must abort BOTH ranks.
+        my_dir = os.path.join(ckdir, f"rank{{pid}}")
+        os.makedirs(my_dir, exist_ok=True)
+        if pid == 0:
+            from bear_tpu.utils.checkpoint import save_train_state
+            from bear_tpu.models.bear_net import init_params, params_to_list
+            import optax
+            p = init_params(jax.random.key(0), ar, dtype=jnp.float64)
+            save_train_state(my_dir, {{
+                "params": params_to_list(p),
+                "opt_state": optax.adam(0.02, eps=1e-7).init(p),
+                "applies_done": 4,
+            }})
+        try:
+            train_streaming(shards, checkpoint_dir=my_dir, **kw)
+        except RuntimeError as e:
+            assert "differs across processes" in str(e), e
+            print(f"proc {{pid}} OK (aborted)")
+        else:
+            raise AssertionError("divergent resume was not detected")
+    else:
+        # Shared checkpoint dir: train, then resume-after-complete returns
+        # the identical final params on every rank.
+        res = train_streaming(shards, checkpoint_dir=ckdir, **kw)
+        res2 = train_streaming(shards, checkpoint_dir=ckdir, **kw)
+        for a, b in zip(res.params_list, res2.params_list):
+            np.testing.assert_array_equal(a, b)
+        from jax.experimental import multihost_utils
+        h_all = np.asarray(multihost_utils.process_allgather(
+            np.float64(res.h))).reshape(-1)
+        assert np.all(h_all == h_all[0]), h_all
+        print(f"proc {{pid}} OK h={{res.h!r}}")
+    """
+).format(repo=REPO)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["shared", "diverged"])
+def test_two_process_streaming_checkpoint(tmp_path, mode):
+    # Multi-process checkpointing safety: a SHARED checkpoint dir trains,
+    # checkpoints (rank 0 only writes), and resumes identically on every
+    # rank; rank-LOCAL dirs with divergent state abort both ranks instead
+    # of silently forking trajectories (bear_net._check_resume_consistent).
+    worker = tmp_path / "ck_worker.py"
+    worker.write_text(CKPT_WORKER)
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), mode,
+             str(ckdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=180)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "OK" in out, out
