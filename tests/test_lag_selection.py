@@ -192,3 +192,41 @@ def test_h_scan_streaming_matches_in_memory():
                                     block_steps=2, **kw)
     for a, b in zip(want, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_cli_passes_and_kmer_shards_match_single(tmp_path):
+    # The large-lag counting routes through the CLI (--passes multipass,
+    # --kmer-shards mesh) reproduce the single-device evidence table
+    # exactly (the sweep auto-dispatches to the sparse accessors).
+    import contextlib
+    import io
+    import json
+    import os
+
+    from bear_tpu.models import lag_select_cli
+
+    rng = np.random.default_rng(3)
+    seqs = ["".join(rng.choice(list("ACGT"), 120)) for _ in range(5)]
+    fa = os.path.join(tmp_path, "seqs.fasta")
+    with open(fa, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">s{i}\n{s}\n")
+    csv = os.path.join(tmp_path, "in.csv")
+    with open(csv, "w") as fh:
+        fh.write(f"{fa},0,fa\n")
+
+    def run(extra):
+        args = lag_select_cli.build_parser().parse_args(
+            [csv, "-l", "3", "--json"] + extra)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            lag_select_cli.main(args)
+        return json.loads(buf.getvalue())
+
+    base = run([])
+    for extra in (["--passes", "3"], ["--kmer-shards", "2"]):
+        got = run(extra)
+        assert got["best_lag"] == base["best_lag"]
+        np.testing.assert_allclose(np.array(got["log_marginals"]),
+                                   np.array(base["log_marginals"]),
+                                   rtol=1e-12)
