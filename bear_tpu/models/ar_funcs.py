@@ -128,6 +128,13 @@ def make_ar_func_cnn(
     kmer_layer1_width = int(kmer_layer1_width)
     A1 = alphabet_size + 1
     conv_len = lag - filter_width + 1
+    if conv_len < 1:
+        # Silent failure mode otherwise: a negative conv length surfaces
+        # later as an opaque broadcast error from init().
+        raise ValueError(
+            f"filter_width {filter_width} exceeds lag {lag}: the VALID conv "
+            f"needs filter_width <= lag (reference ar_funcs.py:60)"
+        )
     small_start = 0.05
 
     def init(key):

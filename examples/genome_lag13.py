@@ -110,7 +110,8 @@ def main():
           f"from {total_transitions:,} transitions")
 
     ar = get_ar_func("cnn", args.lag, 4,
-                     {"filter_width": 8, "num_filters": 96, "kmer_layer1_width": 64},
+                     {"filter_width": min(8, args.lag),
+                      "num_filters": 96, "kmer_layer1_width": 64},
                      dtype=jnp.float32)
     with timer.stage("train BEAR"):
         res = bear_net.train(

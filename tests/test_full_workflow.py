@@ -10,6 +10,8 @@ import pytest
 
 from bear_tpu.counting.summarize import build_parser, main as summarize_main
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_summarize_then_train(tmp_path):
     from bear_tpu.models import train_bear_net
@@ -84,3 +86,23 @@ def test_summarize_then_train(tmp_path):
     out_dir = config["results"]["out_folder"]
     scores = get_bear_probs_seqs(out_dir, ["ACGTACGT"], 0, mc_samples=8)
     assert scores.shape[0] == 1 and np.isfinite(scores).all()
+
+
+@pytest.mark.slow
+def test_genome_example_small_smoke(tmp_path):
+    # The genome-scale end-to-end example at CPU-friendly settings (also
+    # pins the make_ar_func_cnn filter_width<=lag guard: lag 6 < the
+    # example's default filter width 8 used to die in init()).
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "genome_lag13.py"),
+         "--genome-mb", "0.02", "--coverage", "2", "--lag", "6",
+         "--epochs", "2", "--batch-size", "4096"],
+        env=env, capture_output=True, text=True, timeout=500,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "heldout perplexity" in p.stdout
