@@ -13,7 +13,11 @@ three workload profiles against a lag-13 DNA table (~89M int32 entries):
 Usage: python tools/bench_touched_skip.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,11 @@ Small smoke test: python tools/lag15_demo.py --lag 6 --passes 3 --bases 2e5
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
