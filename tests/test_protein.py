@@ -203,3 +203,36 @@ def test_summarize_cli_protein(tmp_path):
     )
     with pytest.raises(ValueError, match="4-letter"):
         summarize_main(args_r)
+
+
+def test_protein_snv_and_variant_scoring():
+    # Device SNV row-shift arithmetic and the vectorized variant windows on
+    # the 20-letter alphabet: both paths agree exactly; indels stay finite.
+    import jax.numpy as jnp
+
+    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+    from bear_tpu.inference.serving import BearServer
+    from bear_tpu.ops import alphabets
+
+    LAG, A = 2, 20
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, A, (12, 30)).astype(np.int8)
+    tc = TransitionCounter(lags=[LAG], n_groups=1, method="scatter",
+                           alphabet="prot")
+    tc.add_chunk(ReadChunk(
+        codes=codes, lengths=np.full(12, 30, np.int32),
+        skip=np.zeros(12, np.int32), stopped=np.ones(12, bool),
+        groups=np.zeros(12, np.int32)))
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.3, dtype=jnp.float64,
+                        alphabet="prot")
+    letters = "".join(alphabets.input_letters("prot")[:-1])
+    wt = "".join(letters[b] for b in codes[0][:15])
+    pos = [0, 5, 14]
+    alt = [letters[3], letters[7], letters[0]]
+    snv = server.delta_scores_snv(wt, pos, alt)
+    gen = server.delta_scores_variants(
+        wt, [(wt[p], a, p) for p, a in zip(pos, alt)])
+    np.testing.assert_allclose(snv, gen, rtol=1e-9)
+    indels = server.delta_scores_variants(
+        wt, [(wt[2:4], wt[2], 2), ("", letters[5], 7)])
+    assert np.isfinite(np.asarray(indels)).all()
