@@ -372,3 +372,30 @@ def test_variant_delta_scores_pure_insertions():
         counter=TableCounter(tc, LAG), lag=LAG, alphabet_name="dna",
     )[:, 0]
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_table_sampled_modes_match_dense():
+    # Row-split (mesh=) serving in SAMPLED modes: draws are keyed on table
+    # rows, which are identical either way, so sharded == dense exactly.
+    from jax.sharding import Mesh
+
+    from bear_tpu.counting.engine import table_rows
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(0)
+    table = rng.poisson(0.4, (table_rows(LAG), 5)).astype(np.float64)
+    dense = BearServer(table, LAG, van=0.5, dtype=jnp.float64)
+    mesh = Mesh(np.array(jax.devices()), ("kmer",))
+    shard = BearServer(table, LAG, van=0.5, dtype=jnp.float64, mesh=mesh)
+    codes = rng.integers(0, 4, (16, 40)).astype(np.int8)
+    lengths = np.full(16, 40, np.int32)
+    key = jax.random.key(1)
+    np.testing.assert_allclose(
+        np.asarray(dense.log_prob_sampled(codes, lengths, key)),
+        np.asarray(shard.log_prob_sampled(codes, lengths, key)), rtol=1e-12)
+    wt = "".join("ACGT"[c] for c in codes[0])
+    np.testing.assert_allclose(
+        dense.delta_scores_snv(wt, [3, 10], ["A", "C"], mode="sample", key=key),
+        shard.delta_scores_snv(wt, [3, 10], ["A", "C"], mode="sample", key=key),
+        rtol=1e-12)
