@@ -1100,6 +1100,7 @@ def evaluation_streaming(
     dtype=jnp.float32,
     seed: int = 0,
     block_steps: int = 32,
+    mesh=None,
 ):
     """Shard-streamed evaluation: memory bounded by one shard.
 
@@ -1113,17 +1114,36 @@ def evaluation_streaming(
     fixed-geometry jitted block (single compilation); the tie-break key is
     folded on the GLOBAL batch index so an aligned shard split reproduces
     the in-memory result up to summation reassociation across block
-    partials.
+    partials. ``mesh`` (a Mesh with a 'data' axis) shards each block's
+    batch rows over the devices — streamed evaluation composes with data
+    parallelism like train_streaming; XLA reduces the metric sums.
     """
     A1 = alphabets.alphabet_size(alphabet) + 1
     use_train = ds_loc_train >= 0
     van_reg = jnp.asarray(np.asarray(van_reg), dtype=dtype)
     h_arr = jnp.asarray(h, dtype=dtype)
     base_key = jax.random.key(seed)
-    bsz = int(batch_size)
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+    bsz = -(-int(batch_size) // n_dev) * n_dev
     K = int(block_steps)
     lag_w = None
     with_ref = None  # set by the first shard
+
+    put = jnp.asarray
+    put_small = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from bear_tpu.parallel.mesh import put_global
+
+        # Blocks are [K, B*width] flat; B is a mesh multiple, so sharding
+        # the last axis over 'data' splits whole rows.
+        batch_sharding = NamedSharding(mesh, P(None, "data"))
+        repl = NamedSharding(mesh, P())
+        put = lambda a: put_global(a, batch_sharding)  # noqa: E731
+        put_small = lambda a: put_global(a, repl)  # noqa: E731
 
     @jax.jit
     def run_block(codes_blk, test_blk, train_blk, ref_blk, valid_blk, step0):
@@ -1203,10 +1223,17 @@ def evaluation_streaming(
             if with_ref:
                 fb[:n] = ref_f[s0:s0 + n]
             vb[:n] = True
-            out = run_block(jnp.asarray(cb), jnp.asarray(tb),
-                            jnp.asarray(rb), jnp.asarray(fb),
-                            jnp.asarray(vb), jnp.int32(step + s0))
-            out = jax.tree.map(np.asarray, out)
+            out = run_block(put(cb), put(tb),
+                            put(rb) if use_train else put_small(rb),
+                            put(fb) if with_ref else put_small(fb),
+                            put_small(np.asarray(vb)),
+                            jnp.int32(step + s0))
+            out = jax.tree.map(
+                lambda x: np.asarray(x.addressable_data(0))
+                if isinstance(x, jax.Array) and not x.is_fully_addressable
+                else np.asarray(x),
+                out,
+            )
             totals = out if totals is None else jax.tree.map(
                 np.add, totals, out)
         step += steps

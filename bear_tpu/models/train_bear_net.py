@@ -172,10 +172,11 @@ def main(config: configparser.ConfigParser, mesh=None):
     def _evaluate(train_loc, test_loc):
         if run.streaming:
             # Shard-streamed evaluation: memory stays bounded by one file
-            # (metrics are pure sums, so shard boundaries cannot move them).
+            # (metrics are pure sums, so shard boundaries cannot move them);
+            # composes with the data-parallel mesh.
             return bear_net.evaluation_streaming(
                 _eval_shards, train_loc, test_loc, run.alphabet, h, ar_func,
-                params["ar"], van_reg, dtype=dtype, seed=run.seed,
+                params["ar"], van_reg, dtype=dtype, seed=run.seed, mesh=mesh,
             )
         return bear_net.evaluation(
             ds.codes, ds.counts, train_loc, test_loc, run.alphabet, h,

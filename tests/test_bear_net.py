@@ -698,3 +698,35 @@ def test_train_unroll_matches_default():
     np.testing.assert_allclose(a.losses, b.losses, rtol=1e-12)
     for x, y in zip(a.params_list, b.params_list):
         np.testing.assert_allclose(x, y, rtol=1e-12, atol=1e-15)
+
+
+def test_evaluation_streaming_mesh_matches_single_device():
+    # Streamed evaluation + data-parallel mesh: equals the 1-device
+    # streamed result (and the in-memory one) to summation reassociation.
+    from bear_tpu.models import get_ar_func
+    from bear_tpu.models.bear_net import evaluation_streaming
+
+    rng = np.random.default_rng(17)
+    lag, n = 4, 96
+    codes = rng.integers(0, 4, (n, lag)).astype(np.int8)
+    counts = rng.poisson(5.0, (n, 2, 5)).astype(np.float64)
+    ar = get_ar_func("linear", lag, 4, dtype=jnp.float64)
+    params = ar.init(jax.random.key(0))
+    van = [0.1, 1.0]
+    kw = dict(batch_size=16, dtype=jnp.float64, seed=3, block_steps=2)
+
+    def shards():
+        yield codes[:32], counts[:32]
+        yield codes[32:], counts[32:]
+
+    one = evaluation_streaming(shards, 0, 1, "dna", 0.2, ar, params, van,
+                               **kw)
+    mesh = data_parallel_mesh(8)
+    eight = evaluation_streaming(shards, 0, 1, "dna", 0.2, ar, params, van,
+                                 mesh=mesh, **kw)
+    for a, b in zip(one, eight):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+    want = bear_net.evaluation(codes, counts, 0, 1, "dna", 0.2, ar, params,
+                               van, batch_size=16, dtype=jnp.float64, seed=3)
+    for a, b in zip(want, eight):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
