@@ -194,6 +194,34 @@ def _stack_one(arr, batch_size, pad_multiple=1):
     return arr_p.reshape(n_steps, bsz, *arr.shape[1:])
 
 
+def _cast_float_tree(tree, dtype):
+    """Cast a pytree's floating leaves to the training dtype (integer leaves
+    — optimizer step counters — keep their dtype)."""
+    return jax.tree.map(
+        lambda x: jnp.asarray(
+            x, dtype=dtype if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else None),
+        tree,
+    )
+
+
+def _load_resume_state(checkpoint_dir, params, opt_state, dtype):
+    """Resume (params, opt_state, applies_done) from a mid-run checkpoint
+    when one exists in checkpoint_dir; multi-process consistency enforced
+    either way (see _check_resume_consistent)."""
+    applies_done = 0
+    if checkpoint_dir is not None:
+        from bear_tpu.utils.checkpoint import load_train_state
+
+        state = load_train_state(checkpoint_dir)
+        if state is not None:
+            params = params_from_list(state["params"], dtype=dtype)
+            opt_state = _cast_float_tree(state["opt_state"], dtype)
+            applies_done = int(state["applies_done"])
+        _check_resume_consistent(applies_done)
+    return params, opt_state, applies_done
+
+
 def _host_tree(tree):
     """Pytree -> host numpy, safe for multi-process GLOBAL arrays: params
     and optimizer state are replicated, so any one addressable shard holds
@@ -330,33 +358,12 @@ def train(
 
     optimizer = make_optimizer(optimizer_name, learning_rate)
     if opt_state_restart is not None:
-        opt_state = jax.tree.map(
-            lambda x: jnp.asarray(
-                x, dtype=dtype if np.issubdtype(np.asarray(x).dtype, np.floating) else None
-            ),
-            opt_state_restart,
-        )
+        opt_state = _cast_float_tree(opt_state_restart, dtype)
     else:
         opt_state = optimizer.init(params)
 
-    applies_done = 0
-    if checkpoint_dir is not None:
-        from bear_tpu.utils.checkpoint import load_train_state
-
-        _state = load_train_state(checkpoint_dir)
-        if _state is not None:
-            params = params_from_list(_state["params"], dtype=dtype)
-            opt_state = jax.tree.map(
-                lambda x: jnp.asarray(
-                    x,
-                    dtype=dtype
-                    if np.issubdtype(np.asarray(x).dtype, np.floating)
-                    else None,
-                ),
-                _state["opt_state"],
-            )
-            applies_done = int(_state["applies_done"])
-        _check_resume_consistent(applies_done)
+    params, opt_state, applies_done = _load_resume_state(
+        checkpoint_dir, params, opt_state, dtype)
 
     if isinstance(codes, jax.Array):
         # Device dataset (counting-engine handoff): stays on device.
@@ -625,33 +632,12 @@ def train_streaming(
 
     optimizer = make_optimizer(optimizer_name, learning_rate)
     if opt_state_restart is not None:
-        opt_state = jax.tree.map(
-            lambda x: jnp.asarray(
-                x, dtype=dtype if np.issubdtype(np.asarray(x).dtype, np.floating) else None
-            ),
-            opt_state_restart,
-        )
+        opt_state = _cast_float_tree(opt_state_restart, dtype)
     else:
         opt_state = optimizer.init(params)
 
-    applies_done = 0
-    if checkpoint_dir is not None:
-        from bear_tpu.utils.checkpoint import load_train_state
-
-        state = load_train_state(checkpoint_dir)
-        if state is not None:
-            params = params_from_list(state["params"], dtype=dtype)
-            opt_state = jax.tree.map(
-                lambda x: jnp.asarray(
-                    x,
-                    dtype=dtype
-                    if np.issubdtype(np.asarray(x).dtype, np.floating)
-                    else None,
-                ),
-                state["opt_state"],
-            )
-            applies_done = int(state["applies_done"])
-        _check_resume_consistent(applies_done)
+    params, opt_state, applies_done = _load_resume_state(
+        checkpoint_dir, params, opt_state, dtype)
 
     num_kmers = jnp.asarray(num_kmers, dtype=dtype)
     acc_steps = int(acc_steps)
