@@ -643,10 +643,14 @@ class BearServer:
             return outs[0]
         return outs[0] if mc_samples == 1 else np.stack(outs, axis=-1)
 
-    def score(self, seqs, mode: str = "map", key=None, pad_to: Optional[int] = None):
+    def score(self, seqs, mode: str = "map", key=None,
+              pad_to: Optional[int] = None, mc_samples: int = 1):
         """Convenience host API: list of strings -> [B] scores. Pads to
         ``pad_to`` (or the max length rounded up to 64) so repeated calls
-        reuse the compiled kernel."""
+        reuse the compiled kernel. With mode="sample" and mc_samples > 1,
+        returns [B, mc_samples] independent posterior draws (each sample
+        index folds a fresh key; within one sample the usual per-sequence
+        stateless draw semantics hold)."""
         codes_list = [
             alphabets.encode_kmers(np.array([s]), self._alphabet)[0] for s in seqs
         ]
@@ -661,10 +665,11 @@ class BearServer:
         if mode == "map":
             return np.asarray(self.log_prob_map(codes, lengths))
         if mode == "sample":
-            return np.asarray(
-                self.log_prob_sampled(
-                    codes, lengths,
-                    key if key is not None else jax.random.key(0),
-                )
-            )
+            base = key if key is not None else jax.random.key(0)
+            if mc_samples == 1:
+                return np.asarray(self.log_prob_sampled(codes, lengths, base))
+            return np.stack(
+                [np.asarray(self.log_prob_sampled(
+                    codes, lengths, jax.random.fold_in(base, s)))
+                 for s in range(mc_samples)], axis=-1)
         raise ValueError(f"unknown mode {mode!r}")

@@ -399,3 +399,19 @@ def test_sharded_table_sampled_modes_match_dense():
         dense.delta_scores_snv(wt, [3, 10], ["A", "C"], mode="sample", key=key),
         shard.delta_scores_snv(wt, [3, 10], ["A", "C"], mode="sample", key=key),
         rtol=1e-12)
+
+
+def test_score_sample_mc_axis():
+    tc = _counter()
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.5, dtype=jnp.float64)
+    seqs = ["TTTAT", "TTCTT"]
+    key = jax.random.key(2)
+    one = server.score(seqs, mode="sample", key=key)
+    many = server.score(seqs, mode="sample", key=key, mc_samples=3)
+    assert many.shape == (2, 3)
+    # sample 0 folds key index 0, not the base key: draws differ from the
+    # single-draw call but are themselves deterministic
+    many2 = server.score(seqs, mode="sample", key=key, mc_samples=3)
+    np.testing.assert_array_equal(many, many2)
+    assert one.shape == (2,)
+    assert not np.array_equal(many[:, 0], many[:, 1])
