@@ -208,3 +208,24 @@ def test_run_net_checkpoint_every_and_shuffle(tmp_path):
     sh = run(tmp_path / "sh", shuffle="True")
     np.testing.assert_allclose(float(sh["results"]["h"]),
                                float(plain["results"]["h"]), rtol=0.5)
+
+
+def test_run_net_attention_and_serve(tmp_path):
+    # The attention AR (bear_tpu extension) end to end through the config
+    # CLI, then served from the resulting model directory.
+    from bear_tpu.inference.serving import BearServer
+    from bear_tpu.models import train_bear_net
+
+    config = configparser.ConfigParser()
+    config.read(CFG)
+    config["general"]["out_folder"] = str(tmp_path) + "*"
+    config["general"]["precision"] = "float32"
+    config["model"]["ar_func_name"] = "attention"
+    config["model"]["af_kwargs"] = (
+        '{"d_model": 16, "num_heads": 2, "mlp_width": 32}')
+    train_bear_net.main(config)
+    assert np.isfinite(float(config["results"]["h"]))
+    assert np.isfinite(float(config["results"]["heldout_perplex_BEAR"]))
+    srv = BearServer.from_model_dir(config["results"]["out_folder"])
+    s = srv.score(["TTTAT", "ACGTA"])
+    assert np.isfinite(np.asarray(s)).all()
