@@ -415,3 +415,23 @@ def test_score_sample_mc_axis():
     np.testing.assert_array_equal(many, many2)
     assert one.shape == (2,)
     assert not np.array_equal(many[:, 0], many[:, 1])
+
+
+def test_variant_scores_wt_shorter_than_lag():
+    # Wild-type shorter than the lag: every window is '['-padded and/or
+    # '$'-covering; device paths equal the host oracle and each other.
+    from bear_tpu.inference.scoring import TableCounter, get_bear_probs
+
+    tc = _counter()
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.7, dtype=jnp.float64)
+    wt = "TA"  # shorter than LAG
+    vars_ = ["T0A", "A1G", "1GG", "2C"]
+    got = server.delta_scores_variants(wt, vars_)
+    want = get_bear_probs(
+        None, wt, vars_, 0, vans=[0.7], get_map=True,
+        counter=TableCounter(tc, LAG), lag=LAG, alphabet_name="dna",
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        server.delta_scores_snv(wt, [0, 1], ["A", "G"]),
+        server.delta_scores_variants(wt, ["T0A", "A1G"]), rtol=1e-9)
