@@ -238,17 +238,30 @@ class BearServer:
             picked = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
             return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
 
-        def log_prob_sampled(table_arr, codes, lengths, key):
+        def log_prob_sampled_multi(table_arr, codes, lengths, keys):
+            """keys: [S] sample keys. Windows + gathers + concentrations run
+            ONCE; only the Dirichlet draw grows the in-kernel sample axis
+            (the reference's analysis default is mc_samples=41,
+            get_var_probs.py:174-175 / 343-346 — a host loop would redo all
+            gathers per sample). Returns [B, S]."""
             rows, nxt, mask = _context_rows_and_next(codes, lengths, lag, A)
             conc = concentrations(rows, gather_rows(table_arr, rows))
             B = rows.shape[0]
-            # Per-(sequence, row) keys — each sequence scores under its own
-            # sampled AR model; same row within a sequence reuses one draw.
-            seq_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
-            elem_keys = jax.vmap(fold_in_many, in_axes=(0, 0))(seq_keys, rows)
-            logp = _sampled_logp(elem_keys, conc)
-            picked = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
-            return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
+
+            def one(key):
+                # Per-(sequence, row) keys — each sequence scores under its
+                # own sampled AR model; same row within a sequence reuses
+                # one draw.
+                seq_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                    jnp.arange(B))
+                elem_keys = jax.vmap(fold_in_many, in_axes=(0, 0))(seq_keys,
+                                                                   rows)
+                logp = _sampled_logp(elem_keys, conc)
+                picked = jnp.take_along_axis(
+                    logp, nxt[..., None], axis=-1)[..., 0]
+                return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
+
+            return jax.vmap(one, out_axes=-1)(keys)
 
         def snv_delta_map(table_arr, rows_wt, nxt_wt, seq_len, pos, alt, ref):
             """MAP Δ log-prob (mutant - wild-type) for substitutions.
@@ -283,12 +296,16 @@ class BearServer:
             return jnp.sum(jnp.where(valid, d, 0.0), axis=-1)
 
         def snv_delta_sampled(table_arr, rows_wt, nxt_wt, seq_len, pos, alt,
-                              ref, key):
+                              ref, keys):
             """Posterior-SAMPLED Δ log-prob for substitutions: every touched
             window's transition distribution is one Dirichlet draw, keyed
             statelessly on the table row (fold_in(key, row)) so the shared
             i==0 context draws identically for wt and mt — the same
-            stateless-draw semantics as log_prob_sampled / assembly."""
+            stateless-draw semantics as log_prob_sampled / assembly.
+            ``keys``: [S] sample keys; window math, gathers, and
+            concentrations run once, only the draw grows the sample axis
+            (reference MC default mc_samples=41, get_var_probs.py:174-175).
+            Returns [V, S]."""
             i = jnp.arange(lag + 1, dtype=jnp.int32)[None, :]
             t = pos[:, None] + i
             valid = t <= seq_len
@@ -300,14 +317,19 @@ class BearServer:
             shift = (alt - ref)[:, None] * powA
             r_mt = jnp.where(i >= 1, r_wt + shift, r_wt)
             n_mt = jnp.where(i == 0, alt[:, None], n_wt)
+            conc_mt = concentrations(r_mt, gather_rows(table_arr, r_mt))
+            conc_wt = concentrations(r_wt, gather_rows(table_arr, r_wt))
 
-            def logp(rows, nxt):
-                conc = concentrations(rows, gather_rows(table_arr, rows))
-                lp = _sampled_logp(fold_in_many(key, rows), conc)
-                return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
+            def one(key):
+                def logp(rows, conc, nxt):
+                    lp = _sampled_logp(fold_in_many(key, rows), conc)
+                    return jnp.take_along_axis(
+                        lp, nxt[..., None], axis=-1)[..., 0]
 
-            d = logp(r_mt, n_mt) - logp(r_wt, n_wt)
-            return jnp.sum(jnp.where(valid, d, 0.0), axis=-1)
+                d = logp(r_mt, conc_mt, n_mt) - logp(r_wt, conc_wt, n_wt)
+                return jnp.sum(jnp.where(valid, d, 0.0), axis=-1)
+
+            return jax.vmap(one, out_axes=-1)(keys)
 
         def _wt_windows(rows1, nxt1, pos, n_wt, i_wt):
             """Wild-type covering windows by TRANSITION arithmetic: a
@@ -343,23 +365,39 @@ class BearServer:
                     - jnp.sum(jnp.where(m_wt, logp(rows_wt, nxt_wt), 0.0), -1))
 
         def var_delta_sampled(table_arr, rows1, nxt1, pos, n_wt, i_wt,
-                              rows_mt, nxt_mt, m_mt, key):
+                              rows_mt, nxt_mt, m_mt, keys):
             """Posterior-SAMPLED Δ for arbitrary variants; draws are keyed
             statelessly on the table row so windows shared between wild type
             and mutant draw identically (their Δ contribution cancels
-            exactly, as in the host MC path)."""
-
-            def logp(rows, nxt):
-                conc = concentrations(rows, gather_rows(table_arr, rows))
-                lp = _sampled_logp(fold_in_many(key, rows), conc)
-                return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
-
+            exactly, as in the host MC path). ``keys``: [S] sample keys —
+            gathers and concentrations run once, the draw carries the
+            in-kernel sample axis. Returns [V, S]."""
             rows_wt, nxt_wt, m_wt = _wt_windows(rows1, nxt1, pos, n_wt, i_wt)
-            return (jnp.sum(jnp.where(m_mt, logp(rows_mt, nxt_mt), 0.0), -1)
-                    - jnp.sum(jnp.where(m_wt, logp(rows_wt, nxt_wt), 0.0), -1))
+            conc_mt = concentrations(rows_mt,
+                                     gather_rows(table_arr, rows_mt))
+            conc_wt = concentrations(rows_wt,
+                                     gather_rows(table_arr, rows_wt))
+
+            def one(key):
+                def logp(rows, conc, nxt):
+                    lp = _sampled_logp(fold_in_many(key, rows), conc)
+                    return jnp.take_along_axis(
+                        lp, nxt[..., None], axis=-1)[..., 0]
+
+                return (
+                    jnp.sum(jnp.where(m_mt, logp(rows_mt, conc_mt, nxt_mt),
+                                      0.0), -1)
+                    - jnp.sum(jnp.where(m_wt, logp(rows_wt, conc_wt, nxt_wt),
+                                        0.0), -1))
+
+            return jax.vmap(one, out_axes=-1)(keys)
 
         self._map_fn = jax.jit(log_prob_map)
-        self._sample_fn = jax.jit(log_prob_sampled)
+        self._sample_multi_fn = jax.jit(log_prob_sampled_multi)
+        # Single-key compatibility wrapper (same draws as keys=[key]).
+        self._sample_fn = jax.jit(
+            lambda t, c, l, k: log_prob_sampled_multi(t, c, l, k[None])[..., 0]
+        )
         self._snv_fn = jax.jit(snv_delta_map)
         self._snv_sample_fn = jax.jit(snv_delta_sampled)
         self._var_fn = jax.jit(var_delta_map)
@@ -395,6 +433,16 @@ class BearServer:
         within a sequence reuse one draw (assembly's stateless semantics)."""
         return self._sample_fn(
             self._table, jnp.asarray(codes), jnp.asarray(lengths), key
+        )
+
+    def log_prob_sampled_multi(self, codes, lengths, keys):
+        """Posterior-sampled log-probabilities for a [S] array of sample
+        keys in ONE launch: [B, S]. Context rows, table gathers, and
+        concentrations are computed once; only the Dirichlet draw carries
+        the sample axis (the reference's MC analysis default is 41 samples,
+        get_var_probs.py:174-175)."""
+        return self._sample_multi_fn(
+            self._table, jnp.asarray(codes), jnp.asarray(lengths), keys
         )
 
     def delta_scores_snv(self, wt_seq: str, positions, alt_bases,
@@ -438,35 +486,39 @@ class BearServer:
         alt = alt.astype(np.int32)
         ref = codes[0, pos].astype(np.int32)
         if mode == "map":
-            variants = [(None, self._snv_fn)]
+            fn, keys = self._snv_fn, None
         elif mode == "sample":
             if key is None:
                 raise ValueError('mode="sample" requires key=')
-            variants = [(jax.random.fold_in(key, s), self._snv_sample_fn)
-                        for s in range(mc_samples)]
+            # ONE launch per chunk carries ALL samples in-kernel (gathers
+            # and concentrations amortize across the sample axis); the
+            # chunk shrinks with mc_samples so the [B, lag+1, A+1, S]
+            # draw tensors stay memory-bounded.
+            keys = jnp.stack(
+                [jax.random.fold_in(key, s) for s in range(mc_samples)])
+            fn = self._snv_sample_fn
+            batch = max(min(batch, 1 << 12), batch // mc_samples)
         else:
             raise ValueError(f"unknown mode {mode!r}")
-        outs = []
-        for k, fn in variants:
-            out = np.empty(len(pos), np.float32)
-            for s in range(0, len(pos), batch):
-                e = min(s + batch, len(pos))
-                n = e - s
-                # Pad the tail chunk to the batch shape (one compilation);
-                # alt == ref rows are exact zero-delta no-ops.
-                p_b = np.zeros(min(batch, max(len(pos), 1)), np.int32)
-                a_b = np.zeros_like(p_b)
-                r_b = np.zeros_like(p_b)
-                p_b[:n], a_b[:n], r_b[:n] = pos[s:e], alt[s:e], ref[s:e]
-                args = (self._table, rows1, nxt1, jnp.int32(L),
-                        jnp.asarray(p_b), jnp.asarray(a_b), jnp.asarray(r_b))
-                if k is not None:
-                    args = args + (k,)
-                out[s:e] = np.asarray(fn(*args))[:n]
-            outs.append(out)
+        V = len(pos)
+        out = np.empty((V,) if keys is None else (V, mc_samples), np.float32)
+        for s in range(0, V, batch):
+            e = min(s + batch, V)
+            n = e - s
+            # Pad the tail chunk to the batch shape (one compilation);
+            # alt == ref rows are exact zero-delta no-ops.
+            p_b = np.zeros(min(batch, max(V, 1)), np.int32)
+            a_b = np.zeros_like(p_b)
+            r_b = np.zeros_like(p_b)
+            p_b[:n], a_b[:n], r_b[:n] = pos[s:e], alt[s:e], ref[s:e]
+            args = (self._table, rows1, nxt1, jnp.int32(L),
+                    jnp.asarray(p_b), jnp.asarray(a_b), jnp.asarray(r_b))
+            if keys is not None:
+                args = args + (keys,)
+            out[s:e] = np.asarray(fn(*args))[:n]
         if mode == "map":
-            return outs[0]
-        return outs[0] if mc_samples == 1 else np.stack(outs, axis=-1)
+            return out
+        return out[..., 0] if mc_samples == 1 else out
 
     def _encode_ragged(self, strs, lens, maxlen):
         """Encode a list of variable-length strings into a padded [N, maxlen]
@@ -604,44 +656,46 @@ class BearServer:
         pos32 = pos.astype(np.int32)
 
         if mode == "map":
-            variants_fns = [(None, self._var_fn)]
+            fn, keys = self._var_fn, None
         elif mode == "sample":
             if key is None:
                 raise ValueError('mode="sample" requires key=')
-            variants_fns = [(jax.random.fold_in(key, s), self._var_sample_fn)
-                            for s in range(mc_samples)]
+            # In-kernel sample axis: one launch per chunk scores ALL
+            # samples (gathers/window math amortize); chunk scales down
+            # with mc_samples to bound the draw-tensor memory.
+            keys = jnp.stack(
+                [jax.random.fold_in(key, s) for s in range(mc_samples)])
+            fn = self._var_sample_fn
+            batch = max(min(batch, 1 << 12), batch // mc_samples)
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
         i_wt = jnp.arange(W_wt, dtype=jnp.int32)
-        outs = []
         B = min(batch, V)
-        for k, fn in variants_fns:
-            out = np.empty(V, np.float32)
-            for s in range(0, V, B):
-                e = min(s + B, V)
-                n = e - s
-                # Pad the tail chunk to the batch shape (one compilation);
-                # padded variants are fully masked no-ops (n_wt=0, m_mt
-                # False).
-                p_b = np.zeros(B, np.int32)
-                nw_b = np.zeros(B, np.int32)
-                r_b = np.zeros((B, W_mt), np.int32)
-                x_b = np.zeros((B, W_mt), np.int32)
-                m_b = np.zeros((B, W_mt), bool)
-                p_b[:n], nw_b[:n] = pos32[s:e], n_wt[s:e]
-                r_b[:n], x_b[:n], m_b[:n] = (
-                    rows_mt[s:e], nxt_mt[s:e], m_mt[s:e])
-                args = (self._table, rows1, nxt1, jnp.asarray(p_b),
-                        jnp.asarray(nw_b), i_wt, jnp.asarray(r_b),
-                        jnp.asarray(x_b), jnp.asarray(m_b))
-                if k is not None:
-                    args = args + (k,)
-                out[s:e] = np.asarray(fn(*args))[:n]
-            outs.append(out)
+        out = np.empty((V,) if keys is None else (V, mc_samples), np.float32)
+        for s in range(0, V, B):
+            e = min(s + B, V)
+            n = e - s
+            # Pad the tail chunk to the batch shape (one compilation);
+            # padded variants are fully masked no-ops (n_wt=0, m_mt
+            # False).
+            p_b = np.zeros(B, np.int32)
+            nw_b = np.zeros(B, np.int32)
+            r_b = np.zeros((B, W_mt), np.int32)
+            x_b = np.zeros((B, W_mt), np.int32)
+            m_b = np.zeros((B, W_mt), bool)
+            p_b[:n], nw_b[:n] = pos32[s:e], n_wt[s:e]
+            r_b[:n], x_b[:n], m_b[:n] = (
+                rows_mt[s:e], nxt_mt[s:e], m_mt[s:e])
+            args = (self._table, rows1, nxt1, jnp.asarray(p_b),
+                    jnp.asarray(nw_b), i_wt, jnp.asarray(r_b),
+                    jnp.asarray(x_b), jnp.asarray(m_b))
+            if keys is not None:
+                args = args + (keys,)
+            out[s:e] = np.asarray(fn(*args))[:n]
         if mode == "map":
-            return outs[0]
-        return outs[0] if mc_samples == 1 else np.stack(outs, axis=-1)
+            return out
+        return out[..., 0] if mc_samples == 1 else out
 
     def score(self, seqs, mode: str = "map", key=None,
               pad_to: Optional[int] = None, mc_samples: int = 1):
@@ -651,25 +705,22 @@ class BearServer:
         returns [B, mc_samples] independent posterior draws (each sample
         index folds a fresh key; within one sample the usual per-sequence
         stateless draw semantics hold)."""
-        codes_list = [
-            alphabets.encode_kmers(np.array([s]), self._alphabet)[0] for s in seqs
-        ]
-        maxlen = max(len(c) for c in codes_list)
-        L = pad_to or (-(-maxlen // 64) * 64)
-        B = len(seqs)
-        codes = np.zeros((B, L), np.int8)
-        lengths = np.zeros(B, np.int32)
-        for i, c in enumerate(codes_list):
-            codes[i, : len(c)] = c
-            lengths[i] = len(c)
+        seqs = list(seqs)
+        lengths = np.asarray([len(s) for s in seqs], np.int32)
+        maxlen = int(lengths.max()) if len(seqs) else 0
+        L = pad_to or (-(-max(maxlen, 1) // 64) * 64)
+        # Vectorized by length group (no per-string Python encode) — the
+        # same pattern as the variant path; keeps 10^6-sequence batches off
+        # the host interpreter.
+        codes = self._encode_ragged(seqs, lengths, L).astype(np.int8)
         if mode == "map":
             return np.asarray(self.log_prob_map(codes, lengths))
         if mode == "sample":
             base = key if key is not None else jax.random.key(0)
             if mc_samples == 1:
                 return np.asarray(self.log_prob_sampled(codes, lengths, base))
-            return np.stack(
-                [np.asarray(self.log_prob_sampled(
-                    codes, lengths, jax.random.fold_in(base, s)))
-                 for s in range(mc_samples)], axis=-1)
+            keys = jnp.stack(
+                [jax.random.fold_in(base, s) for s in range(mc_samples)])
+            return np.asarray(
+                self.log_prob_sampled_multi(codes, lengths, keys))
         raise ValueError(f"unknown mode {mode!r}")

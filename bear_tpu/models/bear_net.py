@@ -1214,10 +1214,17 @@ def evaluation_streaming(
                             put(fb) if with_ref else put_small(fb),
                             put_small(np.asarray(vb)),
                             jnp.int32(step + s0))
+            # Host accumulation is float64 regardless of the device metric
+            # dtype: at genome-scale log-lik magnitudes (~1e9) float32 ulps
+            # are ~64, so f32 block partials would drift from the in-memory
+            # result by more than summation reassociation (VERDICT r3).
             out = jax.tree.map(
-                lambda x: np.asarray(x.addressable_data(0))
-                if isinstance(x, jax.Array) and not x.is_fully_addressable
-                else np.asarray(x),
+                lambda x: np.asarray(
+                    x.addressable_data(0)
+                    if isinstance(x, jax.Array) and not x.is_fully_addressable
+                    else x,
+                    dtype=np.float64,
+                ),
                 out,
             )
             totals = out if totals is None else jax.tree.map(

@@ -159,6 +159,7 @@ def main(config: configparser.ConfigParser, mesh=None):
             return bear_ref.evaluation_streaming(
                 _eval_shards, train_loc, test_loc, ds_loc_ref, run.alphabet,
                 h, ar_func, params["ar"], van_reg, dtype=dtype, seed=run.seed,
+                mesh=mesh,
             )
         return bear_ref.evaluation(
             ds.codes, ds.counts, train_loc, test_loc, ds_loc_ref,

@@ -10,6 +10,7 @@ optimizer state + step — which the reference loses on restart (SURVEY.md §5).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import pickle
 from typing import List, Optional
@@ -83,7 +84,9 @@ def load_train_state(out_dir: str) -> Optional[dict]:
 def clear_train_state(out_dir: str) -> None:
     """Remove a completed run's mid-run state (the final results.pickle is
     the durable artifact; a stale train_state would make a RE-run with the
-    same out_dir silently resume instead of starting fresh)."""
+    same out_dir silently resume instead of starting fresh). Tolerates a
+    concurrent remove: in multi-process CLI runs every rank clears the shared
+    out_folder, so another rank may win the race between exists and remove."""
     path = os.path.join(out_dir, TRAIN_STATE_FILE)
-    if os.path.exists(path):
+    with contextlib.suppress(FileNotFoundError):
         os.remove(path)

@@ -75,6 +75,28 @@ def test_bmm_likelihood_vs_numpy():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_bmm_likelihood_mesh_matches_single_device():
+    # The mesh path (reference parity: dataloader.py:140-147 distributes
+    # this reduction) shards batch rows over the data axis; zero-pad rows
+    # contribute exactly 0, so 8-device == 1-device exactly.
+    from bear_tpu.parallel.mesh import data_parallel_mesh
+
+    ds = load_dense(bundled_ysd1_path(), "dna", 3)
+    alpha = np.array([0.1, 1.0, 10.0])
+    one = np.asarray(bmm_likelihood(ds.counts, alpha, batch_size=400))
+    mesh = data_parallel_mesh(8)
+    # batch_size=399 exercises the round-up-to-mesh-multiple path; the
+    # single-batch (n <= batch_size) geometry is covered by the full-size
+    # call below.
+    eight = np.asarray(
+        bmm_likelihood(ds.counts, alpha, batch_size=399, mesh=mesh))
+    np.testing.assert_allclose(eight, one, rtol=1e-12, atol=0)
+    # Full-size call: single padded batch (n <= batch_size geometry); batch
+    # boundaries differ from `one`, so only reassociation-level agreement.
+    whole = np.asarray(bmm_likelihood(ds.counts, alpha, mesh=mesh))
+    np.testing.assert_allclose(whole, one, rtol=1e-9)
+
+
 def test_batches_iteration():
     from bear_tpu.data import CountDataset
 

@@ -5,6 +5,7 @@ including the tiny-h regime where naive log(gamma) underflows.
 
 import numpy as np
 import jax
+import pytest
 from scipy import stats as st
 
 from bear_tpu.ops import log_gamma, sample_dirichlet_log
@@ -66,10 +67,21 @@ def test_log_gamma_pdf_matches_change_of_variables():
         )
 
 
-def test_log_dirichlet_draw_keyed_ks_and_determinism():
+def _serving_n_iter():
+    # Pin the production sampled-serving setting so the 3-proposal
+    # fallback-contamination claim stays tested (ADVICE r3).
+    from bear_tpu.inference.serving import SAMPLE_PROPOSALS
+
+    return SAMPLE_PROPOSALS
+
+
+@pytest.mark.parametrize("n_iter", [3, 6])
+def test_log_dirichlet_draw_keyed_ks_and_determinism(n_iter):
     # The fixed-iteration batched sampler behind fast posterior-SAMPLED
     # serving: distributionally Gamma (KS, incl. the tiny-conc h-regime) and
     # deterministic per (key, row) — the stateless revisit semantics.
+    # n_iter=3 is the production serving setting (serving.SAMPLE_PROPOSALS);
+    # 6 is the library default.
     import jax
     import jax.numpy as jnp
     from scipy import stats
@@ -77,30 +89,35 @@ def test_log_dirichlet_draw_keyed_ks_and_determinism():
 
     from bear_tpu.ops.loggamma import fold_in_many, log_dirichlet_draw_keyed
 
+    assert _serving_n_iter() in (3, 6)
     key = jax.random.key(0)
     N = 60_000
     keys = fold_in_many(key, jnp.arange(N))
     concs = [0.01, 0.1, 1.0, 30.0]
     conc_mat = jnp.broadcast_to(jnp.asarray(concs, jnp.float32), (N, 4))
-    lg = np.asarray(log_dirichlet_draw_keyed(keys, conc_mat), np.float64)
+    lg = np.asarray(
+        log_dirichlet_draw_keyed(keys, conc_mat, n_iter=n_iter), np.float64)
     for j, c in enumerate(concs):
         u = gammainc(c, np.exp(np.clip(lg[:, j], -700.0, 700.0)))
         p = stats.kstest(u, "uniform").pvalue
         assert p > 0.1 / len(concs), (c, p)
     # determinism: same keys + concs -> bit-identical draws
-    lg2 = np.asarray(log_dirichlet_draw_keyed(keys, conc_mat), np.float64)
+    lg2 = np.asarray(
+        log_dirichlet_draw_keyed(keys, conc_mat, n_iter=n_iter), np.float64)
     np.testing.assert_array_equal(lg, lg2)
     # different rows -> different draws
     keys_b = fold_in_many(key, jnp.arange(N) + N)
-    lg3 = np.asarray(log_dirichlet_draw_keyed(keys_b, conc_mat))
+    lg3 = np.asarray(log_dirichlet_draw_keyed(keys_b, conc_mat, n_iter=n_iter))
     assert not np.array_equal(lg, lg3)
     # zero concentration -> excluded category
     lgz = np.asarray(log_dirichlet_draw_keyed(
-        keys[:8], jnp.asarray([[0.0, 1.0, 2.0, 0.5]] * 8, jnp.float32)))
+        keys[:8], jnp.asarray([[0.0, 1.0, 2.0, 0.5]] * 8, jnp.float32),
+        n_iter=n_iter))
     assert np.all(np.isneginf(lgz[:, 0])) and np.all(np.isfinite(lgz[:, 1:]))
 
 
-def test_log_dirichlet_draw_keyed_dirichlet_moments():
+@pytest.mark.parametrize("n_iter", [3, 6])
+def test_log_dirichlet_draw_keyed_dirichlet_moments(n_iter):
     import jax
     import jax.numpy as jnp
     from scipy.special import logsumexp
@@ -112,7 +129,7 @@ def test_log_dirichlet_draw_keyed_dirichlet_moments():
     crow = np.array([0.3, 2.0, 0.0, 5.0, 0.05], np.float32)
     keys = fold_in_many(key, jnp.arange(N))
     lg = np.asarray(log_dirichlet_draw_keyed(
-        keys, jnp.broadcast_to(crow, (N, 5))), np.float64)
+        keys, jnp.broadcast_to(crow, (N, 5)), n_iter=n_iter), np.float64)
     p = np.exp(lg - logsumexp(lg, axis=1, keepdims=True))
     want = crow / crow.sum()
     np.testing.assert_allclose(p.mean(0), want, atol=3e-3)

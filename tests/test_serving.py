@@ -401,6 +401,38 @@ def test_sharded_table_sampled_modes_match_dense():
         rtol=1e-12)
 
 
+def test_mc_sample_axis_prefix_consistency():
+    # The in-kernel [S] sample axis keys sample s with fold_in(key, s)
+    # independent of S: column s of an mc_samples=5 call must bit-equal
+    # column s of an mc_samples=3 call, and column 0 must equal the
+    # mc_samples=1 result — for SNVs, arbitrary variants, and score().
+    tc = _counter()
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.5, dtype=jnp.float64)
+    wt = "TTTATTCTT"
+    key = jax.random.key(7)
+
+    pos, alt = [1, 4, 6], ["G", "A", "C"]
+    s5 = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key,
+                                 mc_samples=5)
+    s3 = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key,
+                                 mc_samples=3)
+    s1 = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key)
+    np.testing.assert_array_equal(s5[:, :3], s3)
+    np.testing.assert_array_equal(s5[:, 0], s1)
+
+    vars_ = ["T1G", "AT3C", "4TGG", "C6"]
+    v5 = server.delta_scores_variants(wt, vars_, mode="sample", key=key,
+                                      mc_samples=5)
+    v3 = server.delta_scores_variants(wt, vars_, mode="sample", key=key,
+                                      mc_samples=3)
+    np.testing.assert_array_equal(v5[:, :3], v3)
+
+    seqs = ["TTTAT", "TTCTT"]
+    q5 = server.score(seqs, mode="sample", key=key, mc_samples=5)
+    q3 = server.score(seqs, mode="sample", key=key, mc_samples=3)
+    np.testing.assert_array_equal(q5[:, :3], q3)
+
+
 def test_score_sample_mc_axis():
     tc = _counter()
     server = BearServer(tc.tables[LAG][0], LAG, van=0.5, dtype=jnp.float64)
