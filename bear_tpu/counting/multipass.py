@@ -87,7 +87,9 @@ class MultiPassTransitionCounter(KmerShardedTransitionCounter):
         if self.A ** max(self.lags) > np.iinfo(np.int32).max:
             raise ValueError(
                 f"lag {max(self.lags)} context codes exceed int32 for a "
-                f"{self.A}-letter alphabet"
+                f"{self.A}-letter alphabet — use "
+                "bear_tpu.counting.sparse.SparseTransitionCounter (no dense "
+                "table, no passes, DNA lag <= 30 / protein lag <= 13)"
             )
         self.n_groups = n_groups
         self.method = method

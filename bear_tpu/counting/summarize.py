@@ -30,6 +30,7 @@ import os
 import numpy as np
 
 from bear_tpu.counting import engine, fastx
+from bear_tpu.ops.alphabets import alphabet_size as _alphabet_size
 
 
 def iter_chunks(entries, max_lag: int, batch_size: int = 1024,
@@ -200,6 +201,17 @@ def run_counting(
             mesh, lags=lags, n_groups=n_groups, method=method,
             alphabet=alphabet,
         )
+    elif _alphabet_size(alphabet) ** max(lags) > np.iinfo(np.int32).max:
+        # Beyond the dense-table int32 range (DNA lag >= 16, protein >= 8):
+        # the sparse-first counter sorts packed key halves per chunk and
+        # keeps only distinct (context, next) pairs — the KMC design, on
+        # device. Shares the KmerSharded host surface incl. save/load_state,
+        # so the file-granular checkpoint path below works unchanged.
+        from bear_tpu.counting.sparse import SparseTransitionCounter
+
+        counter = SparseTransitionCounter(
+            lags=lags, n_groups=n_groups, alphabet=alphabet
+        )
     else:
         counter = engine.TransitionCounter(
             lags=lags, n_groups=n_groups, method=method, alphabet=alphabet
@@ -218,10 +230,10 @@ def run_counting(
     files_json = ckpt + ".files.json"
     done: set[str] = set()
     if os.path.exists(ckpt) and os.path.exists(files_json):
-        if kmer_shards > 1:
-            # Sharded counter: the mesh is runtime state — restore counts
-            # into the counter built above (load_state validates
-            # lags/groups/reverse/alphabet).
+        if not isinstance(counter, engine.TransitionCounter):
+            # Sharded/sparse counter: restore counts into the counter built
+            # above (its instance load_state validates lags/groups/reverse/
+            # alphabet; for the sharded one the mesh is runtime state).
             counter.load_state(ckpt)
         else:
             counter = engine.TransitionCounter.load_state(ckpt)

@@ -88,7 +88,9 @@ class ShardedTransitionCounter:
         if self.A ** max(self.lags) > np.iinfo(np.int32).max:
             raise ValueError(
                 f"lag {max(self.lags)} context codes exceed int32 for a "
-                f"{self.A}-letter alphabet"
+                f"{self.A}-letter alphabet — use "
+                "bear_tpu.counting.sparse.SparseTransitionCounter (no dense "
+                "table, DNA lag <= 30 / protein lag <= 13)"
             )
         self.n_groups = n_groups
         self.reverse = reverse
@@ -284,7 +286,9 @@ class KmerShardedTransitionCounter:
         if self.A ** max(self.lags) > np.iinfo(np.int32).max:
             raise ValueError(
                 f"lag {max(self.lags)} context codes exceed int32 for a "
-                f"{self.A}-letter alphabet"
+                f"{self.A}-letter alphabet — use "
+                "bear_tpu.counting.sparse.SparseTransitionCounter (no dense "
+                "table, DNA lag <= 30 / protein lag <= 13)"
             )
         self.n_groups = n_groups
         self.method = method

@@ -393,6 +393,60 @@ def bench_snv():
     return dict(snvs_per_sec=V / dt, million_snvs_seconds=dt)
 
 
+def bench_snv_mc():
+    """Monte-Carlo DMS scoring at the reference's analysis default
+    mc_samples=41 (get_var_probs.py:174-175, 343-346): the in-kernel [S]
+    sample axis gathers windows/concentrations once per chunk and only the
+    Dirichlet draw grows with S (round-3 path paid 41 full launches)."""
+    from bear_tpu.counting.engine import table_rows
+    from bear_tpu.inference.serving import BearServer
+
+    lag, L, V, S = 10, 20000, 1 << 18, 41
+    rng = np.random.default_rng(0)
+    table = rng.poisson(0.05, size=(table_rows(lag), 5)).astype(np.float32)
+    server = BearServer(table, lag, van=0.5, dtype=jnp.float32)
+    wt = "".join(rng.choice(list("ACGT"), L))
+    pos = rng.integers(0, L, V).astype(np.int32)
+    alt = rng.integers(0, 4, V).astype(np.int32)
+    key = jax.random.key(0)
+    server.delta_scores_snv(wt, pos[: 1 << 13], alt[: 1 << 13],
+                            mode="sample", key=key, mc_samples=S)  # compile
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key,
+                                      mc_samples=S)
+        _ = float(out[-1, -1])  # fetch barrier: np output already synced
+        dt = min(dt, time.perf_counter() - t0)
+    return dict(snv_draws_per_sec=V * S / dt, snvs_per_sec=V / dt,
+                mc_samples=S, seconds=dt)
+
+
+def bench_sparse_counting():
+    """Sparse-first counting (lag 20 — beyond any dense table): packed
+    two-half context codes, one 3-key sort per chunk, run-length
+    consolidation. Throughput is transitions/s including the host drain."""
+    from bear_tpu.counting.engine import ReadChunk
+    from bear_tpu.counting.sparse import SparseTransitionCounter
+
+    lag = 20
+    B, L, reps = 1 << 15, 255, 4  # 8.4M transitions per chunk
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, (B, L)).astype(np.int8)
+    lengths = np.full(B, L, np.int32)
+    chunk = ReadChunk(codes, lengths, np.zeros(B, np.int32),
+                      np.ones(B, bool), np.zeros(B, np.int32))
+    counter = SparseTransitionCounter(lags=[lag], n_groups=1)
+    counter.add_chunk(chunk)  # compile + first drain
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        counter.add_chunk(chunk)
+    dt = time.perf_counter() - t0  # add_chunk drains synchronously
+    n = reps * B * (L + 1)
+    return dict(transitions_per_sec=n / dt, seconds=dt,
+                distinct_rows=int(len(counter.nonzero_rows(lag))))
+
+
 def _install_watchdog(seconds: int):
     """Emit the JSON line with an error and exit if the whole bench exceeds
     `seconds` — a wedged device tunnel otherwise hangs jax.devices() forever
@@ -513,6 +567,14 @@ def main():
     except Exception as e:
         results["variants_error"] = repr(e)
     try:
+        results["snv_mc"] = bench_snv_mc()
+    except Exception as e:
+        results["snv_mc_error"] = repr(e)
+    try:
+        results["sparse_counting"] = bench_sparse_counting()
+    except Exception as e:
+        results["sparse_counting_error"] = repr(e)
+    try:
         results["ysd1"] = bench_ysd1_train()
     except Exception as e:
         results["ysd1_error"] = repr(e)
@@ -537,6 +599,9 @@ def main():
         "serving_sampled_seqs_per_sec": round((results.get("serving_sampled") or {}).get("seqs_per_sec", 0.0)),
         "snv_scores_per_sec": round((results.get("snv") or {}).get("snvs_per_sec", 0.0)),
         "variant_scores_per_sec": round((results.get("variants") or {}).get("variants_per_sec", 0.0)),
+        "snv_mc41_draws_per_sec": round((results.get("snv_mc") or {}).get("snv_draws_per_sec", 0.0)),
+        "snv_mc41_snvs_per_sec": round((results.get("snv_mc") or {}).get("snvs_per_sec", 0.0)),
+        "sparse_lag20_transitions_per_sec": round((results.get("sparse_counting") or {}).get("transitions_per_sec", 0.0)),
         "bmm_heldout_perplexity": ysd1.get("bmm_heldout_perplexity"),
         "bear_heldout_perplexity": ysd1.get("bear_heldout_perplexity"),
         "learned_h": ysd1.get("h"),
@@ -546,7 +611,7 @@ def main():
     for k in ("lag13_error", "counting_error", "loggamma_error",
               "host_pack_error", "assemble_error", "serving_error",
               "serving_sampled_error", "snv_error", "variants_error",
-              "ysd1_error"):
+              "snv_mc_error", "sparse_counting_error", "ysd1_error"):
         if k in results:
             line[k] = results[k]
     print(json.dumps(line))

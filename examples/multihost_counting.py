@@ -91,6 +91,36 @@ def worker(args) -> None:
     counter.validate(expected_transitions=expected)
 
     totals = {l: int(t.sum()) for l, t in counter.tables.items()}
+    if args.bench:
+        # BASELINE.json's scaling axis ("k-mers/s at 1 chip, 1 host, and
+        # N>=2 hosts") as ONE machine-readable line: per-host and aggregate
+        # counting rates. A pod run is this same invocation with real
+        # coordinator/process ids per host.
+        import json
+
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        per_rank = np.asarray(multihost_utils.process_allgather(
+            np.asarray([stats["bases"], stats["reads"], count_s], np.float64)
+        )).reshape(args.nproc, 3)
+        rank_tps = [
+            float((b + r) / max(t, 1e-9)) for b, r, t in per_rank
+        ]
+        if args.pid == 0:
+            print("BENCH " + json.dumps({
+                "bench": "multihost_counting",
+                "hosts": args.nproc,
+                "lags": f"1..{args.lag}",
+                "global_transitions_per_lag": expected,
+                "per_host_transitions_per_sec": [round(x) for x in rank_tps],
+                "aggregate_transitions_per_sec": round(
+                    float(per_rank[:, :2].sum())
+                    / max(float(per_rank[:, 2].max()), 1e-9)),
+                "per_host_bases": [int(b) for b in per_rank[:, 0]],
+                "count_seconds": [round(float(t), 3) for t in per_rank[:, 2]],
+                "merge_seconds": round(merge_s, 3),
+            }), flush=True)
     if args.pid == 0:
         print(f"[rank 0] hosts={args.nproc} lags=1..{args.lag} "
               f"global transitions={sum(totals.values())} "
@@ -113,6 +143,8 @@ def launch(args) -> int:
            "--csv", csv, "--lag", str(args.lag), "--nproc", str(args.nproc),
            "--coordinator", f"127.0.0.1:{port}",
            "--cpu" if args.cpu else "--no-cpu"]
+    if args.bench:
+        cmd.append("--bench")
     procs = [subprocess.Popen(cmd + ["--pid", str(i)], env=env)
              for i in range(args.nproc)]
     try:
@@ -140,6 +172,10 @@ def main(argv=None) -> int:
                     default=True,
                     help="run on host CPU devices (default; --no-cpu keeps "
                          "each host's own accelerators, for real pod runs)")
+    ap.add_argument("--bench", action="store_true",
+                    help="emit one 'BENCH {json}' line from rank 0 with "
+                         "per-host and aggregate transitions/s (the "
+                         "1-host/N-host scaling record)")
     ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--pid", type=int, default=0, help=argparse.SUPPRESS)

@@ -151,6 +151,28 @@ def worker(args) -> None:
     ).reshape(-1)
     assert np.all(h_all == h_all[0]), f"rank h mismatch: {h_all}"
 
+    if args.bench and args.pid == 0:
+        # Machine-readable scaling record (the training leg of
+        # BASELINE.json's 1-host/N-host axis); a pod run is the same
+        # invocation with real coordinator/process ids.
+        import json
+
+        steps = len(res.losses)
+        print("BENCH " + json.dumps({
+            "bench": "multihost_train",
+            "hosts": args.nproc,
+            "devices": jax.device_count(),
+            "lag": args.lag,
+            "kmers": len(ds.codes),
+            "streaming": bool(args.streaming),
+            "count_merge_seconds": round(count_s, 3),
+            "train_seconds": round(train_s, 3),
+            "steps_per_sec": round(steps / max(train_s, 1e-9), 2),
+            "kmers_per_sec": round(
+                steps * args.batch_size / max(train_s, 1e-9)),
+            "h": float(res.h),
+            "bear_perplexity": perp_bear,
+        }), flush=True)
     if args.pid == 0:
         print(f"[rank 0] hosts={args.nproc} devices={jax.device_count()} "
               f"lag={args.lag} kmers={len(ds.codes)}")
@@ -177,6 +199,8 @@ def launch(args) -> int:
            "--cpu" if args.cpu else "--no-cpu"]
     if args.streaming:
         cmd.append("--streaming")
+    if args.bench:
+        cmd.append("--bench")
     procs = [subprocess.Popen(cmd + ["--pid", str(i)], env=env)
              for i in range(args.nproc)]
     try:
@@ -210,6 +234,10 @@ def main(argv=None) -> int:
                     default=True,
                     help="run on host CPU devices (default; --no-cpu keeps "
                          "each host's own accelerators, for real pod runs)")
+    ap.add_argument("--bench", action="store_true",
+                    help="emit one 'BENCH {json}' line from rank 0 with "
+                         "count/merge/train timings and steps/s (the "
+                         "1-host/N-host scaling record)")
     ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--pid", type=int, default=0, help=argparse.SUPPRESS)

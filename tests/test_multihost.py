@@ -316,13 +316,41 @@ def test_multihost_counting_example():
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+def test_multihost_counting_bench_json():
+    # --bench emits one machine-readable 'BENCH {json}' line from rank 0
+    # with sane per-host and aggregate counting rates (the 1-host/N-host
+    # scaling record of BASELINE.json).
+    import json
+
+    script = os.path.join(REPO, "examples", "multihost_counting.py")
+    r = subprocess.run(
+        [sys.executable, script, "--nproc", "2", "--lag", "2", "--bench",
+         "--reads-per-file", "60", "--read-len", "30"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": REPO + os.pathsep
+             + os.environ.get("PYTHONPATH", "")},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("BENCH ")]
+    assert len(lines) == 1, r.stdout
+    rec = json.loads(lines[0][len("BENCH "):])
+    assert rec["bench"] == "multihost_counting"
+    assert rec["hosts"] == 2
+    assert len(rec["per_host_transitions_per_sec"]) == 2
+    assert all(x > 0 for x in rec["per_host_transitions_per_sec"])
+    assert rec["aggregate_transitions_per_sec"] > 0
+    # 4 files x 60 reads x (30 bases + 1 stop) transitions per lag
+    assert rec["global_transitions_per_lag"] == 4 * 60 * 31
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
 @pytest.mark.slow
 def test_multihost_train_example():
     # The user-facing N-host count->merge->train harness (2 procs).
     import examples.multihost_train as mh
 
     assert mh.main(["--nproc", "2", "--lag", "3", "--reads-per-file", "200",
-                    "--read-len", "50", "--epochs", "8"]) == 0
+                    "--read-len", "50", "--epochs", "8", "--bench"]) == 0
 
 
 @pytest.mark.slow
