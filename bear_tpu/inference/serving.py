@@ -492,12 +492,15 @@ class BearServer:
                 raise ValueError('mode="sample" requires key=')
             # ONE launch per chunk carries ALL samples in-kernel (gathers
             # and concentrations amortize across the sample axis); the
-            # chunk shrinks with mc_samples so the [B, lag+1, A+1, S]
-            # draw tensors stay memory-bounded.
+            # chunk scales as ~2M/mc_samples rows so the [B, lag+1, A+1, S]
+            # draw tensors stay memory-bounded (~4 GB of proposal temps).
+            # Measured on v5e at S=41: chunk 4096 -> 45K snvs/s (launch
+            # overhead bound), 32768 -> 76K.
             keys = jnp.stack(
                 [jax.random.fold_in(key, s) for s in range(mc_samples)])
             fn = self._snv_sample_fn
-            batch = max(min(batch, 1 << 12), batch // mc_samples)
+            batch = min(batch, max(batch // mc_samples,
+                                   (1 << 21) // mc_samples, 1))
         else:
             raise ValueError(f"unknown mode {mode!r}")
         V = len(pos)
@@ -661,12 +664,14 @@ class BearServer:
             if key is None:
                 raise ValueError('mode="sample" requires key=')
             # In-kernel sample axis: one launch per chunk scores ALL
-            # samples (gathers/window math amortize); chunk scales down
-            # with mc_samples to bound the draw-tensor memory.
+            # samples (gathers/window math amortize); chunk scales as
+            # ~1M/mc_samples rows (arbitrary-variant windows are ~2x the
+            # SNV count, so half the SNV row budget).
             keys = jnp.stack(
                 [jax.random.fold_in(key, s) for s in range(mc_samples)])
             fn = self._var_sample_fn
-            batch = max(min(batch, 1 << 12), batch // mc_samples)
+            batch = min(batch, max(batch // mc_samples,
+                                   (1 << 20) // mc_samples, 1))
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
