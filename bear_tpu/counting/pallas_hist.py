@@ -49,117 +49,149 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WINDOW = 32768  # table entries per grid step = (WINDOW // 256) x 256
+WINDOW = 32768  # histogram window = (WINDOW // 256) x 256 table entries
 GROUP = 2048    # keys per MXU matmul
+BLOCKS = 8      # table windows streamed per grid step
 # Defaults tuned on v5e (lag-13 table, 16.8M keys/pass): 371 Mkeys/s vs 88
 # Mkeys/s for XLA scatter-add (unstable uint32 sort ~22 ms + kernel ~23 ms
 # per pass); the swept alternatives (w/g = 32768/1024, 16384/512, 16384/1024,
-# 65536/2048) all measured 7-20% slower.
+# 65536/2048) all measured 7-20% slower. BLOCKS > 1 keeps the per-key MAC
+# cost at WINDOW (each window is histogrammed separately into its slice of
+# one block-wide scratch) while dividing the per-grid-step pipeline
+# bookkeeping — the dominant kernel fixed cost at 13.7K windows — by BLOCKS.
 
 # Tests flip this to run the kernel in interpreter mode on CPU. Read at trace
 # time: set it before the first sorted-path call in the process.
 INTERPRET = False
 
 
-def padded_size(total: int, window: int = WINDOW) -> int:
-    """Table size padded up to a whole number of windows."""
-    return -(-total // window) * window
+def padded_size(total: int, window: int = WINDOW, blocks: int = BLOCKS) -> int:
+    """Table size padded up to a whole number of grid blocks (= ``blocks``
+    histogram windows; the pad tail is never indexed by valid keys)."""
+    blk = window * blocks
+    return -(-total // blk) * blk
 
 
 def _hist_kernel(win_map_ref, bounds_ref, keys_ref, tbl_ref, out_ref,
                  keys_vmem, hist, sem,
-                 *, group: int, window: int, oh_dtype=jnp.bfloat16):
-    # The grid walks win_map, not the table: touched windows appear exactly
-    # once (ascending); every UNTOUCHED window is mapped to the first
-    # untouched index, so its block is fetched at most once (consecutive
-    # equal block indices elide the DMA) and its zero-key visits write the
-    # block back unchanged. Untouched windows other than that one are never
-    # streamed at all — the dynamic "touched-window skip" with a static grid.
+                 *, group: int, window: int, blocks: int,
+                 oh_dtype=jnp.bfloat16):
+    # The grid walks win_map, not the table: touched blocks (of ``blocks``
+    # consecutive windows) appear exactly once (ascending); every UNTOUCHED
+    # block is mapped to the first untouched index, so its table slice is
+    # fetched at most once (consecutive equal block indices elide the DMA)
+    # and its zero-key visits write the slice back unchanged. Untouched
+    # blocks other than that one are never streamed at all — the dynamic
+    # "touched-window skip" with a static grid.
     i_grid = pl.program_id(0)
-    w = win_map_ref[i_grid]
-    # DMA offsets into HBM must be 128-lane aligned: align the window's key
-    # range DOWN to 128. The <=127 extra leading keys belong to earlier
-    # windows, so local < 0 and the arithmetic-shift hi never matches the
-    # row iota — masked for free, like the trailing foreign keys.
-    start = pl.multiple_of((bounds_ref[w] >> 7) << 7, 128)
-    n = bounds_ref[w + 1] - start
-    base = w * window
+    b = win_map_ref[i_grid]
     rows256 = window // 256
-    nchunks = pl.cdiv(n, jnp.int32(group))
     # A REVISIT (same block index as the previous grid step) keeps the block
     # resident in VMEM — tbl_ref/out_ref still hold the previous step's
     # correct content, so a zero-key revisit may skip the whole body (its
-    # ~2 us of hist zero + VMEM add is the per-window fixed cost that
-    # dominates sparse chunks). A NEW block must always write out_ref, even
-    # with zero keys, or uninitialized VMEM would be flushed back to HBM.
-    is_new = (i_grid == 0) | (w != win_map_ref[jnp.maximum(i_grid - 1, 0)])
+    # hist zero + VMEM add is the per-block fixed cost that dominates sparse
+    # chunks). A NEW block must always write out_ref, even with zero keys,
+    # or uninitialized VMEM would be flushed back to HBM.
+    is_new = (i_grid == 0) | (b != win_map_ref[jnp.maximum(i_grid - 1, 0)])
+    blk_n = bounds_ref[(b + 1) * blocks] - bounds_ref[b * blocks]
 
-    def get_dma(i):
-        i = jnp.asarray(i, jnp.int32)  # fori_loop index is int64 under x64
-        slot = jax.lax.rem(i, jnp.int32(2))
-        return pltpu.make_async_copy(
-            keys_ref.at[:, pl.ds(start + i * jnp.int32(group), group)],
-            keys_vmem.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when((nchunks > 0) | is_new)
+    @pl.when((blk_n > 0) | is_new)
     def _run():
         hist[...] = jnp.zeros_like(hist)
 
-        @pl.when(nchunks > 0)
-        def _():
-            get_dma(0).start()
+        def sub(s):
+            # One histogram window inside the block: its keys are the
+            # contiguous sorted range bounds[w]..bounds[w+1], its counts land
+            # in rows [s*rows256, (s+1)*rows256) of the block-wide scratch.
+            # Keeping the one-hot factorization per WINDOW (not per block)
+            # holds the per-key MAC cost at ``window`` while the grid pays
+            # its per-step fixed costs only once per ``blocks`` windows.
+            w = b * blocks + s
+            # DMA offsets into HBM must be 128-lane aligned: align the
+            # window's key range DOWN to 128. The <=127 extra leading keys
+            # belong to earlier windows, so local < 0 and the
+            # arithmetic-shift hi never matches the row iota — masked for
+            # free, like the trailing foreign keys.
+            start = pl.multiple_of((bounds_ref[w] >> 7) << 7, 128)
+            n = bounds_ref[w + 1] - start
+            base = w * window
+            nchunks = pl.cdiv(n, jnp.int32(group))
 
-        def body(i, carry):
-            # Double-buffered: next group streams in while this one matmuls.
-            @pl.when(i + 1 < nchunks)
+            def get_dma(i):
+                i = jnp.asarray(i, jnp.int32)
+                slot = jax.lax.rem(i, jnp.int32(2))
+                return pltpu.make_async_copy(
+                    keys_ref.at[:, pl.ds(start + i * jnp.int32(group), group)],
+                    keys_vmem.at[slot],
+                    sem.at[slot],
+                )
+
+            @pl.when(nchunks > 0)
             def _():
-                get_dma(i + 1).start()
+                get_dma(0).start()
 
-            get_dma(i).wait()
-            slot = jax.lax.rem(jnp.asarray(i, jnp.int32), jnp.int32(2))
-            local = keys_vmem[slot] - base  # (1, G); <0/>= window if foreign
-            hi = local >> 8
-            lo = local & 255
-            oh_hi = (
-                jax.lax.broadcasted_iota(jnp.int32, (rows256, group), 0) == hi
-            ).astype(oh_dtype)  # zero column if hi out of [0, rows256)
-            oh_lo = (
-                jax.lax.broadcasted_iota(jnp.int32, (256, group), 0) == lo
-            ).astype(oh_dtype)
-            acc_dtype = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
-            part = jax.lax.dot_general(
-                oh_hi, oh_lo,
-                dimension_numbers=(((1,), (1,)), ((), ())),  # contract G axis
-                preferred_element_type=acc_dtype,
-            )
-            hist[...] += part.astype(jnp.int32)
-            return carry
+            def body(i, carry):
+                # Double-buffered: next group streams while this one matmuls.
+                @pl.when(i + 1 < nchunks)
+                def _():
+                    get_dma(i + 1).start()
 
-        jax.lax.fori_loop(0, nchunks, body, 0)
+                get_dma(i).wait()
+                slot = jax.lax.rem(jnp.asarray(i, jnp.int32), jnp.int32(2))
+                local = keys_vmem[slot] - base  # (1, G); outside [0, window)
+                hi = local >> 8                 # if foreign — masked for free
+                lo = local & 255
+                oh_hi = (
+                    jax.lax.broadcasted_iota(jnp.int32, (rows256, group), 0)
+                    == hi
+                ).astype(oh_dtype)  # zero column if hi out of [0, rows256)
+                oh_lo = (
+                    jax.lax.broadcasted_iota(jnp.int32, (256, group), 0) == lo
+                ).astype(oh_dtype)
+                acc_dtype = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
+                part = jax.lax.dot_general(
+                    oh_hi, oh_lo,
+                    dimension_numbers=(((1,), (1,)), ((), ())),  # contract G
+                    preferred_element_type=acc_dtype,
+                )
+                hist[s * rows256:(s + 1) * rows256, :] += part.astype(
+                    jnp.int32
+                )
+                return carry
+
+            jax.lax.fori_loop(0, nchunks, body, 0)
+
+        for s in range(blocks):  # static unroll: static hist slices
+            sub(s)
         out_ref[...] = tbl_ref[...] + hist[...]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "window", "oh_dtype", "skip_empty"),
+    jax.jit,
+    static_argnames=("group", "window", "oh_dtype", "skip_empty", "blocks"),
     donate_argnums=(0,),
 )
 def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
                          window: int = WINDOW, oh_dtype=jnp.bfloat16,
-                         skip_empty: bool = True):
+                         skip_empty: bool = True, blocks: int = BLOCKS):
     """Add one count at each index of ``flat_idx`` into ``table_flat``.
 
     table_flat : (n_windows * WINDOW,) int32 — dense table, padded to whole
-        windows (see padded_size).
+        grid blocks (see padded_size).
     flat_idx : (N,) int32 — table indices; entries >= table_flat.size are
         sentinels and are not counted. Any duplication, any order.
+    blocks : histogram windows streamed per grid step (amortizes per-step
+        pipeline fixed costs; silently halved until it divides the window
+        count, so any whole-window table is accepted).
     Returns the updated table (same shape; buffer donated).
     """
     total_padded = table_flat.size
     assert window % 256 == 0 and window >= 4096, "window = 256 * sublanes"
     assert total_padded % window == 0, "pad the table with padded_size()"
     n_windows = total_padded // window
+    while n_windows % blocks:
+        blocks //= 2
+    n_blocks = n_windows // blocks
     rows256 = window // 256
 
     # Sorting the uint32 bitcast unstably is 2x faster than stable int32
@@ -179,24 +211,24 @@ def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
         s, jnp.arange(n_windows + 1, dtype=jnp.int32) * window
     ).astype(jnp.int32)
 
-    # Touched-window compaction: windows with zero keys are skipped (their
-    # table blocks are never DMA'd). Sorting `where(touched, idx, u0)` with
-    # u0 = the FIRST untouched window keeps every touched window exactly
-    # once in ascending order and clusters all skip slots on u0, whose
-    # key range is empty by construction — its repeated visits add nothing
-    # and rewrite identical bytes, so they are safe under any pipeline
-    # fetch/elide behavior. Empty chunks (nothing touched) degenerate to
-    # n_windows no-op visits of window 0.
+    # Touched-block compaction: blocks of ``blocks`` windows with zero keys
+    # are skipped (their table slices are never DMA'd). Sorting
+    # `where(touched, idx, u0)` with u0 = the FIRST untouched block keeps
+    # every touched block exactly once in ascending order and clusters all
+    # skip slots on u0, whose key range is empty by construction — its
+    # repeated visits add nothing and rewrite identical bytes, so they are
+    # safe under any pipeline fetch/elide behavior. Empty chunks (nothing
+    # touched) degenerate to n_blocks no-op visits of block 0.
     if skip_empty:
-        counts_per_win = bounds[1:] - bounds[:-1]
-        touched = counts_per_win > 0
+        blk_bounds = bounds[::blocks]  # n_blocks + 1 entries
+        touched = (blk_bounds[1:] - blk_bounds[:-1]) > 0
         u0 = jnp.argmin(touched).astype(jnp.int32)  # first False (0 if none)
         win_map = jax.lax.sort(
-            jnp.where(touched, jnp.arange(n_windows, dtype=jnp.int32), u0),
+            jnp.where(touched, jnp.arange(n_blocks, dtype=jnp.int32), u0),
             is_stable=False,
         )
-    else:  # A/B baseline: stream every window (the round-1 behavior)
-        win_map = jnp.arange(n_windows, dtype=jnp.int32)
+    else:  # A/B baseline: stream every block (the round-1 behavior)
+        win_map = jnp.arange(n_blocks, dtype=jnp.int32)
 
     tbl2d = table_flat.reshape(n_windows * rows256, 256)
     keys2d = s.reshape(1, -1)
@@ -204,20 +236,20 @@ def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
 
     out = pl.pallas_call(
         functools.partial(_hist_kernel, group=group, window=window,
-                          oh_dtype=oh_dtype),
+                          blocks=blocks, oh_dtype=oh_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # win_map, bounds
-            grid=(n_windows,),
+            grid=(n_blocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # keys stay in HBM
-                pl.BlockSpec((rows256, 256),
+                pl.BlockSpec((blocks * rows256, 256),
                              lambda i, win_map, bounds: (win_map[i], 0)),
             ],
-            out_specs=pl.BlockSpec((rows256, 256),
+            out_specs=pl.BlockSpec((blocks * rows256, 256),
                                    lambda i, win_map, bounds: (win_map[i], 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, 1, group), jnp.int32),  # double-buffered keys
-                pltpu.VMEM((rows256, 256), jnp.int32),
+                pltpu.VMEM((blocks * rows256, 256), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

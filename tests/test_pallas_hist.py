@@ -150,6 +150,41 @@ def test_skip_empty_matches_full_stream(interpret, n_touched):
     np.testing.assert_array_equal(full, oracle)
 
 
+@pytest.mark.parametrize("blocks", [1, 2, 4, 8])
+def test_blocks_variants_match_oracle(interpret, blocks):
+    # Multi-window grid blocks must be exact for every blocks setting,
+    # including ranges that straddle block boundaries and blocks whose
+    # sub-windows are partially empty.
+    rng = np.random.default_rng(100 + blocks)
+    n_windows = 8
+    padded = n_windows * ph.WINDOW
+    idx = np.concatenate([
+        rng.integers(0, padded, size=3000).astype(np.int32),
+        np.arange(ph.WINDOW - 4, ph.WINDOW + 4, dtype=np.int32),  # boundary
+        np.full(64, padded, np.int32),                            # sentinels
+        np.full(50, -3, np.int32),                                # negatives
+    ])
+    base = rng.integers(0, 3, size=padded).astype(np.int32)
+    out = np.asarray(ph.sorted_window_update(
+        jnp.asarray(base), jnp.asarray(idx), group=256, blocks=blocks))
+    oracle = base.astype(np.int64)
+    valid = idx[(idx >= 0) & (idx < padded)]
+    np.add.at(oracle, valid, 1)
+    np.testing.assert_array_equal(out, oracle)
+
+
+def test_blocks_degrades_to_divisor(interpret):
+    # A 2-window table with blocks=8 must silently degrade (8 -> 2) rather
+    # than fail the grid divisibility assert.
+    padded = 2 * ph.WINDOW
+    idx = np.arange(100, dtype=np.int32) * 577
+    out = np.asarray(ph.sorted_window_update(
+        jnp.zeros(padded, jnp.int32), jnp.asarray(idx), group=256, blocks=8))
+    oracle = np.zeros(padded, np.int64)
+    np.add.at(oracle, idx, 1)
+    np.testing.assert_array_equal(out, oracle)
+
+
 def test_sorted_window_update_int8_variant(interpret):
     # int8 one-hot matmul variant (2x MXU peak on v5e) must be exact too.
     import jax.numpy as jnp
