@@ -14,8 +14,10 @@ Pipeline (all on device):
      carry a sentinel that sorts to the end, and negative indices are
      clamped to the sentinel first (the uint32 bitcast would otherwise send
      them past it).
-  2. ``searchsorted`` the 64Ki-entry window boundaries -> per-window key
-     ranges (the scalar-prefetch operand).
+  2. ``searchsorted`` the window boundaries -> per-window key ranges (the
+     scalar-prefetch operand). In-pipeline this costs ~1-2 ms at 13.7K
+     boundaries / 16.8M keys; a recursive-histogram replacement measured
+     SLOWER (PERF.md round-4 graveyard) — do not retry.
   3. This kernel walks the table in (window/256, 256)-entry windows. For
      each window it streams the window's sorted keys in groups of G and
      accumulates the window histogram ON THE MXU via the rank-1 one-hot
@@ -23,7 +25,7 @@ Pipeline (all on device):
 
          local = key - window_base          in [0, window)
          hist[hi, lo] += sum_g 1[hi_g = hi] * 1[lo_g = lo]
-                       = one_hot(hi)^T  @  one_hot(lo)    (bf16 matmul)
+                       = one_hot(hi)^T  @  one_hot(lo)    (int8 matmul)
 
      Keys past the window's range (they belong to later windows, or are
      sentinels) give hi >= 256, a zero one-hot row — masking is free.
@@ -31,13 +33,14 @@ Pipeline (all on device):
      (input/output aliased), so the table is updated in place in one
      streamed pass.
 
-A group of G keys costs one (window/256, G) x (G, 256) bf16 matmul on the
+A group of G keys costs one (window/256, G) x (G, 256) int8 matmul on the
 MXU instead of G serial scatter applies; per-key MAC cost = window size, so
 smaller windows mean less arithmetic but more per-window fixed cost (the
-defaults balance the two for genome-scale tables). Per-group partial counts
-are <= G < 2^24, exact in f32; the running window histogram is int32, so
-totals are exact up to 2^31 per flush window (the engine's host accumulator
-is int64 beyond that).
+defaults balance the two for genome-scale tables). int8 one-hots accumulate
+on the MXU in int32 (exact at any group size, and 2x bf16 peak on v5e; the
+bf16 variant is exact too — per-group partials are <= G < 2^24 in f32);
+the running window histogram is int32, so totals are exact up to 2^31 per
+flush window (the engine's host accumulator is int64 beyond that).
 """
 
 from __future__ import annotations
@@ -52,17 +55,20 @@ from jax.experimental.pallas import tpu as pltpu
 WINDOW = 32768  # histogram window = (WINDOW // 256) x 256 table entries
 GROUP = 2048    # keys per MXU matmul
 BLOCKS = 8      # table windows streamed per grid step
-# Defaults tuned on v5e (lag-13 table, 16.8M keys/pass): 371 Mkeys/s vs 88
-# Mkeys/s for XLA scatter-add (unstable uint32 sort ~22 ms + kernel ~23 ms
-# per pass); the swept alternatives (w/g = 32768/1024, 16384/512, 16384/1024,
-# 65536/2048) all measured 7-20% slower. BLOCKS > 1 keeps the per-key MAC
-# cost at WINDOW (each window is histogrammed separately into its slice of
-# one block-wide scratch) while dividing the per-grid-step pipeline
-# bookkeeping — the dominant kernel fixed cost at 13.7K windows — by BLOCKS.
+OH_DTYPE = jnp.int8  # one-hot operand dtype (int8 MXU = 2x bf16 peak on v5e)
+# Defaults tuned on v5e (lag-13 table, 16.8M keys/pass): the round-4
+# ablation (tools/bench_hist_ablate.py) measured the kernel at 18.1 ms
+# (bf16, blocks=1) -> 14.3 ms (int8 one-hots with exact int32 MXU
+# accumulation + 8-window grid blocks); the swept geometry alternatives
+# (w/g = 32768/1024, 16384/512, 16384/1024, 65536/2048) all measured 7-20%
+# slower in rounds 2-3. BLOCKS > 1 keeps the per-key MAC cost at WINDOW
+# (each window is histogrammed separately into its slice of one block-wide
+# scratch) while dividing the per-grid-step pipeline bookkeeping by BLOCKS.
 
 # Tests flip this to run the kernel in interpreter mode on CPU. Read at trace
 # time: set it before the first sorted-path call in the process.
 INTERPRET = False
+
 
 
 def padded_size(total: int, window: int = WINDOW, blocks: int = BLOCKS) -> int:
@@ -172,7 +178,7 @@ def _hist_kernel(win_map_ref, bounds_ref, keys_ref, tbl_ref, out_ref,
     donate_argnums=(0,),
 )
 def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
-                         window: int = WINDOW, oh_dtype=jnp.bfloat16,
+                         window: int = WINDOW, oh_dtype=OH_DTYPE,
                          skip_empty: bool = True, blocks: int = BLOCKS):
     """Add one count at each index of ``flat_idx`` into ``table_flat``.
 

@@ -27,7 +27,7 @@ import numpy as np
 
 from bear_tpu.counting.engine import table_rows
 from bear_tpu.ops import alphabets
-from bear_tpu.ops.loggamma import fold_in_many, log_dirichlet_draw_keyed
+from bear_tpu.ops.loggamma import fold_in_many, log_dirichlet_draw_keyed_t
 
 
 # Marsaglia-Tsang proposals per lane in the serving samplers. Acceptance is
@@ -38,18 +38,31 @@ from bear_tpu.ops.loggamma import fold_in_many, log_dirichlet_draw_keyed
 SAMPLE_PROPOSALS = 3
 
 
-def _sampled_logp(keys, conc):
-    """Row-keyed posterior Dirichlet log-probs for a [..., A+1] concentration
-    tensor: ONE fused fixed-iteration sampling pass over every row (see
-    log_dirichlet_draw_keyed), replacing a vmap-of-vmap of per-row
-    fold_in + rejection-loop draws (50x slower; PERF.md). keys.shape must
-    equal conc.shape[:-1]; same key + concentration => same draw (the
-    stateless revisit semantics of assembly/serving)."""
-    shp = conc.shape
-    lg = log_dirichlet_draw_keyed(keys.reshape(-1), conc.reshape(-1, shp[-1]),
-                                  n_iter=SAMPLE_PROPOSALS)
-    lg = lg - jax.scipy.special.logsumexp(lg, axis=-1, keepdims=True)
-    return lg.reshape(shp)
+def _sampled_logp_picked(keys, conc, nxt):
+    """Row-keyed posterior Dirichlet log-prob OF THE CHOSEN category for a
+    [..., A+1] concentration tensor: ONE fused fixed-iteration sampling pass
+    over every row (see log_dirichlet_draw_keyed_t), replacing a
+    vmap-of-vmap of per-row fold_in + rejection-loop draws (50x slower;
+    PERF.md). keys.shape and nxt.shape must equal conc.shape[:-1]; same
+    key + concentration => same draw (the stateless revisit semantics of
+    assembly/serving).
+
+    The whole computation runs element-MINOR ([A+1, M] with M = the flat
+    element count in the TPU lane dimension) and selects the chosen
+    category with a one-hot sum — no [M, A+1, F] intermediate and no
+    take_along_axis gather ever materializes. The [.., A, F]-minor layout
+    of the previous version tiled to (8, 128) at ~68x padding and was the
+    entire sampled-vs-MAP serving gap (PERF.md)."""
+    shp = conc.shape[:-1]
+    A1 = conc.shape[-1]
+    lg = log_dirichlet_draw_keyed_t(
+        keys.reshape(-1), conc.reshape(-1, A1).T, n_iter=SAMPLE_PROPOSALS)
+    lse = jax.scipy.special.logsumexp(lg, axis=0)
+    sel = jnp.arange(A1, dtype=jnp.int32)[:, None] == nxt.reshape(-1)[None, :]
+    # -inf draws (zero concentration): picked when selected (score -inf),
+    # excluded from the one-hot sum otherwise.
+    picked = jnp.sum(jnp.where(sel, lg, 0.0), axis=0)
+    return (picked - lse).reshape(shp)
 
 
 def _context_rows_and_next(codes, lengths, lag, A=4):
@@ -256,9 +269,7 @@ class BearServer:
                     jnp.arange(B))
                 elem_keys = jax.vmap(fold_in_many, in_axes=(0, 0))(seq_keys,
                                                                    rows)
-                logp = _sampled_logp(elem_keys, conc)
-                picked = jnp.take_along_axis(
-                    logp, nxt[..., None], axis=-1)[..., 0]
+                picked = _sampled_logp_picked(elem_keys, conc, nxt)
                 return jnp.sum(jnp.where(mask, picked, 0.0), axis=-1)
 
             return jax.vmap(one, out_axes=-1)(keys)
@@ -322,9 +333,8 @@ class BearServer:
 
             def one(key):
                 def logp(rows, conc, nxt):
-                    lp = _sampled_logp(fold_in_many(key, rows), conc)
-                    return jnp.take_along_axis(
-                        lp, nxt[..., None], axis=-1)[..., 0]
+                    return _sampled_logp_picked(fold_in_many(key, rows),
+                                                conc, nxt)
 
                 d = logp(r_mt, conc_mt, n_mt) - logp(r_wt, conc_wt, n_wt)
                 return jnp.sum(jnp.where(valid, d, 0.0), axis=-1)
@@ -380,9 +390,8 @@ class BearServer:
 
             def one(key):
                 def logp(rows, conc, nxt):
-                    lp = _sampled_logp(fold_in_many(key, rows), conc)
-                    return jnp.take_along_axis(
-                        lp, nxt[..., None], axis=-1)[..., 0]
+                    return _sampled_logp_picked(fold_in_many(key, rows),
+                                                conc, nxt)
 
                 return (
                     jnp.sum(jnp.where(m_mt, logp(rows_mt, conc_mt, nxt_mt),

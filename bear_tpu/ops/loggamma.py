@@ -127,6 +127,61 @@ def fold_in_many(key, data):
     return keys.reshape(jnp.shape(data))
 
 
+def _mt_boosted_log_gamma_t(x, neg_log_u, safe_conc_t):
+    """Transposed Marsaglia-Tsang core: the same math as
+    _mt_boosted_log_gamma with the proposal axis FIRST and the element axis
+    LAST — x, neg_log_u are [F, A, N]; safe_conc_t is [A, N]; returns
+    [A, N]. On TPU the last two dims tile to (8, 128) sublanes x lanes, so
+    element-minor tensors tile at A/8 padding instead of the ~68x a
+    [N, A=5, F=3] layout pays — the layout, not the arithmetic, was the
+    sampled-serving bottleneck (PERF.md)."""
+    dtype = x.dtype
+    d = (safe_conc_t + (1.0 - 1.0 / 3.0))[None]  # [1, A, N]
+    cc = 1.0 / jnp.sqrt(9.0 * d)
+    t = 1.0 + cc * x
+    v = t * t * t
+    pos = v > 0
+    vs = jnp.where(pos, v, 1.0)
+    ok = (pos & (-neg_log_u < 0.5 * x * x + d - d * vs + d * jnp.log(vs))
+          ).astype(dtype)
+    not_prior = jnp.cumprod(1.0 - ok, axis=0)
+    prior_none = jnp.concatenate(
+        [jnp.ones_like(not_prior[:1]), not_prior[:-1]], axis=0)
+    v_sel = jnp.sum(vs * (ok * prior_none), axis=0)
+    v_fb = jnp.maximum(v[-1], jnp.asarray(1e-3, dtype))
+    v_fin = v_sel + not_prior[-1] * v_fb
+    return jnp.log(d[0]) + jnp.log(v_fin)
+
+
+def log_dirichlet_draw_keyed_t(keys, conc_t, n_iter: int = 6):
+    """Element-minor variant of :func:`log_dirichlet_draw_keyed`:
+    ``conc_t`` is [A, N] (categories major, elements minor) and the result
+    is [A, N] unnormalized log-Dirichlet draws. Every intermediate keeps the
+    big element axis in the TPU lane dimension — use this form when N is
+    large (serving); the [N, A] wrapper below transposes at the boundary."""
+    conc_t = jnp.asarray(conc_t)
+    dtype = conc_t.dtype
+    A, N = conc_t.shape
+    F = int(n_iter)
+    kn = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+    ku = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+    kb = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+    # out_axes puts the element axis LAST so no [N, A, F] tensor ever
+    # exists; XLA fuses the transposed RNG into the elementwise chain.
+    x = jax.vmap(lambda k: jax.random.normal(k, (F, A), dtype),
+                 out_axes=2)(kn)
+    # log U as -Exponential: exact, avoids U == 0 in both uses below.
+    neg_log_u = jax.vmap(lambda k: jax.random.exponential(k, (F, A), dtype),
+                         out_axes=2)(ku)
+    boost_e = jax.vmap(lambda k: jax.random.exponential(k, (A,), dtype),
+                       out_axes=1)(kb)
+
+    safe = jnp.maximum(conc_t, jnp.asarray(1e-30, dtype))
+    log_g1 = _mt_boosted_log_gamma_t(x, neg_log_u, safe)
+    lg = log_g1 - boost_e / safe
+    return jnp.where(conc_t > 0, lg, -jnp.inf)
+
+
 def log_dirichlet_draw_keyed(keys, conc, n_iter: int = 6):
     """Batched log-Dirichlet draws, ONE per leading element, keyed by
     ``keys``: the fast path behind posterior-SAMPLED serving.
@@ -159,23 +214,11 @@ def log_dirichlet_draw_keyed(keys, conc, n_iter: int = 6):
     the MC noise floor of any downstream use. Fully branch-free: no
     while_loop, no cross-lane sync, XLA fuses it into a handful of
     elementwise kernels.
-    """
-    conc = jnp.asarray(conc)
-    dtype = conc.dtype
-    N, A = conc.shape
-    F = int(n_iter)
-    kn = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-    ku = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-    kb = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
-    x = jax.vmap(lambda k: jax.random.normal(k, (A, F), dtype))(kn)
-    # log U as -Exponential: exact, avoids U == 0 in both uses below.
-    neg_log_u = jax.vmap(lambda k: jax.random.exponential(k, (A, F), dtype))(ku)
-    boost_e = jax.vmap(lambda k: jax.random.exponential(k, (A,), dtype))(kb)
 
-    safe = jnp.maximum(conc, jnp.asarray(1e-30, dtype))
-    log_g1 = _mt_boosted_log_gamma(x, neg_log_u, safe)
-    lg = log_g1 - boost_e / safe
-    return jnp.where(conc > 0, lg, -jnp.inf)
+    Internals run element-minor (see log_dirichlet_draw_keyed_t); this
+    wrapper transposes only at the API boundary."""
+    conc = jnp.asarray(conc)
+    return log_dirichlet_draw_keyed_t(keys, conc.T, n_iter=n_iter).T
 
 
 def log_gamma_pdf(conc, xs):

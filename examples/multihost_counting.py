@@ -108,7 +108,7 @@ def worker(args) -> None:
             float((b + r) / max(t, 1e-9)) for b, r, t in per_rank
         ]
         if args.pid == 0:
-            print("BENCH " + json.dumps({
+            line = "BENCH " + json.dumps({
                 "bench": "multihost_counting",
                 "hosts": args.nproc,
                 "lags": f"1..{args.lag}",
@@ -120,7 +120,12 @@ def worker(args) -> None:
                 "per_host_bases": [int(b) for b in per_rank[:, 0]],
                 "count_seconds": [round(float(t), 3) for t in per_rank[:, 2]],
                 "merge_seconds": round(merge_s, 3),
-            }), flush=True)
+            })
+            # ONE write syscall incl. the newline: all ranks share stdout, and
+            # print()'s separate payload/end writes let another rank's line
+            # splice in between, corrupting the machine-readable record.
+            sys.stdout.write(line + "\n")
+            sys.stdout.flush()
     if args.pid == 0:
         print(f"[rank 0] hosts={args.nproc} lags=1..{args.lag} "
               f"global transitions={sum(totals.values())} "

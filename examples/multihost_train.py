@@ -158,7 +158,7 @@ def worker(args) -> None:
         import json
 
         steps = len(res.losses)
-        print("BENCH " + json.dumps({
+        line = "BENCH " + json.dumps({
             "bench": "multihost_train",
             "hosts": args.nproc,
             "devices": jax.device_count(),
@@ -172,7 +172,12 @@ def worker(args) -> None:
                 steps * args.batch_size / max(train_s, 1e-9)),
             "h": float(res.h),
             "bear_perplexity": perp_bear,
-        }), flush=True)
+        })
+        # ONE write syscall incl. the newline: all ranks share stdout, and
+        # print()'s separate payload/end writes let another rank's line
+        # splice in between, corrupting the machine-readable record.
+        sys.stdout.write(line + "\n")
+        sys.stdout.flush()
     if args.pid == 0:
         print(f"[rank 0] hosts={args.nproc} devices={jax.device_count()} "
               f"lag={args.lag} kmers={len(ds.codes)}")

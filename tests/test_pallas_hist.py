@@ -185,6 +185,28 @@ def test_blocks_degrades_to_divisor(interpret):
     np.testing.assert_array_equal(out, oracle)
 
 
+def test_beyond_sentinel_garbage_keys_dropped(interpret):
+    # Keys past the sentinel value (arbitrary garbage above table size) must
+    # be dropped exactly like the sentinel itself, alongside negatives.
+    rng = np.random.default_rng(7)
+    n_windows = 24
+    padded = n_windows * ph.WINDOW
+    idx = np.concatenate([
+        rng.integers(0, padded, size=5000).astype(np.int32),
+        rng.integers(0, 3 * ph.WINDOW, size=4000).astype(np.int32),
+        np.full(64, padded, np.int32),            # sentinels
+        np.full(50, -9, np.int32),                # negatives
+        np.full(30, padded + 12345, np.int32),    # beyond-sentinel garbage
+    ])
+    base = rng.integers(0, 3, size=padded).astype(np.int32)
+    oracle = base.astype(np.int64)
+    valid = idx[(idx >= 0) & (idx < padded)]
+    np.add.at(oracle, valid, 1)
+    out = np.asarray(ph.sorted_window_update(
+        jnp.asarray(base), jnp.asarray(idx), group=256))
+    np.testing.assert_array_equal(out, oracle)
+
+
 def test_sorted_window_update_int8_variant(interpret):
     # int8 one-hot matmul variant (2x MXU peak on v5e) must be exact too.
     import jax.numpy as jnp
