@@ -32,18 +32,24 @@ import jax
 import jax.numpy as jnp
 
 
-def _mt_boosted_log_gamma(x, neg_log_u, safe_conc):
-    """Shared Marsaglia-Tsang core: log Gamma(safe_conc + 1) draws from
-    pre-drawn standard normals ``x`` and exponentials ``neg_log_u`` (each
-    shaped conc.shape + (n_iter,)). Fixed proposals, first acceptance
-    selected with a gather-free cumprod survival mask (argmax +
-    take_along_axis over the minor proposal axis lower to serial gathers on
-    TPU — measured 18x the cost of the draws; PERF.md). The 0.04^n_iter
-    residual that misses every proposal falls back to the clamped last
-    proposal cube — the Wilson-Hilferty approximation, i.e. the proposal
-    distribution itself."""
+def _mt_boosted_log_gamma_t(x, neg_log_u, safe_conc_t):
+    """Marsaglia-Tsang core: log Gamma(safe_conc + 1) draws from pre-drawn
+    standard normals ``x`` and exponentials ``neg_log_u``, with the proposal
+    axis FIRST ([F, ...]; safe_conc_t is the trailing shape). Fixed
+    proposals, first acceptance selected with a gather-free cumprod survival
+    mask (argmax + take_along_axis over a minor proposal axis lower to
+    serial gathers on TPU — measured 18x the cost of the draws; PERF.md).
+    The 0.04^n_iter residual that misses every proposal falls back to the
+    clamped last proposal cube — the Wilson-Hilferty approximation, i.e.
+    the proposal distribution itself.
+
+    Proposal-axis-FIRST is a layout contract, not a convenience: callers
+    keep the big flat element axis in the TPU lane (minor) dimension, so no
+    intermediate pays the ~68x (8, 128)-tile padding a trailing
+    [.., A=5, F=3] layout costs when materialized — that layout was the
+    entire round-3 sampled-serving gap (PERF.md round 4)."""
     dtype = x.dtype
-    d = (safe_conc + (1.0 - 1.0 / 3.0))[..., None]  # boosted shape - 1/3
+    d = (safe_conc_t + (1.0 - 1.0 / 3.0))[None]  # [1, ...]
     cc = 1.0 / jnp.sqrt(9.0 * d)
     t = 1.0 + cc * x
     v = t * t * t
@@ -51,13 +57,13 @@ def _mt_boosted_log_gamma(x, neg_log_u, safe_conc):
     vs = jnp.where(pos, v, 1.0)
     ok = (pos & (-neg_log_u < 0.5 * x * x + d - d * vs + d * jnp.log(vs))
           ).astype(dtype)
-    not_prior = jnp.cumprod(1.0 - ok, axis=-1)
+    not_prior = jnp.cumprod(1.0 - ok, axis=0)
     prior_none = jnp.concatenate(
-        [jnp.ones_like(not_prior[..., :1]), not_prior[..., :-1]], axis=-1)
-    v_sel = jnp.sum(vs * (ok * prior_none), axis=-1)
-    v_fb = jnp.maximum(v[..., -1], jnp.asarray(1e-3, dtype))
-    v_fin = v_sel + not_prior[..., -1] * v_fb
-    return jnp.log(d[..., 0]) + jnp.log(v_fin)
+        [jnp.ones_like(not_prior[:1]), not_prior[:-1]], axis=0)
+    v_sel = jnp.sum(vs * (ok * prior_none), axis=0)
+    v_fb = jnp.maximum(v[-1], jnp.asarray(1e-3, dtype))
+    v_fin = v_sel + not_prior[-1] * v_fb
+    return jnp.log(d[0]) + jnp.log(v_fin)
 
 
 def log_gamma(key, concs, size=(), dtype=None, n_iter: int = 4):
@@ -78,7 +84,7 @@ def log_gamma(key, concs, size=(), dtype=None, n_iter: int = 4):
     size : tuple of leading sample dimensions (reference log_gamma.py:17's
         ``size``); the result has shape ``size + concs.shape``.
     n_iter : fixed proposal count (residual miss 0.04^n_iter falls back to
-        the Wilson-Hilferty cube — see _mt_boosted_log_gamma).
+        the Wilson-Hilferty cube — see _mt_boosted_log_gamma_t).
 
     Returns
     -------
@@ -88,13 +94,21 @@ def log_gamma(key, concs, size=(), dtype=None, n_iter: int = 4):
     shape = tuple(size) + concs.shape
     F = int(n_iter)
     kn, ku, kb = jax.random.split(key, 3)
-    x = jax.random.normal(kn, shape + (F,), concs.dtype)
-    neg_log_u = jax.random.exponential(ku, shape + (F,), concs.dtype)
-    boost_e = jax.random.exponential(kb, shape, concs.dtype)
-    safe = jnp.broadcast_to(concs, shape)
-    log_g1 = _mt_boosted_log_gamma(x, neg_log_u, safe)
+    # All per-proposal intermediates run FLAT with the proposal axis first
+    # ([F, T]): a trailing (.., A, F) layout tiles the last two dims to
+    # (8, 128) on TPU at up to ~68x padding when materialized — the same
+    # trap the keyed serving sampler hit (PERF.md round 4). Only the final
+    # reshape restores the caller's shape.
+    total = 1
+    for d in shape:
+        total *= d
+    x = jax.random.normal(kn, (F, total), concs.dtype)
+    neg_log_u = jax.random.exponential(ku, (F, total), concs.dtype)
+    boost_e = jax.random.exponential(kb, (total,), concs.dtype)
+    safe = jnp.broadcast_to(concs, shape).reshape(total)
+    log_g1 = _mt_boosted_log_gamma_t(x, neg_log_u, safe)
     # Boost identity: log G(c) = log G(c+1) + log(U)/c, log U = -Exp(1).
-    return log_g1 - boost_e / safe
+    return (log_g1 - boost_e / safe).reshape(shape)
 
 
 def log_dirichlet_draw(key, conc, n_iter: int = 4):
@@ -125,32 +139,6 @@ def fold_in_many(key, data):
     flat = jnp.ravel(data)
     keys = jax.vmap(lambda d: jax.random.fold_in(key, d))(flat)
     return keys.reshape(jnp.shape(data))
-
-
-def _mt_boosted_log_gamma_t(x, neg_log_u, safe_conc_t):
-    """Transposed Marsaglia-Tsang core: the same math as
-    _mt_boosted_log_gamma with the proposal axis FIRST and the element axis
-    LAST — x, neg_log_u are [F, A, N]; safe_conc_t is [A, N]; returns
-    [A, N]. On TPU the last two dims tile to (8, 128) sublanes x lanes, so
-    element-minor tensors tile at A/8 padding instead of the ~68x a
-    [N, A=5, F=3] layout pays — the layout, not the arithmetic, was the
-    sampled-serving bottleneck (PERF.md)."""
-    dtype = x.dtype
-    d = (safe_conc_t + (1.0 - 1.0 / 3.0))[None]  # [1, A, N]
-    cc = 1.0 / jnp.sqrt(9.0 * d)
-    t = 1.0 + cc * x
-    v = t * t * t
-    pos = v > 0
-    vs = jnp.where(pos, v, 1.0)
-    ok = (pos & (-neg_log_u < 0.5 * x * x + d - d * vs + d * jnp.log(vs))
-          ).astype(dtype)
-    not_prior = jnp.cumprod(1.0 - ok, axis=0)
-    prior_none = jnp.concatenate(
-        [jnp.ones_like(not_prior[:1]), not_prior[:-1]], axis=0)
-    v_sel = jnp.sum(vs * (ok * prior_none), axis=0)
-    v_fb = jnp.maximum(v[-1], jnp.asarray(1e-3, dtype))
-    v_fin = v_sel + not_prior[-1] * v_fb
-    return jnp.log(d[0]) + jnp.log(v_fin)
 
 
 def log_dirichlet_draw_keyed_t(keys, conc_t, n_iter: int = 6):

@@ -33,7 +33,29 @@ import numpy as np
 from bear_tpu.counting.engine import table_rows
 from bear_tpu.inference import serving as srv
 from bear_tpu.inference.serving import SAMPLE_PROPOSALS, BearServer
-from bear_tpu.ops.loggamma import _mt_boosted_log_gamma, fold_in_many
+from bear_tpu.ops.loggamma import fold_in_many
+
+
+def _mt_boosted_log_gamma(x, neg_log_u, safe_conc):
+    """The round-3 Marsaglia-Tsang core with the proposal axis MINOR
+    (x/neg_log_u shaped conc.shape + (F,)). Kept inline here ONLY for the
+    A/B; the package core is the element-minor _mt_boosted_log_gamma_t."""
+    dtype = x.dtype
+    d = (safe_conc + (1.0 - 1.0 / 3.0))[..., None]
+    cc = 1.0 / jnp.sqrt(9.0 * d)
+    t = 1.0 + cc * x
+    v = t * t * t
+    pos = v > 0
+    vs = jnp.where(pos, v, 1.0)
+    ok = (pos & (-neg_log_u < 0.5 * x * x + d - d * vs + d * jnp.log(vs))
+          ).astype(dtype)
+    not_prior = jnp.cumprod(1.0 - ok, axis=-1)
+    prior_none = jnp.concatenate(
+        [jnp.ones_like(not_prior[..., :1]), not_prior[..., :-1]], axis=-1)
+    v_sel = jnp.sum(vs * (ok * prior_none), axis=-1)
+    v_fb = jnp.maximum(v[..., -1], jnp.asarray(1e-3, dtype))
+    v_fin = v_sel + not_prior[..., -1] * v_fb
+    return jnp.log(d[..., 0]) + jnp.log(v_fin)
 
 
 def _old_sampled_logp(keys, conc, n_iter):
