@@ -355,33 +355,63 @@ class BearServer:
             tc = jnp.clip(pos[:, None] + i, 0, rows1.shape[0] - 1)
             return rows1[tc], nxt1[tc], m_wt
 
-        def var_delta_map(table_arr, rows1, nxt1, pos, n_wt, i_wt, rows_mt,
-                          nxt_mt, m_mt):
+        def _mt_windows(C, n_mt):
+            """Mutant covering windows from the [V, Q] local char-code
+            matrix (int8: left lag context | variant letters | right
+            context): the Horner row recurrence and next-symbol extraction
+            run IN-KERNEL so the host ships ~1 byte per (variant, offset)
+            instead of precomputed int32 row/next/mask matrices (9 bytes —
+            host-link traffic was the arbitrary-variant bottleneck both
+            over the tunnel and on PCIe hosts; PERF.md round 4). Window i
+            of a variant covers chars C[:, i:i+lag] with next symbol
+            C[:, i+lag]; '['-pads (code A) contribute digit 0 and are
+            counted for the prefix-block offset — _rows_from_codes' math,
+            int32-exact for every lag a dense/sharded table can hold."""
+            Q = C.shape[1]
+            W_mt = Q - lag
+            C32 = C.astype(jnp.int32)
+            code = jnp.zeros(C.shape[:1] + (W_mt,), jnp.int32)
+            npad = jnp.zeros_like(code)
+            for k in range(lag):
+                ch = C32[:, k:k + W_mt]
+                is_pad = ch == A
+                npad += is_pad
+                code = code * A + jnp.where(is_pad, 0, ch)
+            rows_mt = (A ** (lag - npad) - 1) // (A - 1) + code
+            nxt_mt = C32[:, lag:]
+            m_mt = jnp.arange(W_mt, dtype=jnp.int32)[None, :] < n_mt[:, None]
+            return rows_mt, nxt_mt, m_mt
+
+        def var_delta_map(table_arr, rows1, nxt1, pos, n_wt, i_wt, C_mt,
+                          n_mt):
             """MAP Δ log-prob for ARBITRARY variants (multi-base
             substitutions, insertions, deletions): wild-type windows are
-            gathered in-kernel from the sequence transition arrays; the host
-            supplies only the vectorized mutant window rows + next symbols +
-            validity mask. Covering-window semantics of get_bear_probs
-            (reference get_var_probs.py:293-334), all gathers and likelihood
-            math in one launch."""
+            gathered in-kernel from the sequence transition arrays, mutant
+            windows are built in-kernel from the int8 char matrix
+            (_mt_windows) — the host supplies only chars and counts.
+            Covering-window semantics of get_bear_probs (reference
+            get_var_probs.py:293-334), all gathers and likelihood math in
+            one launch."""
 
             def logp(rows, nxt):
                 conc = concentrations(rows, gather_rows(table_arr, rows))
                 lp = jnp.log(conc / jnp.sum(conc, axis=-1, keepdims=True))
                 return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
 
+            rows_mt, nxt_mt, m_mt = _mt_windows(C_mt, n_mt)
             rows_wt, nxt_wt, m_wt = _wt_windows(rows1, nxt1, pos, n_wt, i_wt)
             return (jnp.sum(jnp.where(m_mt, logp(rows_mt, nxt_mt), 0.0), -1)
                     - jnp.sum(jnp.where(m_wt, logp(rows_wt, nxt_wt), 0.0), -1))
 
         def var_delta_sampled(table_arr, rows1, nxt1, pos, n_wt, i_wt,
-                              rows_mt, nxt_mt, m_mt, keys):
+                              C_mt, n_mt, keys):
             """Posterior-SAMPLED Δ for arbitrary variants; draws are keyed
             statelessly on the table row so windows shared between wild type
             and mutant draw identically (their Δ contribution cancels
             exactly, as in the host MC path). ``keys``: [S] sample keys —
             gathers and concentrations run once, the draw carries the
             in-kernel sample axis. Returns [V, S]."""
+            rows_mt, nxt_mt, m_mt = _mt_windows(C_mt, n_mt)
             rows_wt, nxt_wt, m_wt = _wt_windows(rows1, nxt1, pos, n_wt, i_wt)
             conc_mt = concentrations(rows_mt,
                                      gather_rows(table_arr, rows_mt))
@@ -533,17 +563,25 @@ class BearServer:
         return out[..., 0] if mc_samples == 1 else out
 
     def _encode_ragged(self, strs, lens, maxlen):
-        """Encode a list of variable-length strings into a padded [N, maxlen]
-        code matrix, vectorized per length group (no per-string Python
-        encode)."""
-        out = np.zeros((len(strs), maxlen), np.int32)
+        """Encode a sequence of variable-length strings into a padded
+        (0-filled) [N, maxlen] code matrix via ONE host join + byte-LUT
+        gather — no per-string Python and no per-length-group passes (the
+        earlier group-wise version was the dominant host cost of
+        10^6-variant scoring; PERF.md round 4)."""
         lens = np.asarray(lens)
-        for n in np.unique(lens):
-            if n == 0:
-                continue
-            sel = np.nonzero(lens == n)[0]
-            sub = np.asarray([strs[i] for i in sel])
-            out[sel, :n] = alphabets.encode_kmers(sub, self._alphabet)
+        out = np.zeros((len(strs), maxlen), np.int32)
+        if len(strs) == 0 or maxlen == 0:
+            return out
+        try:
+            joined = "".join(strs)
+        except TypeError:  # bytes elements (rare caller choice)
+            joined = "".join(
+                s.decode("ascii") if isinstance(s, bytes) else s
+                for s in strs)
+        flat = alphabets.encode_string(joined, self._alphabet)
+        # Boolean-mask assignment walks rows in order, matching the join.
+        mask = np.arange(maxlen)[None, :] < lens[:, None]
+        out[mask] = flat
         return out
 
     def delta_scores_variants(self, wt_seq: str, variants, *,
@@ -557,11 +595,12 @@ class BearServer:
         _variant_windows (reference get_var_probs.py:293-334), but nothing
         is built per variant in Python: wild-type windows are pure
         transition arithmetic in-kernel (the SNV trick generalized), and
-        mutant windows are spliced as CODE ARRAYS — one vectorized gather
+        the host builds only an int8 char matrix — one vectorized gather
         into the encoded sequence selects left-context / variant / right-
-        context characters for every (variant, window, offset) at once,
-        then `_rows_from_codes` turns the windows into table rows. 10^6
-        mixed SNV+indel variants score in seconds on one chip.
+        context characters for every (variant, offset) at once; the window
+        rows, next symbols, and masks derive in-kernel (_mt_windows, the
+        _rows_from_codes math as a Horner recurrence). 10^6 mixed
+        SNV+indel variants score in seconds on one chip.
 
         Returns [V] float scores (or [V, mc_samples] with mode="sample"
         and mc_samples > 1); MAP scores exactly match
@@ -601,19 +640,23 @@ class BearServer:
             np.full(lag, A, np.int32), wt_codes, np.full(1, A, np.int32)])
         len_padded = L + lag + 1
 
-        pos = np.asarray([p[2] for p in parsed], np.int64)
-        wt_aas = [p[0] for p in parsed]
-        mt_aas = [p[1] for p in parsed]
-        lw = np.asarray([len(a) for a in wt_aas], np.int64)
-        lm = np.asarray([len(a) for a in mt_aas], np.int64)
+        # One C-level unzip + fromiter per field (three list comprehensions
+        # with per-item len() were ~1 s of the 10^6-variant host budget).
+        wt_aas, mt_aas, pos_t = zip(*parsed)
+        pos = np.fromiter(pos_t, np.int64, V)
+        lw = np.fromiter(map(len, wt_aas), np.int64, V)
+        lm = np.fromiter(map(len, mt_aas), np.int64, V)
         if (pos < 0).any() or (pos + lw > L).any():
             raise ValueError("variant outside the wild-type sequence")
+        # Validated: everything below fits int32 (rows are int32 by the
+        # dense-table contract), and int32 halves the [V, W] host traffic.
+        pos, lw, lm = (a.astype(np.int32) for a in (pos, lw, lm))
         max_lw, max_lm = int(max(lw.max(), 1)), int(max(lm.max(), 1))
         wt_var = self._encode_ragged(wt_aas, lw, max_lw)
         mt_var = self._encode_ragged(mt_aas, lm, max_lm)
 
         # Vectorized wild-type match assert (reference get_var_probs.py:309).
-        span = np.arange(max_lw)[None, :]
+        span = np.arange(max_lw, dtype=np.int32)[None, :]
         in_wt = span < lw[:, None]
         ref_at = wt_codes[np.clip(pos[:, None] + span, 0, L - 1)]
         mism = in_wt & (ref_at != wt_var)
@@ -628,13 +671,17 @@ class BearServer:
         right_len = np.clip(len_padded - (p_pad + lw), 0, lag)
         n_wt = (lw + right_len).astype(np.int32)  # wt covering windows
         n_mt = (lm + right_len).astype(np.int32)  # mt covering windows
-        W_wt, W_mt = int(n_wt.max()), int(n_mt.max())
+        W_wt = int(n_wt.max())
 
         # Mutant local char matrix C[v, q]: left context (lag), variant
         # letters (lm), right context (truncated at '$') — one vectorized
-        # 3-way select over gathers.
+        # 3-way select over gathers, shipped as int8 (1 byte per
+        # (variant, offset)). The window rows / next symbols / masks are
+        # derived IN-KERNEL (_mt_windows): shipping precomputed int32
+        # matrices cost 9x the link bytes and ~2 s of host Horner per 10^6
+        # variants (PERF.md round 4).
         Q = 2 * lag + max_lm
-        q = np.arange(Q)[None, :]
+        q = np.arange(Q, dtype=np.int32)[None, :]
         is_left = q < lag
         is_mid = (q >= lag) & (q < lag + lm[:, None])
         idx_l = np.clip(p_pad[:, None] - lag + q, 0, len_padded - 1)
@@ -645,27 +692,8 @@ class BearServer:
             np.where(is_mid,
                      mt_var[np.arange(V)[:, None],
                             np.clip(q - lag, 0, max_lm - 1)],
-                     padded_enc[idx_r]))
-
-        # Window table rows by a Horner recurrence over C: code[v, i] for
-        # window i accumulates digit C[v, i+k] at each of the lag steps —
-        # [V, W_mt] arrays only, never a [V, W_mt, lag] window tensor (the
-        # 4x-memory/4x-time hot spot of the naive build). Pads ('[', always
-        # a window prefix) contribute digit 0 and are counted for the
-        # prefix-block offset, exactly _rows_from_codes' math.
-        iw = np.arange(W_mt)
-        code = np.zeros((V, W_mt), np.int64)
-        npad = np.zeros((V, W_mt), np.int64)
-        for k in range(lag):
-            ch = C[:, k:k + W_mt]
-            is_pad = ch == A
-            npad += is_pad
-            code *= A
-            code += np.where(is_pad, 0, ch)
-        rows_mt = ((A ** (lag - npad) - 1) // (A - 1) + code).astype(np.int32)
-        nxt_mt = C[:, iw + lag].astype(np.int32)           # [V, W_mt]
-        m_mt = iw[None, :] < n_mt[:, None]
-        pos32 = pos.astype(np.int32)
+                     padded_enc[idx_r])).astype(np.int8)
+        pos32 = pos
 
         if mode == "map":
             fn, keys = self._var_fn, None
@@ -691,19 +719,16 @@ class BearServer:
             e = min(s + B, V)
             n = e - s
             # Pad the tail chunk to the batch shape (one compilation);
-            # padded variants are fully masked no-ops (n_wt=0, m_mt
-            # False).
+            # padded variants are fully masked no-ops (n_wt=0, n_mt=0).
             p_b = np.zeros(B, np.int32)
             nw_b = np.zeros(B, np.int32)
-            r_b = np.zeros((B, W_mt), np.int32)
-            x_b = np.zeros((B, W_mt), np.int32)
-            m_b = np.zeros((B, W_mt), bool)
-            p_b[:n], nw_b[:n] = pos32[s:e], n_wt[s:e]
-            r_b[:n], x_b[:n], m_b[:n] = (
-                rows_mt[s:e], nxt_mt[s:e], m_mt[s:e])
+            nm_b = np.zeros(B, np.int32)
+            c_b = np.zeros((B, Q), np.int8)
+            p_b[:n], nw_b[:n], nm_b[:n] = pos32[s:e], n_wt[s:e], n_mt[s:e]
+            c_b[:n] = C[s:e]
             args = (self._table, rows1, nxt1, jnp.asarray(p_b),
-                    jnp.asarray(nw_b), i_wt, jnp.asarray(r_b),
-                    jnp.asarray(x_b), jnp.asarray(m_b))
+                    jnp.asarray(nw_b), i_wt, jnp.asarray(c_b),
+                    jnp.asarray(nm_b))
             if keys is not None:
                 args = args + (keys,)
             out[s:e] = np.asarray(fn(*args))[:n]

@@ -100,6 +100,19 @@ def encode_kmers(kmers, alphabet: str) -> np.ndarray:
     return codes.reshape(arr.shape + (lag,))
 
 
+def encode_string(s: str, alphabet: str) -> np.ndarray:
+    """Encode ONE string (typically a join of many variant/context pieces)
+    to int8 codes via the byte LUT — the no-per-item path behind ragged
+    batch encoding ('[' carries the input-side code A). One ascii encode +
+    one 256-entry gather regardless of how many pieces were joined."""
+    flat = np.frombuffer(s.encode("ascii"), np.uint8)
+    codes = _INPUT_TABLES[alphabet][flat]
+    if codes.size and codes.min() < 0:
+        bad = s[int(np.argmin(codes))]
+        raise ValueError(f"letter {bad!r} outside alphabet {alphabet!r}")
+    return codes
+
+
 def encode_output_symbols(symbols, alphabet: str) -> np.ndarray:
     """Encode transition symbols (residues or ']') to 0..A codes."""
     arr = np.asarray(symbols)
