@@ -20,10 +20,11 @@ one chip counts at any lag whose distinct-context count fits host memory —
 the actual resource that bounds the problem (distinct contexts <= corpus
 size, ~1e9 for a human genome, vs 4^20 = 1.1e12 table rows).
 
-Capacity: the two int32 digit halves hold floor(log_A 2^31) digits each —
-DNA lag <= 30, protein lag <= 14 — and the int64 global key caps
-n_groups * rows(lag) * (A+1) at 2^63 (DNA lag 30 at n_groups = 1). Both are
-checked at construction.
+Capacity: the two int32 digit halves hold floor(log_A 2^31) digits each
+(DNA 2x15, protein 2x7), and the int64 global key caps
+n_groups * rows(lag) * (A+1) at 2^63 — the binding cap for protein, where
+rows(14, 20) * 21 overflows int64. Net: DNA lag <= 30, protein lag <= 13
+(max_sparse_lag), both checked at construction.
 
 All host-side machinery (sparse consolidation, nonzero_rows /
 counts_for_rows, to_dataset, export_tsv, save/load_state, validate,
@@ -171,7 +172,7 @@ def _compact_runs_jit(ts, hs, ls, u_pad):
 
 class SparseTransitionCounter(KmerShardedTransitionCounter):
     """Single-chip sparse-first counter for lags beyond the dense-table
-    range (DNA lag >= 16, protein lag >= 8; up to lag 30 / 14).
+    range (DNA lag >= 16, protein lag >= 8; up to lag 30 / 13).
 
     Drop-in for the other counters' read surface (nonzero_rows,
     counts_for_rows, to_dataset, export_tsv, save/load_state, validate,
@@ -272,9 +273,13 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
         if self._pending > CONSOLIDATE_PENDING:
             for l in self.lags:
                 self._consolidated(l)
-            self._pending = sum(
-                len(p[0]) for l in self.lags for p in self._sparse[l]
-            )
+            # Everything is merged now: the pending counter tracks UN-merged
+            # appended entries only. Resetting to the consolidated store size
+            # instead would keep it above the threshold once the corpus holds
+            # > CONSOLIDATE_PENDING distinct keys, re-triggering a full
+            # concatenate+unique of the whole accumulator on EVERY subsequent
+            # push — quadratic host cost at genome scale.
+            self._pending = 0
 
     # Chunks consolidate eagerly; these are API-parity no-ops.
     def flush(self):

@@ -623,6 +623,10 @@ class BearServer:
                   for v in variants]
         V = len(parsed)
         if V == 0:
+            # Honor the documented shapes even when empty: [0] for MAP /
+            # single-sample, [0, mc_samples] for a multi-sample request.
+            if mode == "sample" and mc_samples != 1:
+                return np.zeros((0, mc_samples), np.float32)
             return np.zeros((0,), np.float32)
 
         # Per-sequence transition arrays, shared by every variant's

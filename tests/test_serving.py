@@ -318,8 +318,13 @@ def test_variant_delta_scores_generic_match_get_bear_probs():
     chunked = server.delta_scores_variants(wt, vars_, batch=2)
     np.testing.assert_allclose(chunked, got, rtol=1e-6)
 
-    # empty variant list
+    # empty variant list honors the documented shape in every mode
     assert server.delta_scores_variants(wt, []).shape == (0,)
+    key0 = jax.random.key(0)
+    assert server.delta_scores_variants(
+        wt, [], mode="sample", key=key0).shape == (0,)
+    assert server.delta_scores_variants(
+        wt, [], mode="sample", key=key0, mc_samples=5).shape == (0, 5)
 
 
 def test_variant_delta_scores_snv_agreement_and_sampling():

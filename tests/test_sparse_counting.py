@@ -80,6 +80,33 @@ def test_caps():
         TransitionCounter(lags=[16])
 
 
+def test_consolidation_pending_resets_to_zero(monkeypatch):
+    # After a threshold-triggered consolidation, the un-merged counter must
+    # reset to 0, NOT to the consolidated store size: once the corpus holds
+    # more distinct keys than CONSOLIDATE_PENDING, the latter re-triggers a
+    # full concatenate+unique of the whole accumulator on EVERY push —
+    # quadratic host cost at genome scale. Counts must stay oracle-exact
+    # either way.
+    import bear_tpu.counting.sparse as sparse_mod
+
+    monkeypatch.setattr(sparse_mod, "CONSOLIDATE_PENDING", 4)
+    rng = np.random.default_rng(5)
+    lags = [1, 3]
+    dense = TransitionCounter(lags=lags, n_groups=1, method="scatter")
+    sp = SparseTransitionCounter(lags=lags, n_groups=1)
+    for _ in range(3):
+        ch = _rand_chunk(rng, 32, 16, n_groups=1)
+        dense.add_chunk(ch)
+        sp.add_chunk(ch)
+    # The distinct-key count far exceeds the tiny threshold, so the last
+    # push consolidated: pending tracks un-merged entries only.
+    assert sp._pending == 0
+    for l in lags:
+        np.testing.assert_array_equal(
+            _dense_from_sparse(sp, l, dense.tables[l]), dense.tables[l]
+        )
+
+
 def test_sparse_matches_dense_small_lags():
     rng = np.random.default_rng(0)
     lags = [1, 3, 5]

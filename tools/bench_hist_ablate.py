@@ -95,16 +95,18 @@ def main():
           flush=True)
 
     s = _sort(k)
+    aux_by_blocks = {}
     for blocks in (1, 8):
         padded = ph.padded_size(TOTAL, ph.WINDOW, blocks)
         n_windows = padded // ph.WINDOW
         while n_windows % blocks:
             blocks //= 2
-        dt_aux = timeit(
+        aux_by_blocks[blocks] = timeit(
             lambda: _aux(s, n_windows, ph.WINDOW, blocks),
             lambda o: np.asarray(o[1][:8]), args.reps,
         )
-        print(f"aux(blocks={blocks}): {dt_aux*1e3:7.2f} ms", flush=True)
+        print(f"aux(blocks={blocks}): {aux_by_blocks[blocks]*1e3:7.2f} ms",
+              flush=True)
 
     for oh_name, oh_dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
         for blocks in (1, 8):
@@ -126,7 +128,9 @@ def main():
             lim = 4 * ph.WINDOW
             oracle = np.bincount(keys[keys < lim], minlength=lim) * state["n"]
             np.testing.assert_array_equal(tbl[:lim], oracle)
-            kern = dt - dt_sort - dt_aux
+            # Subtract THIS blocks setting's aux cost (the compaction sort
+            # length differs with blocks).
+            kern = dt - dt_sort - aux_by_blocks[blocks]
             print(f"update oh={oh_name} blocks={blocks}: {dt*1e3:7.2f} ms "
                   f"({N_KEYS/dt/1e6:.0f} Mkeys/s)  "
                   f"[derived kernel ~{kern*1e3:.2f} ms]  exact", flush=True)
