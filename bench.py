@@ -409,7 +409,11 @@ def bench_snv_mc():
     pos = rng.integers(0, L, V).astype(np.int32)
     alt = rng.integers(0, 4, V).astype(np.int32)
     key = jax.random.key(0)
-    server.delta_scores_snv(wt, pos[: 1 << 13], alt[: 1 << 13],
+    # Warm with ONE chunk of the same geometry the timed call uses (the
+    # sample-mode chunk floor), so no XLA compile lands in the timed region
+    # (the earlier 1<<13 warm call compiled a different batch shape).
+    eff = min(1 << 17, max((1 << 17) // S, (1 << 21) // S, 1))
+    server.delta_scores_snv(wt, pos[:eff], alt[:eff],
                             mode="sample", key=key, mc_samples=S)  # compile
     dt = float("inf")
     for _ in range(2):
