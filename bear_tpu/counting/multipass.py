@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from bear_tpu.counting.engine import (
     ReadChunk,
     _count_chunk_kernel,
-    extract_nonzero,
     table_rows,
 )
 from bear_tpu.parallel.counting import KmerShardedTransitionCounter
@@ -71,7 +70,6 @@ class MultiPassTransitionCounter(KmerShardedTransitionCounter):
     def __init__(self, lags: Sequence[int], n_groups: int = 1,
                  passes: int = 2, method: str = "auto",
                  alphabet: str = "dna"):
-        from bear_tpu.counting.pallas_hist import padded_size
         from bear_tpu.ops import alphabets as _alpha
 
         if method not in ("auto", "scatter", "sorted"):
@@ -93,32 +91,14 @@ class MultiPassTransitionCounter(KmerShardedTransitionCounter):
             )
         self.n_groups = n_groups
         self.method = method
-        per_lag = {}
-        loc_off = 0
-        for l in self.lags:
-            stride = -(-table_rows(l, self.A) // self.passes)
-            per_lag[l] = (stride, stride, loc_off)
-            loc_off += n_groups * stride * self.A1
+        # The row-split layout and drain decomposition are the parent's
+        # (the shard axis is time: pass p plays device p).
+        self._init_row_split(self.passes, "use more passes")
         # Hashable static form for jit (dict is unhashable as a static arg).
-        self._per_lag = per_lag
         self._per_lag_static = tuple(sorted(
-            (l, v) for l, v in per_lag.items()
+            (l, v) for l, v in self._per_lag.items()
         ))
-        self._local_size = loc_off
-        self._local_padded = padded_size(loc_off)
-        if self._local_padded > np.iinfo(np.int32).max:
-            raise ValueError(
-                f"per-pass table slice has {self._local_padded:,} entries, "
-                "beyond int32 indexing — use more passes"
-            )
-        self._sparse = {l: [] for l in self.lags}
-        self._consolidated_lags: set = set()
-        self._grk_cache = {}
-        self._dev = None
-        self._since_flush = 0
         self._pass = 0
-
-    FLUSH_EVERY = KmerShardedTransitionCounter.FLUSH_EVERY
 
     def begin_pass(self, pass_idx: int):
         """Flush any previous pass and start counting rows in range
@@ -161,27 +141,12 @@ class MultiPassTransitionCounter(KmerShardedTransitionCounter):
 
     def flush(self):
         """Drain this pass's nonzero entries into the host accumulator with
-        GLOBAL keys ``(g * rows(lag) + pass*stride + r) * (A+1) + k``."""
+        GLOBAL keys ``(g * rows(lag) + pass*stride + r) * (A+1) + k`` (the
+        parent's shard-drain decomposition with the pass index as the shard
+        index)."""
         if self._dev is None or self._since_flush == 0:
             return
-        d = self._pass
-        part = self._dev
-        for idx, vals in extract_nonzero(part):
-            for l in self.lags:
-                stride, local_rows, loc_off = self._per_lag[l]
-                A1 = self.A1
-                span = self.n_groups * local_rows * A1
-                sel = (idx >= loc_off) & (idx < loc_off + span)
-                if not sel.any():
-                    continue
-                t = idx[sel] - loc_off
-                g = t // (local_rows * A1)
-                r = (t % (local_rows * A1)) // A1
-                k = t % A1
-                grow = d * stride + r
-                key = (g * table_rows(l, self.A) + grow) * A1 + k
-                self._sparse[l].append((key, vals[sel]))
-                self._consolidated_lags.discard(l)
+        self._drain_part(self._dev, self._pass)
         self._dev = None
         self._since_flush = 0
 

@@ -16,6 +16,15 @@ import numpy as np
 from bear_tpu.ops.distributions import bmm_marginal_logpmf
 
 
+# Module-level jit: the cache keys on argument shapes/dtypes, so repeated
+# bmm_likelihood calls (a prior sweep is this function's main use) reuse one
+# compilation. A per-call @jax.jit closure retraced — and REMOTELY recompiled,
+# minutes over the tunnel — on every invocation.
+@jax.jit
+def _bmm_step(batch, alpha_j):
+    return bmm_marginal_logpmf(batch, alpha_j)
+
+
 def bmm_likelihood(counts, alpha, batch_size: int = 1 << 16, mesh=None):
     """Exact BMM marginal likelihood of a dataset for a vector of priors.
 
@@ -48,10 +57,6 @@ def bmm_likelihood(counts, alpha, batch_size: int = 1 << 16, mesh=None):
         # rows contribute exactly 0 to the sum, so rounding up is exact.
         batch_size = -(-batch_size // n_dev) * n_dev
 
-    @jax.jit
-    def step(batch):
-        return bmm_marginal_logpmf(batch, alpha_j)
-
     def _put(batch):
         if batch_sharding is None:
             return jnp.asarray(batch)
@@ -79,5 +84,5 @@ def bmm_likelihood(counts, alpha, batch_size: int = 1 << 16, mesh=None):
                 if isinstance(batch, jax.Array)
                 else np.pad(batch, ((0, pad), (0, 0), (0, 0)))
             )
-        total += np.asarray(step(_put(batch)), dtype=np.float64)
+        total += np.asarray(_bmm_step(_put(batch), alpha_j), dtype=np.float64)
     return total

@@ -40,6 +40,17 @@ def main(config: configparser.ConfigParser, mesh=None):
     out_folder = run.resolve_out_folder()
     dtype = run.dtype()
     writer = MetricsWriter(out_folder)
+    try:
+        return _main(config, mesh, run, out_folder, dtype, writer)
+    finally:
+        # Covers the eval-only (train=False) branch and exception paths,
+        # which previously leaked the scalars.jsonl handle (and buffered
+        # TensorBoard events) until interpreter exit. close() is idempotent,
+        # so the eager closes after training remain valid.
+        writer.close()
+
+
+def _main(config, mesh, run, out_folder, dtype, writer):
     if mesh is None and run.data_parallel:
         from bear_tpu.parallel import data_parallel_mesh
 

@@ -34,6 +34,13 @@ def main(config: configparser.ConfigParser, mesh=None):
     out_folder = run.resolve_out_folder()
     dtype = run.dtype()
     writer = MetricsWriter(out_folder)
+    try:
+        return _main(config, mesh, run, out_folder, dtype, writer)
+    finally:
+        writer.close()  # idempotent; covers eval-only and exception paths
+
+
+def _main(config, mesh, run, out_folder, dtype, writer):
     if mesh is None and run.data_parallel:
         from bear_tpu.parallel import data_parallel_mesh
 

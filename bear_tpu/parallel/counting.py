@@ -166,7 +166,13 @@ class ShardedTransitionCounter:
         self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped,
                   chunk.groups, chunk.fresh)
         if self.reverse:
-            assert np.all(chunk.skip == 0), "reverse=True requires whole-read chunks"
+            if not np.all(chunk.skip == 0):
+                # A hard error, not an assert: under python -O a stripped
+                # assert would reuse chunk.skip against REVERSED codes and
+                # silently corrupt counts.
+                raise ValueError(
+                    "reverse=True requires whole-read chunks (skip == 0)"
+                )
             rc, rlen = reverse_complement_codes(chunk.codes, chunk.lengths)
             # RC swaps the true-read boundary sides; rc_boundary_flags also
             # handles fresh=None chunks with un-stopped rows (engine.py).
@@ -292,20 +298,31 @@ class KmerShardedTransitionCounter:
             )
         self.n_groups = n_groups
         self.method = method
-        # Per-lag row-range split: device d owns rows [d*stride, (d+1)*stride)
-        # (the last shard's tail rows past rows(lag) simply never match).
+        self._init_row_split(self.n_dev, "use more devices on the kmer axis")
+        self._count_fns = {}
+
+    def _init_row_split(self, n_shards: int, remedy: str):
+        """Per-lag row-range split across ``n_shards`` (shard d owns rows
+        [d*stride, (d+1)*stride); the last shard's tail rows past rows(lag)
+        simply never match), the int32 local-slice guard, and the sparse
+        host accumulator state. Shared with MultiPassTransitionCounter,
+        whose shard axis is time (pass p plays device p) — the stride
+        layout and drain decomposition MUST stay identical between the two
+        or their exactness oracles diverge."""
+        from bear_tpu.counting.pallas_hist import padded_size
+
         self._per_lag = {}
         loc_off = 0
         for l in self.lags:
-            stride = -(-table_rows(l, self.A) // self.n_dev)
+            stride = -(-table_rows(l, self.A) // n_shards)
             self._per_lag[l] = (stride, stride, loc_off)
-            loc_off += n_groups * stride * self.A1
+            loc_off += self.n_groups * stride * self.A1
         self._local_size = loc_off
         self._local_padded = padded_size(loc_off)
         if self._local_padded > np.iinfo(np.int32).max:
             raise ValueError(
-                f"per-device table slice has {self._local_padded:,} entries, "
-                "beyond int32 indexing — use more devices on the kmer axis"
+                f"per-shard table slice has {self._local_padded:,} entries, "
+                f"beyond int32 indexing — {remedy}"
             )
         # Sparse host accumulator: per lag, lists of (flat int64 keys, counts).
         self._sparse: Dict[int, list] = {l: [] for l in self.lags}
@@ -314,7 +331,30 @@ class KmerShardedTransitionCounter:
         self._grk_cache: Dict[int, tuple] = {}  # lag -> (keys, g, r, k)
         self._dev = None
         self._since_flush = 0
-        self._count_fns = {}
+
+    def _drain_part(self, part, d: int):
+        """Decompose one shard's nonzero local entries into GLOBAL int64
+        keys ``(g * rows(lag) + d*stride + r) * (A+1) + k`` and append them
+        to the sparse accumulator (bounded chunks via extract_nonzero, so
+        device temporaries never approach the shard size)."""
+        from bear_tpu.counting.engine import extract_nonzero
+
+        for idx, vals in extract_nonzero(part):
+            for l in self.lags:
+                stride, local_rows, loc_off = self._per_lag[l]
+                A1 = self.A1
+                span = self.n_groups * local_rows * A1
+                sel = (idx >= loc_off) & (idx < loc_off + span)
+                if not sel.any():
+                    continue
+                t = idx[sel] - loc_off
+                g = t // (local_rows * A1)
+                r = (t % (local_rows * A1)) // A1
+                k = t % A1
+                grow = d * stride + r
+                key = (g * table_rows(l, self.A) + grow) * A1 + k
+                self._sparse[l].append((key, vals[sel]))
+                self._consolidated_lags.discard(l)
 
     @property
     def max_lag(self) -> int:
@@ -371,29 +411,17 @@ class KmerShardedTransitionCounter:
         multi-GB shard size this class exists for. Multi-host: each process
         drains only its local shards; merge with multihost.allreduce_tables.
         """
-        from bear_tpu.counting.engine import extract_nonzero
-
         if self._dev is None or self._since_flush == 0:
             return
         for sh in self._dev.addressable_shards:
+            if sh.replica_id != 0:
+                # A mesh with axes beyond the kmer axis replicates each row
+                # slice across them; draining every replica would double
+                # (or n-fold) all counts. One replica per slice is exact.
+                continue
             d = sh.index[0].start or 0
-            part = sh.data.reshape(-1)  # [local_padded] on this shard's device
-            for idx, vals in extract_nonzero(part):
-                for l in self.lags:
-                    stride, local_rows, loc_off = self._per_lag[l]
-                    A1 = self.A1
-                    span = self.n_groups * local_rows * A1
-                    sel = (idx >= loc_off) & (idx < loc_off + span)
-                    if not sel.any():
-                        continue
-                    t = idx[sel] - loc_off
-                    g = t // (local_rows * A1)
-                    r = (t % (local_rows * A1)) // A1
-                    k = t % A1
-                    grow = d * stride + r
-                    key = (g * table_rows(l, self.A) + grow) * A1 + k
-                    self._sparse[l].append((key, vals[sel]))
-                    self._consolidated_lags.discard(l)
+            # [local_padded] on this shard's device
+            self._drain_part(sh.data.reshape(-1), d)
         self._dev = None
         self._since_flush = 0
 
@@ -425,8 +453,11 @@ class KmerShardedTransitionCounter:
         out = np.zeros((len(rows), self.n_groups, A1), np.int64)
         if len(rows) == 0 or len(keys) == 0:
             return out
-        order = np.argsort(rows, kind="stable")
-        rows_sorted = rows[order]
+        # Dedupe the query rows: searchsorted maps each key to ONE position,
+        # so duplicate entries in ``rows`` would silently come back zero.
+        # Compute over the sorted unique rows and expand at the end.
+        uniq_rows, inv_rows = np.unique(np.asarray(rows), return_inverse=True)
+        out_u = np.zeros((len(uniq_rows), self.n_groups, A1), np.int64)
         # The (g, r, k) decomposition of the consolidated keys is invariant
         # until the next flush/merge re-consolidates; repeated queries (the
         # scoring path issues one per call) reuse it. Validity is keyed on
@@ -439,9 +470,11 @@ class KmerShardedTransitionCounter:
             self._grk_cache[lag] = (keys, g, r, k)
         else:
             _, g, r, k = cache
-        pos = np.searchsorted(rows_sorted, r)
-        hit = (pos < len(rows_sorted)) & (rows_sorted[np.clip(pos, 0, len(rows_sorted) - 1)] == r)
-        out[order[pos[hit]], g[hit], k[hit]] = vals[hit]
+        pos = np.searchsorted(uniq_rows, r)
+        hit = (pos < len(uniq_rows)) & (
+            uniq_rows[np.clip(pos, 0, len(uniq_rows) - 1)] == r)
+        out_u[pos[hit], g[hit], k[hit]] = vals[hit]
+        out[...] = out_u[inv_rows]
         return out
 
     def to_dataset(self, lag: int, alphabet: str | None = None):

@@ -24,13 +24,26 @@ def save_results(out_folder: str, params_list: List[np.ndarray], extra: Optional
     if extra:
         payload.update(extra)
     path = os.path.join(out_folder, "results.pickle")
-    # Atomic replace: a crash mid-dump must not destroy the previous good
-    # checkpoint (open('wb') truncates immediately).
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        pickle.dump(payload, fh)
-    os.replace(tmp, path)
+    _atomic_pickle(path, payload)
     return path
+
+
+def _atomic_pickle(path: str, payload) -> None:
+    # Atomic replace: a crash mid-dump must not destroy the previous good
+    # checkpoint (open('wb') truncates immediately). The tmp name is unique
+    # PER PROCESS: in multi-process CLI runs every rank writes the shared
+    # out_folder, and a shared tmp name would let rank B truncate rank A's
+    # in-flight inode and install a corrupt file (or crash rank A's
+    # os.replace with FileNotFoundError).
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "wb") as fh:
+            pickle.dump(payload, fh)
+        os.replace(tmp, path)
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
 
 def load_results(path_or_dir: str) -> dict:
@@ -64,10 +77,7 @@ def save_train_state(out_dir: str, state: dict) -> str:
     trainers: 'params' (list, params_to_list order), 'opt_state' (pytree),
     'applies_done' (int optimizer applies completed)."""
     path = os.path.join(out_dir, TRAIN_STATE_FILE)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        pickle.dump(state, fh)
-    os.replace(tmp, path)
+    _atomic_pickle(path, state)
     return path
 
 

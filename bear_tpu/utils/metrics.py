@@ -51,9 +51,13 @@ class MetricsWriter:
             self._tb.flush()
 
     def close(self):
-        self._fh.close()
+        # Idempotent: the CLIs close eagerly after training AND in a
+        # try/finally that also covers eval-only and exception paths.
+        if not self._fh.closed:
+            self._fh.close()
         if self._tb is not None:
             self._tb.close()
+            self._tb = None
 
 
 def save_loss_curve(losses, out_folder: str, filename: str = "loss.png"):

@@ -101,6 +101,57 @@ def test_kmer_sharded_matches_single_device():
 
 
 @needs_8
+def test_kmer_sharded_2d_mesh_replicas_not_double_counted():
+    # On a mesh with an axis beyond the kmer axis, each row slice is
+    # replicated across the extra axis; flush must drain ONE replica per
+    # slice or every count doubles (the count-conservation invariant).
+    from jax.sharding import Mesh
+    from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+
+    rng = np.random.default_rng(17)
+    seqs = ["".join(rng.choice(list("ACGT"), 25)) for _ in range(12)]
+    single = TransitionCounter(lags=[3], n_groups=1)
+    mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                  ("data", "kmer"))
+    sharded = KmerShardedTransitionCounter(mesh2d, lags=[3], n_groups=1)
+    for tc in (single, sharded):
+        enc = ((fastx.encode_seq(s), 0) for s in seqs)
+        for chunk in chunk_reads(enc, 3, batch_size=8):
+            tc.add_chunk(chunk)
+    sharded.validate(expected_transitions=sum(len(s) + 1 for s in seqs))
+    rows = single.nonzero_rows(3)
+    np.testing.assert_array_equal(rows, sharded.nonzero_rows(3))
+    np.testing.assert_array_equal(
+        sharded.counts_for_rows(3, rows),
+        single.tables[3][:, rows, :].transpose(1, 0, 2))
+
+
+@needs_8
+def test_counts_for_rows_duplicate_rows():
+    # Duplicate entries in the rows query must each get the row's counts
+    # (searchsorted previously hit only the first occurrence).
+    from jax.sharding import Mesh
+    from bear_tpu.parallel.counting import KmerShardedTransitionCounter
+
+    rng = np.random.default_rng(19)
+    seqs = ["".join(rng.choice(list("ACGT"), 20)) for _ in range(6)]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("kmer",))
+    sharded = KmerShardedTransitionCounter(mesh, lags=[2], n_groups=1)
+    enc = ((fastx.encode_seq(s), 0) for s in seqs)
+    for chunk in chunk_reads(enc, 2, batch_size=8):
+        sharded.add_chunk(chunk)
+    rows = sharded.nonzero_rows(2)
+    r0 = rows[0]
+    dup = np.array([r0, rows[-1], r0, r0])
+    got = sharded.counts_for_rows(2, dup)
+    base = sharded.counts_for_rows(2, rows)
+    np.testing.assert_array_equal(got[0], base[0])
+    np.testing.assert_array_equal(got[2], base[0])
+    np.testing.assert_array_equal(got[3], base[0])
+    np.testing.assert_array_equal(got[1], base[-1])
+
+
+@needs_8
 @pytest.mark.slow
 def test_kmer_sharded_multiple_flushes():
     # Sparse host accumulation across flush boundaries stays exact.
