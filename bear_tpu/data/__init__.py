@@ -6,6 +6,7 @@ from bear_tpu.data.loaders import (
     discover_files,
     load_dense,
     load_files,
+    load_files_cached,
     load_sparse,
 )
 from bear_tpu.data.likelihood import bmm_likelihood

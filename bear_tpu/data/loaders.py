@@ -16,6 +16,7 @@ Sparse: ``kmer; [[ds,letter],...]; [vals...]`` with a header row
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from dataclasses import dataclass
@@ -237,6 +238,71 @@ def load_files(
     for part in parts[1:]:
         ds = ds.concat(part)
     return ds
+
+
+def load_files_cached(
+    files: Sequence[str],
+    alphabet: str,
+    num_ds: int,
+    sparse: bool = False,
+    dtype=np.float64,
+    cache_dir: str | None = None,
+) -> CountDataset:
+    """``load_files`` with an on-disk parsed-shard cache.
+
+    The streaming CLIs re-ingest every shard file EVERY epoch (per-epoch
+    file-order shuffle), so a multi-epoch run pays the TSV parse (~1 Mrows/s,
+    PERF.md "Host data loading") once per shard per epoch. The first access
+    here parses and writes one ``.npz`` per source file (codes int8, counts,
+    kmers); later epochs load it at disk/numpy speed. The cache key hashes
+    the source path, size, and mtime plus the parse parameters, so an edited
+    or regenerated shard reparses automatically. Writes are per-process
+    tmp + atomic rename (multi-rank CLI runs share the out_folder).
+
+    ``cache_dir=None`` disables caching (plain load_files).
+    """
+    if cache_dir is None:
+        return load_files(files, alphabet, num_ds, sparse=sparse, dtype=dtype)
+    import hashlib
+
+    os.makedirs(cache_dir, exist_ok=True)
+    loader = load_sparse if sparse else load_dense
+    parts = []
+    for f in files:
+        st = os.stat(f)
+        tag = hashlib.sha1(
+            f"{os.path.abspath(f)}|{st.st_size}|{st.st_mtime_ns}|{alphabet}|"
+            f"{num_ds}|{np.dtype(dtype).name}|{sparse}".encode()
+        ).hexdigest()[:16]
+        cpath = os.path.join(
+            cache_dir, f"{os.path.basename(f)}.{tag}.npz")
+        if os.path.exists(cpath):
+            try:
+                with np.load(cpath, allow_pickle=False) as z:
+                    parts.append(CountDataset(
+                        kmers=z["kmers"], codes=z["codes"],
+                        counts=z["counts"], alphabet=alphabet,
+                    ))
+                continue
+            except Exception:
+                pass  # truncated/corrupt cache entry: fall through, reparse
+        ds = loader(f, alphabet, num_ds, dtype=dtype)
+        tmp = f"{cpath}.{os.getpid()}.tmp"
+        try:
+            with open(tmp, "wb") as fh:
+                np.savez(fh, kmers=ds.kmers, codes=ds.codes, counts=ds.counts)
+            os.replace(tmp, cpath)
+        except OSError:
+            pass  # cache write is best-effort; the parsed data is in hand
+        finally:
+            if os.path.exists(tmp):
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(tmp)
+        parts.append(ds)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.concat(part)
+    return out
 
 
 def discover_files(files_path: str, start_token: str) -> list[str]:

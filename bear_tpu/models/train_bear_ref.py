@@ -56,9 +56,21 @@ def _main(config, mesh, run, out_folder, dtype, writer):
         ds = load_files(files, run.alphabet, run.num_ds, sparse=run.sparse)
     print("data_loaded")
 
+    # Streaming runs re-ingest every shard every epoch; honor the
+    # reference's [train] cache knob with a parsed-shard .npz cache in the
+    # out folder (load_files_cached) so epochs >= 2 skip the TSV parse.
+    from bear_tpu.data import load_files_cached
+
+    shard_cache = os.path.join(out_folder, "shard_cache") if run.cache \
+        else None
+
+    def _load_shard(f):
+        return load_files_cached([f], run.alphabet, run.num_ds,
+                                 sparse=run.sparse, cache_dir=shard_cache)
+
     def _eval_shards():
         for f in files:
-            d = load_files([f], run.alphabet, run.num_ds, sparse=run.sparse)
+            d = _load_shard(f)
             yield d.codes, d.counts
 
     result_file = os.path.join(out_folder, "results.pickle")
@@ -106,8 +118,7 @@ def _main(config, mesh, run, out_folder, dtype, writer):
             if run.shuffle:
                 np.random.default_rng([run.seed, epoch]).shuffle(order)
             for fi in order:
-                d = load_files([files[fi]], run.alphabet, run.num_ds,
-                               sparse=run.sparse)
+                d = _load_shard(files[fi])
                 yield d.codes, d.counts[:, ds_loc], d.counts[:, ds_loc_ref]
 
         result = bear_ref.train_streaming(

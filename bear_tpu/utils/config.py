@@ -80,9 +80,12 @@ class RunConfig:
     learning_rate: float
     train_ar: bool
     accumulation_steps: int
-    cache: bool  # parsed for reference-config compatibility only: the
-    # dataset is always in-memory/on-device here (the reference's tf.data
-    # .cache() knob has no equivalent cost to toggle)
+    cache: bool  # the reference's tf.data .cache() knob. In-memory runs
+    # always cache (the dataset lives on device), so it only matters for
+    # STREAMING runs, where True (the reference default) caches each
+    # shard's parsed arrays as .npz in the out folder — epochs >= 2 ingest
+    # at disk speed instead of the ~1 Mrows/s TSV parse
+    # (data.load_files_cached).
     restart: bool
     restart_path: str
     # [test]

@@ -221,3 +221,46 @@ def test_load_dense_native_gzip(tmp_path):
 def test_load_dense_native_missing_file():
     with pytest.raises(FileNotFoundError):
         load_dense("/nonexistent/never.tsv", "dna", 1)
+
+
+def test_load_files_cached_roundtrip_and_invalidation(tmp_path):
+    # The streaming CLIs' parsed-shard cache: first load parses + writes a
+    # per-file .npz; a second load hits the cache byte-identically; editing
+    # the source invalidates (new size/mtime -> new hash -> reparse).
+    import os
+    import time
+
+    from bear_tpu.data import load_files, load_files_cached
+
+    src = tmp_path / "shard.tsv"
+    src.write_text("AC\t[[1,2,3,4,5],[0,0,1,0,2]]\n"
+                   "GT\t[[6,7,8,9,10],[1,1,1,1,1]]\n")
+    cache = tmp_path / "cache"
+    direct = load_files([str(src)], "dna", 2)
+    ds1 = load_files_cached([str(src)], "dna", 2, cache_dir=str(cache))
+    entries = os.listdir(cache)
+    assert len(entries) == 1 and entries[0].endswith(".npz")
+    np.testing.assert_array_equal(ds1.codes, direct.codes)
+    np.testing.assert_array_equal(ds1.counts, direct.counts)
+    np.testing.assert_array_equal(ds1.kmers, direct.kmers)
+
+    # Cache hit: poison the source WITHOUT changing size/mtime — the cached
+    # arrays must come back (proving the parse was skipped).
+    st = os.stat(src)
+    # same BYTE LENGTH as the original content, different counts
+    src.write_text("AC\t[[5,4,3,2,1],[2,0,1,0,0]]\n"
+                   "GT\t[[9,8,7,6,11],[1,1,1,1,1]]\n")
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns))
+    ds2 = load_files_cached([str(src)], "dna", 2, cache_dir=str(cache))
+    np.testing.assert_array_equal(ds2.counts, direct.counts)
+
+    # Invalidation: a real edit (new mtime) reparses.
+    time.sleep(0.01)
+    src.write_text("AA\t[[5,5,5,5,5],[2,2,2,2,2]]\n")
+    ds3 = load_files_cached([str(src)], "dna", 2, cache_dir=str(cache))
+    assert list(ds3.kmers) == ["AA"]
+    assert len(os.listdir(cache)) == 2  # old entry remains, new one added
+
+    # cache_dir=None is plain load_files.
+    ds4 = load_files_cached([str(src)], "dna", 2, cache_dir=None)
+    np.testing.assert_array_equal(ds4.counts, ds3.counts)
