@@ -108,6 +108,22 @@ def pad_offset(lag: int, n_pad, A: int = 4) -> int:
     return (A ** (lag - n_pad) - 1) // (A - 1)
 
 
+def check_groups(groups, n_groups: int) -> None:
+    """Reject out-of-range dataset-group ids BEFORE they reach a device
+    kernel: the concatenated flat layout has no guard rows between lags, so
+    a group id >= n_groups produces an IN-BOUNDS index inside the NEXT
+    lag's table region (or the window-pad tail) and silently corrupts
+    counts — scatter's mode='drop' only drops indices beyond the buffer.
+    Every counter's add_chunk calls this once per chunk (cheap host min/max
+    over [B] int)."""
+    g = np.asarray(groups)
+    if g.size and (int(g.min()) < 0 or int(g.max()) >= n_groups):
+        raise ValueError(
+            f"chunk group ids must be in [0, {n_groups}); got range "
+            f"[{int(g.min())}, {int(g.max())}]"
+        )
+
+
 def context_to_row(context: str, lag: int, alphabet: str = "dna") -> int:
     """Host-side: context string (may contain leading '[') -> table row."""
     from bear_tpu.ops import alphabets as _alpha
@@ -502,6 +518,7 @@ class TransitionCounter:
                 self._host[l][idx[sel] - bounds[i]] += vals[sel]
 
     def add_chunk(self, chunk: ReadChunk):
+        check_groups(chunk.groups, self.n_groups)
         if self.reverse and np.any(np.asarray(chunk.skip) != 0):
             # RC of a continuation segment would need right-side context;
             # reverse counting of segmented sequences is handled by the
@@ -762,17 +779,18 @@ def write_tsv_shards(out_prefix: str, lag: int, rows: np.ndarray,
             with open(p, "wb") as fh:
                 fh.write(native.format_tsv(kmers_b[sel], per_row_counts[sel]))
         return paths
-    handles = [open(p, "w") for p in paths]
-    try:
-        for kmer, mat_counts, b in zip(kmers, per_row_counts, bins):
-            mat = "[[" + "],[".join(
-                ",".join(str(int(c)) for c in mat_counts[g])
-                for g in range(n_groups)
-            ) + "]]"
-            handles[b].write(f"{kmer}\t{mat}\n")
-    finally:
-        for h in handles:
-            h.close()
+    # Fallback formatter: one shard AT A TIME (n_bins can be 2^12+; opening
+    # every shard at once would blow the OS fd limit mid-export and leave a
+    # partial shard set on disk).
+    for b, p in enumerate(paths):
+        sel = np.nonzero(bins == b)[0]
+        with open(p, "w") as fh:
+            for i in sel:
+                mat = "[[" + "],[".join(
+                    ",".join(str(int(c)) for c in per_row_counts[i, g])
+                    for g in range(n_groups)
+                ) + "]]"
+                fh.write(f"{kmers[i]}\t{mat}\n")
     return paths
 
 

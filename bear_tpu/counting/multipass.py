@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from bear_tpu.counting.engine import (
+    check_groups,
     ReadChunk,
     _count_chunk_kernel,
     table_rows,
@@ -117,6 +118,7 @@ class MultiPassTransitionCounter(KmerShardedTransitionCounter):
             self._dev = jnp.zeros(self._local_padded, jnp.int32)
 
     def add_chunk(self, chunk: ReadChunk):
+        check_groups(chunk.groups, self.n_groups)
         codes = chunk.codes
         new_transitions = codes.shape[0] * (codes.shape[1] + 1)
         if self._since_flush + new_transitions > self.FLUSH_EVERY:

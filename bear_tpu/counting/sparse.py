@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from bear_tpu.counting.engine import (
+    check_groups,
     FLUSH_EVERY,
     ReadChunk,
     pad_offset,
@@ -217,6 +218,7 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
         return max(self.lags)
 
     def add_chunk(self, chunk: ReadChunk):
+        check_groups(chunk.groups, self.n_groups)
         if self.reverse and np.any(np.asarray(chunk.skip) != 0):
             # Same contract as TransitionCounter.add_chunk: RC of a
             # continuation segment needs right-side context the row lacks;

@@ -156,35 +156,31 @@ def _stack_batches(codes, counts, batch_size, pad_multiple=1):
             "empty dataset: no k-mer rows to train/evaluate on (the ELBO "
             "scale num_kmers/batch would divide by zero)"
         )
-    bsz = int(batch_size)
-    if pad_multiple > 1:
-        bsz = ((bsz + pad_multiple - 1) // pad_multiple) * pad_multiple
-    n_steps = max(1, -(-n // bsz))
-    padded = n_steps * bsz
-    if isinstance(codes, jax.Array):
-        codes_p = jnp.pad(codes, ((0, padded - n),) + ((0, 0),) * (codes.ndim - 1))
-        counts_p = jnp.pad(counts, ((0, padded - n),) + ((0, 0),) * (counts.ndim - 1))
-    else:
-        codes_p = np.zeros((padded,) + codes.shape[1:], dtype=codes.dtype)
-        counts_p = np.zeros((padded,) + counts.shape[1:], dtype=counts.dtype)
-        codes_p[:n] = codes
-        counts_p[:n] = counts
+    # Delegating per-array to _stack_one keeps the padding geometry in ONE
+    # place: ref_counts stacked separately (bear_ref) must align step-for-
+    # step with codes/counts, so the rounding lives only in _stack_one.
+    bsz, n_steps = _stack_geometry(n, batch_size, pad_multiple)
     sizes = np.minimum(np.full(n_steps, bsz), n - bsz * np.arange(n_steps))
     return (
-        codes_p.reshape(n_steps, bsz, *codes.shape[1:]),
-        counts_p.reshape(n_steps, bsz, *counts.shape[1:]),
+        _stack_one(codes, batch_size, pad_multiple),
+        _stack_one(counts, batch_size, pad_multiple),
         sizes.astype(np.dtype(counts.dtype)),
     )
 
 
-def _stack_one(arr, batch_size, pad_multiple=1):
-    """Pad/stack ONE array to [n_steps, B, ...] with the same geometry as
-    _stack_batches (avoids re-padding the codes array just to discard it)."""
-    n = arr.shape[0]
+def _stack_geometry(n: int, batch_size, pad_multiple=1):
+    """(rounded batch size, step count) shared by every stacked array."""
     bsz = int(batch_size)
     if pad_multiple > 1:
         bsz = ((bsz + pad_multiple - 1) // pad_multiple) * pad_multiple
-    n_steps = max(1, -(-n // bsz))
+    return bsz, max(1, -(-n // bsz))
+
+
+def _stack_one(arr, batch_size, pad_multiple=1):
+    """Pad/stack ONE array to [n_steps, B, ...] (the single home of the
+    batch-stacking geometry; _stack_batches delegates here)."""
+    n = arr.shape[0]
+    bsz, n_steps = _stack_geometry(n, batch_size, pad_multiple)
     padded = n_steps * bsz
     if isinstance(arr, jax.Array):
         arr_p = jnp.pad(arr, ((0, padded - n),) + ((0, 0),) * (arr.ndim - 1))
@@ -192,6 +188,61 @@ def _stack_one(arr, batch_size, pad_multiple=1):
         arr_p = np.zeros((padded,) + arr.shape[1:], dtype=arr.dtype)
         arr_p[:n] = arr
     return arr_p.reshape(n_steps, bsz, *arr.shape[1:])
+
+
+def _make_grad_and_accumulate(ar_func, num_kmers, train_ar, A1, dtype,
+                              acc_steps):
+    """The ELBO loss gradient and the acc_steps accumulation, shared
+    VERBATIM by train() and train_streaming(): the concat==streamed
+    bit-parity contract (CLAUDE.md invariants) requires the two compiled
+    programs to stay structurally aligned, so this math has exactly one
+    home.
+
+    Returns (grad_fn, accumulate) where accumulate(one_step_k, zero_grads)
+    runs one optimizer apply's worth of gradient work: at acc_steps == 1 it
+    is one_step_k(0) with NO accumulation machinery in the compiled program
+    (the 0+grads / loss/1 identities are exact but shift XLA's fusion
+    choices by ulps — and a length-1 inner scan measured ~4x the whole
+    step's cost on v5e for small protocols, PERF.md); otherwise an inner
+    scan accumulates acc_steps gradient sums (the reference's accumulator
+    variables, bear_net.py:259-261, 296-315)."""
+
+    def loss_fn(p, codes_b, counts_b, ref_b, actual_size):
+        if ref_b is not None:
+            oh = alphabets.one_hot(codes_b, A1, dtype)
+            ar_probs = ar_func.apply(p["ar"], oh, ref_b)
+        elif ar_func.apply_codes is not None:
+            # Flat-one-hot fast path: avoids the [.., lag, A1] layout whose
+            # 5-wide minor dim tiles to 128 lanes (see ARFunc.apply_codes).
+            ar_probs = ar_func.apply_codes(p["ar"], codes_b)
+        else:
+            oh = alphabets.one_hot(codes_b, A1, dtype)
+            ar_probs = ar_func.apply(p["ar"], oh)
+        if train_ar:
+            ll = ar_log_prob(counts_b, ar_probs)
+        else:
+            ll = bear_log_prob(counts_b, ar_probs, jnp.exp(p["h_signed"]))
+        return -(num_kmers / actual_size) * jnp.sum(ll)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def accumulate(one_step_k, zero_grads):
+        if acc_steps == 1:
+            loss_sum, grads = one_step_k(0)
+        else:
+            def inner(inner_carry, k):
+                acc, loss_sum = inner_carry
+                loss, grads = one_step_k(k)
+                return (jax.tree.map(jnp.add, acc, grads),
+                        loss_sum + loss), None
+
+            (grads, loss_sum), _ = jax.lax.scan(
+                inner, (zero_grads, jnp.zeros((), dtype)),
+                jnp.arange(acc_steps),
+            )
+        return loss_sum, grads
+
+    return grad_fn, accumulate
 
 
 def _cast_float_tree(tree, dtype):
@@ -400,26 +451,8 @@ def train(
         raise ValueError("fewer total steps than acc_steps; nothing to train")
 
     num_kmers = jnp.asarray(num_kmers, dtype=dtype)
-
-    def loss_fn(p, codes_b, counts_b, ref_b, actual_size):
-        if ref_b is not None:
-            oh = alphabets.one_hot(codes_b, A1, dtype)
-            ar_probs = ar_func.apply(p["ar"], oh, ref_b)
-        elif ar_func.apply_codes is not None:
-            # Flat-one-hot fast path: avoids the [.., lag, A1] layout whose
-            # 5-wide minor dim tiles to 128 lanes (see ARFunc.apply_codes).
-            ar_probs = ar_func.apply_codes(p["ar"], codes_b)
-        else:
-            oh = alphabets.one_hot(codes_b, A1, dtype)
-            ar_probs = ar_func.apply(p["ar"], oh)
-        if train_ar:
-            ll = ar_log_prob(counts_b, ar_probs)
-        else:
-            ll = bear_log_prob(counts_b, ar_probs, jnp.exp(p["h_signed"]))
-        elbo = (num_kmers / actual_size) * jnp.sum(ll)
-        return -elbo
-
-    grad_fn = jax.value_and_grad(loss_fn)
+    grad_fn, accumulate = _make_grad_and_accumulate(
+        ar_func, num_kmers, train_ar, A1, dtype, acc_steps)
 
     # Large batch stacks live at rest FLAT as [steps, B*width]: a
     # [steps, B, 5] array tiles its (B, 5) minor dims to (B, 128) in HBM —
@@ -481,20 +514,10 @@ def train(
         def apply_step(carry, apply_idx):
             p, o = carry
             start = apply_idx * acc_steps
-
-            if acc_steps == 1:
-                loss_sum, grads = one_step(p, start % steps_per_epoch)
-            else:
-                def inner(inner_carry, k):
-                    acc, loss_sum = inner_carry
-                    loss, grads = one_step(p, (start + k) % steps_per_epoch)
-                    return (jax.tree.map(jnp.add, acc, grads),
-                            loss_sum + loss), None
-
-                (grads, loss_sum), _ = jax.lax.scan(
-                    inner, (zero_grads, jnp.zeros((), dtype)),
-                    jnp.arange(acc_steps),
-                )
+            loss_sum, grads = accumulate(
+                lambda k: one_step(p, (start + k) % steps_per_epoch),
+                zero_grads,
+            )
             updates, o = optimizer.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             # ELBO estimate recorded at each apply (reference bear_net.py:303-307).
@@ -615,13 +638,17 @@ def train_streaming(
         (seed, epoch, stream position)); combine with an epoch-aware
         ``shards`` callable for shard-order shuffling.
     checkpoint_dir : when set, atomically checkpoint {params, opt_state,
-        applies_done} there every ``checkpoint_every`` blocks (and at
-        completion), and RESUME from an existing checkpoint: the stream is
-        fast-forwarded past the applies already done (shards before the
-        resume point are loaded but not computed on), giving a
+        applies_done} there every ``checkpoint_every`` optimizer APPLIES —
+        the same unit as ``train()``; the cadence rounds UP to whole
+        ``block_steps`` blocks, the granularity streaming executes at —
+        plus once at completion, and RESUME from an existing checkpoint:
+        the stream is fast-forwarded past the applies already done (shards
+        before the resume point are loaded but not computed on), giving a
         bit-identical final trajectory after a kill. Only process 0 writes
         in multi-process runs.
     """
+    # Same UNIT as train() (applies), executed at block granularity.
+    _ck_blocks = max(1, -(-int(checkpoint_every) // int(block_steps)))
     A1 = alphabets.alphabet_size(alphabet) + 1
     key = jax.random.key(seed)
     if params_restart is not None:
@@ -649,22 +676,8 @@ def train_streaming(
     # stays row-aligned (same geometry as train()).
     bsz = -(-int(batch_size) // n_dev) * n_dev
 
-    def loss_fn(p, codes_b, counts_b, ref_b, actual_size):
-        if ref_b is not None:
-            oh = alphabets.one_hot(codes_b, A1, dtype)
-            ar_probs = ar_func.apply(p["ar"], oh, ref_b)
-        elif ar_func.apply_codes is not None:
-            ar_probs = ar_func.apply_codes(p["ar"], codes_b)
-        else:
-            oh = alphabets.one_hot(codes_b, A1, dtype)
-            ar_probs = ar_func.apply(p["ar"], oh)
-        if train_ar:
-            ll = ar_log_prob(counts_b, ar_probs)
-        else:
-            ll = bear_log_prob(counts_b, ar_probs, jnp.exp(p["h_signed"]))
-        return -(num_kmers / actual_size) * jnp.sum(ll)
-
-    grad_fn = jax.value_and_grad(loss_fn)
+    grad_fn, accumulate = _make_grad_and_accumulate(
+        ar_func, num_kmers, train_ar, A1, dtype, acc_steps)
     meta = {}  # lag_w / with_ref, set by the first shard of the stream
     zero_grads = jax.tree.map(jnp.zeros_like, params)
 
@@ -689,23 +702,7 @@ def train_streaming(
                         sizes_blk[idx, k],
                     )
 
-                if acc_steps == 1:
-                    # No accumulation machinery in the compiled program: the
-                    # 0+grads / loss/1 identities are exact but shift XLA's
-                    # fusion choices by ulps vs train() — and bit parity with
-                    # the concat trajectory is a tested contract.
-                    loss_sum, grads = one_step(0)
-                else:
-                    def inner(inner_carry, k):
-                        acc, loss_sum = inner_carry
-                        loss, grads = one_step(k)
-                        return (jax.tree.map(jnp.add, acc, grads),
-                                loss_sum + loss), None
-
-                    (grads, loss_sum), _ = jax.lax.scan(
-                        inner, (zero_grads, jnp.zeros((), dtype)),
-                        jnp.arange(acc_steps),
-                    )
+                loss_sum, grads = accumulate(one_step, zero_grads)
                 updates, o = optimizer.update(grads, o, p)
                 return (optax.apply_updates(p, updates), o), -loss_sum / acc_steps
 
@@ -832,8 +829,7 @@ def train_streaming(
         n_in_block = 0
         cb = nb = rb = sb = vb = None  # fresh buffers next block: never
         # mutate host memory a device transfer may still alias
-        if checkpoint_dir is not None and blocks_done % max(
-                int(checkpoint_every), 1) == 0:
+        if checkpoint_dir is not None and blocks_done % _ck_blocks == 0:
             save_state(applies_done)
 
     for group in group_stream():
@@ -1218,15 +1214,9 @@ def evaluation_streaming(
             # dtype: at genome-scale log-lik magnitudes (~1e9) float32 ulps
             # are ~64, so f32 block partials would drift from the in-memory
             # result by more than summation reassociation (VERDICT r3).
+            # _host_tree owns the multi-process non-addressable-leaf rule.
             out = jax.tree.map(
-                lambda x: np.asarray(
-                    x.addressable_data(0)
-                    if isinstance(x, jax.Array) and not x.is_fully_addressable
-                    else x,
-                    dtype=np.float64,
-                ),
-                out,
-            )
+                lambda x: np.asarray(x, dtype=np.float64), _host_tree(out))
             totals = out if totals is None else jax.tree.map(
                 np.add, totals, out)
         step += steps

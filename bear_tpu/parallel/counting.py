@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bear_tpu.counting.engine import (
+    check_groups,
     FLUSH_EVERY as _FLUSH_EVERY,
     ReadChunk,
     _count_chunk_kernel,
@@ -163,16 +164,17 @@ class ShardedTransitionCounter:
             self._since_flush = 0
 
     def add_chunk(self, chunk: ReadChunk):
+        # Precondition checks run BEFORE the forward add so a rejected
+        # chunk leaves the tables untouched (a post-add error would
+        # double-count on retry); real errors, not -O-strippable asserts.
+        check_groups(chunk.groups, self.n_groups)
+        if self.reverse and not np.all(np.asarray(chunk.skip) == 0):
+            raise ValueError(
+                "reverse=True requires whole-read chunks (skip == 0)"
+            )
         self._add(chunk.codes, chunk.lengths, chunk.skip, chunk.stopped,
                   chunk.groups, chunk.fresh)
         if self.reverse:
-            if not np.all(chunk.skip == 0):
-                # A hard error, not an assert: under python -O a stripped
-                # assert would reuse chunk.skip against REVERSED codes and
-                # silently corrupt counts.
-                raise ValueError(
-                    "reverse=True requires whole-read chunks (skip == 0)"
-                )
             rc, rlen = reverse_complement_codes(chunk.codes, chunk.lengths)
             # RC swaps the true-read boundary sides; rc_boundary_flags also
             # handles fresh=None chunks with un-stopped rows (engine.py).
@@ -382,6 +384,7 @@ class KmerShardedTransitionCounter:
             )
 
     def add_chunk(self, chunk: ReadChunk):
+        check_groups(chunk.groups, self.n_groups)
         codes = chunk.codes
         new_transitions = codes.shape[0] * (codes.shape[1] + 1)
         if self._since_flush + new_transitions > self.FLUSH_EVERY:

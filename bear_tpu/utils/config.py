@@ -118,10 +118,11 @@ class RunConfig:
     shuffle: bool = False
     # optional [train] checkpoint_every: > 0 checkpoints
     # {params, opt_state, applies_done} into the out folder every N
-    # optimizer applies (streaming: every N blocks) and RESUMES from an
-    # existing mid-run checkpoint there. Point out_folder at the interrupted
-    # run's literal directory (trailing '*') to resume it. The reference can
-    # only restart from a completed run's pickle (train_bear_net.py:113-118).
+    # optimizer applies (streaming rounds the cadence UP to whole blocks,
+    # its execution granularity) and RESUMES from an existing mid-run
+    # checkpoint there. Point out_folder at the interrupted run's literal
+    # directory (trailing '*') to resume it. The reference can only restart
+    # from a completed run's pickle (train_bear_net.py:113-118).
     checkpoint_every: int = 0
 
     @classmethod

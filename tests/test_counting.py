@@ -824,3 +824,67 @@ def test_counting_fuzz_configurations(tmp_path):
             assert int(table.sum()) == sum(
                 m.sum() for m in oracle[lag - 1].values()
             )
+
+
+def test_check_groups_guard_all_counters():
+    # Out-of-range group ids would land IN-BOUNDS inside another lag's
+    # table region (no guard rows between lags) and silently corrupt
+    # counts; every counter's add_chunk must reject them up front.
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+    from bear_tpu.counting.multipass import MultiPassTransitionCounter
+    from bear_tpu.counting.sparse import SparseTransitionCounter
+    from bear_tpu.parallel.counting import (
+        KmerShardedTransitionCounter,
+        ShardedTransitionCounter,
+    )
+
+    rng = np.random.default_rng(0)
+    B = 4
+    chunk = ReadChunk(
+        codes=rng.integers(0, 4, (B, 10)).astype(np.int8),
+        lengths=np.full(B, 10, np.int32),
+        skip=np.zeros(B, np.int32),
+        stopped=np.ones(B, bool),
+        groups=np.array([0, 1, 2, 0], np.int32),  # id 2 >= n_groups=2
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+    counters = [
+        TransitionCounter(lags=[2, 3], n_groups=2),
+        ShardedTransitionCounter(mesh, lags=[2, 3], n_groups=2, axis="x"),
+        KmerShardedTransitionCounter(mesh, lags=[2, 3], n_groups=2, axis="x"),
+        MultiPassTransitionCounter(lags=[2, 3], n_groups=2, passes=2),
+        SparseTransitionCounter(lags=[2, 3], n_groups=2),
+    ]
+    for tc in counters:
+        with pytest.raises(ValueError, match="group ids"):
+            tc.add_chunk(chunk)
+
+
+def test_write_tsv_shards_fallback_matches_native(tmp_path, monkeypatch):
+    # The pure-Python shard writer (used when the native formatter is
+    # absent) must produce byte-identical shards via its per-bin passes
+    # (it must NOT open all 2^n_bin_bits handles at once — fd limits).
+    from bear_tpu.counting import engine, fastx
+
+    rng = np.random.default_rng(3)
+    lag = 3
+    rows = np.unique(rng.integers(0, engine.table_rows(lag), 50))
+    counts = rng.integers(0, 100, (len(rows), 2, 5)).astype(np.int64)
+
+    native_dir = tmp_path / "native"
+    native_dir.mkdir()
+    p_native = engine.write_tsv_shards(
+        str(native_dir / "x"), lag, rows, counts, n_bin_bits=2, seed=7)
+
+    monkeypatch.setattr(fastx, "_native", lambda: None)
+    fb_dir = tmp_path / "fb"
+    fb_dir.mkdir()
+    p_fb = engine.write_tsv_shards(
+        str(fb_dir / "x"), lag, rows, counts, n_bin_bits=2, seed=7)
+    assert len(p_native) == len(p_fb) == 4
+    for a, b in zip(p_native, p_fb):
+        assert open(a, "rb").read() == open(b, "rb").read()

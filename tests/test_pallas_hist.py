@@ -94,8 +94,14 @@ def test_sorted_method_matches_scatter(interpret):
 def test_sorted_method_reverse(interpret):
     rng = np.random.default_rng(3)
     chunk = _random_chunk(rng, B=16, L=20)
-    a = TransitionCounter(lags=(3,), reverse=True, method="scatter")
-    b = TransitionCounter(lags=(3,), reverse=True, method="sorted")
+    # n_groups=2 matches _random_chunk's group ids {0,1} — the counter now
+    # REJECTS out-of-range ids instead of silently corrupting (engine
+    # check_groups), which this test previously relied on identically in
+    # both arms.
+    a = TransitionCounter(lags=(3,), n_groups=2, reverse=True,
+                          method="scatter")
+    b = TransitionCounter(lags=(3,), n_groups=2, reverse=True,
+                          method="sorted")
     a.add_chunk(chunk)
     b.add_chunk(chunk)
     np.testing.assert_array_equal(a.tables[3], b.tables[3])
