@@ -781,9 +781,14 @@ def write_tsv_shards(out_prefix: str, lag: int, rows: np.ndarray,
         return paths
     # Fallback formatter: one shard AT A TIME (n_bins can be 2^12+; opening
     # every shard at once would blow the OS fd limit mid-export and leave a
-    # partial shard set on disk).
+    # partial shard set on disk). One stable argsort + searchsorted bounds
+    # give each shard's row indices as a contiguous slice — a per-shard
+    # ``bins == b`` rescan is O(n_bins * n) (billions of comparisons at
+    # 2^12 shards over millions of rows).
+    order = np.argsort(bins, kind="stable")
+    bounds = np.searchsorted(bins[order], np.arange(n_bins + 1))
     for b, p in enumerate(paths):
-        sel = np.nonzero(bins == b)[0]
+        sel = order[bounds[b] : bounds[b + 1]]
         with open(p, "w") as fh:
             for i in sel:
                 mat = "[[" + "],[".join(

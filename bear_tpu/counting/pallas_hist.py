@@ -195,6 +195,8 @@ def sorted_window_update(table_flat, flat_idx, group: int = GROUP,
     assert window % 256 == 0 and window >= 4096, "window = 256 * sublanes"
     assert total_padded % window == 0, "pad the table with padded_size()"
     n_windows = total_padded // window
+    if blocks < 1:
+        raise ValueError(f"blocks must be >= 1, got {blocks}")
     while n_windows % blocks:
         blocks //= 2
     n_blocks = n_windows // blocks

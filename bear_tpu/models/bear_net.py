@@ -310,6 +310,13 @@ def _check_resume_consistent(applies_done: int):
 # minor dims would waste more than this many bytes (see train/evaluation).
 FLAT_AT_REST_MIN_WASTE = 128 << 20
 
+# Accumulate evaluation()/h_scan() metrics across batches in float64 (when
+# x64 is enabled) regardless of compute dtype. Module-level so the precision
+# test can reproduce the pre-round-5 f32-carry behavior; never disable this
+# in production — at genome-scale log-lik magnitudes the f32 carry absorbs
+# per-batch increments (VERDICT r4).
+_METRIC_ACC_F64 = True
+
 
 def _use_flat_at_rest(stacked_shape, itemsize: int) -> bool:
     steps, bsz, width = stacked_shape
@@ -948,6 +955,13 @@ def evaluation(
     Returns the reference's 9-tuple:
     (ll_ear, ll_arm, ll_van, perp_ear, perp_arm, perp_van,
      acc_ear, acc_arm, acc_van) with van entries vectors over van_reg.
+
+    Metric accumulation across batches runs in float64 (when x64 is
+    enabled) regardless of the compute ``dtype``: at genome-scale log-lik
+    magnitudes (~1e9) float32 ulps are ~64, so an f32 scan carry would
+    absorb per-batch increments — the same fix evaluation_streaming's host
+    partials received (reference evaluation computes in f64 by default,
+    bear_net.py:387-463). Per-batch compute stays in ``dtype``.
     """
     A1 = alphabets.alphabet_size(alphabet) + 1
     use_train = ds_loc_train >= 0
@@ -1043,10 +1057,24 @@ def evaluation(
 
         def body(carry, step):
             out = batch_metrics(step)
-            return jax.tree.map(jnp.add, carry, out), None
+            # Promote per-batch metrics into the (f64) carry dtype — the
+            # batch compute itself stays in `dtype` (see docstring).
+            return jax.tree.map(
+                lambda c, o: c + o.astype(c.dtype), carry, out
+            ), None
+
+        def acc_dtype(d):
+            if (
+                _METRIC_ACC_F64
+                and jnp.issubdtype(d, jnp.floating)
+                and jax.config.jax_enable_x64
+            ):
+                return jnp.float64
+            return d
 
         zeros = jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(batch_metrics, 0)
+            lambda s: jnp.zeros(s.shape, acc_dtype(s.dtype)),
+            jax.eval_shape(batch_metrics, 0),
         )
         carry, _ = jax.lax.scan(body, zeros, jnp.arange(codes_s.shape[0]))
         return carry
