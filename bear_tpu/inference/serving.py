@@ -441,6 +441,41 @@ class BearServer:
         self._snv_sample_fn = jax.jit(snv_delta_sampled)
         self._var_fn = jax.jit(var_delta_map)
         self._var_sample_fn = jax.jit(var_delta_sampled)
+        # Raw (unjitted) sampled closures + cache for in-kernel sample
+        # reductions (reduce="mean_std"/"quantiles"): the [V, S] delta
+        # tensor reduces over S BEFORE leaving the kernel, so the host
+        # fetches [V, 2] / [V, k] instead of S-fold sample tensors — at the
+        # reference's mc_samples=41 analysis default (get_var_probs.py:
+        # 174-175) the full-sample output fetch dominated DMS scoring
+        # (43 MB per chunk; PERF.md round 4).
+        self._snv_sample_raw = snv_delta_sampled
+        self._var_sample_raw = var_delta_sampled
+        self._reduced_cache = {}
+
+    def _sampled_reduced_fn(self, which: str, reduce: str, quantiles):
+        """jitted sampled-delta kernel with an in-kernel reduction over the
+        sample axis. Cached per (kernel, reduce, quantiles)."""
+        qs = tuple(float(q) for q in quantiles) if reduce == "quantiles" else None
+        key = (which, reduce, qs)
+        fn = self._reduced_cache.get(key)
+        if fn is None:
+            raw = (self._snv_sample_raw if which == "snv"
+                   else self._var_sample_raw)
+            if reduce == "mean_std":
+                def red(d):
+                    # ddof=1: the MC standard error convention for S draws.
+                    return jnp.stack(
+                        [jnp.mean(d, -1), jnp.std(d, -1, ddof=1)], -1)
+            elif reduce == "quantiles":
+                qv = jnp.asarray(qs, jnp.float32)
+
+                def red(d):
+                    return jnp.quantile(d, qv, axis=-1).T
+            else:
+                raise ValueError(f"unknown reduce {reduce!r}")
+            fn = jax.jit(lambda *a: red(raw(*a)))
+            self._reduced_cache[key] = fn
+        return fn
 
     @classmethod
     def from_model_dir(cls, path: str, *, train_col: int = 0,
@@ -486,7 +521,9 @@ class BearServer:
 
     def delta_scores_snv(self, wt_seq: str, positions, alt_bases,
                          batch: int = 1 << 17, mode: str = "map",
-                         key=None, mc_samples: int = 1):
+                         key=None, mc_samples: int = 1,
+                         reduce: str = "none",
+                         quantiles=(0.05, 0.5, 0.95)):
         """Δ log-prob (mutant − wild-type) for a batch of substitutions,
         entirely on device: DMS-scale scoring (10^6 SNVs in seconds) where
         the host get_bear_probs path loops per variant.
@@ -502,8 +539,17 @@ class BearServer:
             the MC mode; requires ``key``).
         mc_samples : with mode="sample", number of independent draws;
             output gains a trailing sample axis when > 1.
+        reduce : with mode="sample": "none" returns the raw per-draw
+            scores; "mean_std" reduces the sample axis IN-KERNEL to
+            [V, 2] (mean, ddof-1 std); "quantiles" to [V, len(quantiles)].
+            The standard DMS consumption is these statistics — reducing
+            on device cuts the output fetch mc_samples-fold (the full-
+            sample fetch dominated MC-41 scoring; PERF.md). Draw values
+            are identical to reduce="none" with the same key.
+        quantiles : probability points for reduce="quantiles".
 
-        Returns [V] float scores (or [V, mc_samples]).
+        Returns [V] float scores (or [V, mc_samples] / [V, 2] /
+        [V, len(quantiles)]).
         """
         codes = alphabets.encode_kmers(
             np.array([wt_seq]), self._alphabet
@@ -524,8 +570,11 @@ class BearServer:
             alt = alphabets.encode_kmers(alt, self._alphabet)[:, 0]
         alt = alt.astype(np.int32)
         ref = codes[0, pos].astype(np.int32)
+        if reduce != "none" and mode != "sample":
+            raise ValueError('reduce= requires mode="sample"')
         if mode == "map":
             fn, keys = self._snv_fn, None
+            width = None
         elif mode == "sample":
             if key is None:
                 raise ValueError('mode="sample" requires key=')
@@ -537,13 +586,17 @@ class BearServer:
             # overhead bound), 32768 -> 76K.
             keys = jnp.stack(
                 [jax.random.fold_in(key, s) for s in range(mc_samples)])
-            fn = self._snv_sample_fn
+            if reduce == "none":
+                fn, width = self._snv_sample_fn, mc_samples
+            else:
+                fn = self._sampled_reduced_fn("snv", reduce, quantiles)
+                width = 2 if reduce == "mean_std" else len(quantiles)
             batch = min(batch, max(batch // mc_samples,
                                    (1 << 21) // mc_samples, 1))
         else:
             raise ValueError(f"unknown mode {mode!r}")
         V = len(pos)
-        out = np.empty((V,) if keys is None else (V, mc_samples), np.float32)
+        out = np.empty((V,) if keys is None else (V, width), np.float32)
         for s in range(0, V, batch):
             e = min(s + batch, V)
             n = e - s
@@ -558,7 +611,7 @@ class BearServer:
             if keys is not None:
                 args = args + (keys,)
             out[s:e] = np.asarray(fn(*args))[:n]
-        if mode == "map":
+        if mode == "map" or reduce != "none":
             return out
         return out[..., 0] if mc_samples == 1 else out
 
@@ -586,7 +639,9 @@ class BearServer:
 
     def delta_scores_variants(self, wt_seq: str, variants, *,
                               batch: int = 1 << 18, mode: str = "map",
-                              key=None, mc_samples: int = 1):
+                              key=None, mc_samples: int = 1,
+                              reduce: str = "none",
+                              quantiles=(0.05, 0.5, 0.95)):
         """Δ log-prob (mutant − wild-type) for ARBITRARY variants — multi-
         base substitutions, insertions, deletions in the reference's
         'AAG23CC' syntax (get_var_probs.py:336-341) — batched on device.
@@ -604,7 +659,11 @@ class BearServer:
 
         Returns [V] float scores (or [V, mc_samples] with mode="sample"
         and mc_samples > 1); MAP scores exactly match
-        ``get_bear_probs(..., get_map=True)``.
+        ``get_bear_probs(..., get_map=True)``. ``reduce``/``quantiles``
+        as in :meth:`delta_scores_snv`: an in-kernel reduction over the
+        sample axis returning [V, 2] ("mean_std") or [V, len(quantiles)]
+        ("quantiles") — the fetch shrinks mc_samples-fold while draw
+        values stay identical to reduce="none".
         """
         from bear_tpu.inference.scoring import parse_var
 
@@ -622,9 +681,15 @@ class BearServer:
         parsed = [parse_var(v) if isinstance(v, str) else v
                   for v in variants]
         V = len(parsed)
+        if reduce != "none" and mode != "sample":
+            raise ValueError('reduce= requires mode="sample"')
         if V == 0:
             # Honor the documented shapes even when empty: [0] for MAP /
-            # single-sample, [0, mc_samples] for a multi-sample request.
+            # single-sample, [0, mc_samples] for a multi-sample request,
+            # [0, k] for a reduced request.
+            if mode == "sample" and reduce != "none":
+                k = 2 if reduce == "mean_std" else len(quantiles)
+                return np.zeros((0, k), np.float32)
             if mode == "sample" and mc_samples != 1:
                 return np.zeros((0, mc_samples), np.float32)
             return np.zeros((0,), np.float32)
@@ -701,6 +766,7 @@ class BearServer:
 
         if mode == "map":
             fn, keys = self._var_fn, None
+            width = None
         elif mode == "sample":
             if key is None:
                 raise ValueError('mode="sample" requires key=')
@@ -710,7 +776,11 @@ class BearServer:
             # SNV count, so half the SNV row budget).
             keys = jnp.stack(
                 [jax.random.fold_in(key, s) for s in range(mc_samples)])
-            fn = self._var_sample_fn
+            if reduce == "none":
+                fn, width = self._var_sample_fn, mc_samples
+            else:
+                fn = self._sampled_reduced_fn("var", reduce, quantiles)
+                width = 2 if reduce == "mean_std" else len(quantiles)
             batch = min(batch, max(batch // mc_samples,
                                    (1 << 20) // mc_samples, 1))
         else:
@@ -718,7 +788,7 @@ class BearServer:
 
         i_wt = jnp.arange(W_wt, dtype=jnp.int32)
         B = min(batch, V)
-        out = np.empty((V,) if keys is None else (V, mc_samples), np.float32)
+        out = np.empty((V,) if keys is None else (V, width), np.float32)
         for s in range(0, V, B):
             e = min(s + B, V)
             n = e - s
@@ -736,7 +806,7 @@ class BearServer:
             if keys is not None:
                 args = args + (keys,)
             out[s:e] = np.asarray(fn(*args))[:n]
-        if mode == "map":
+        if mode == "map" or reduce != "none":
             return out
         return out[..., 0] if mc_samples == 1 else out
 

@@ -397,7 +397,11 @@ def bench_snv_mc():
     """Monte-Carlo DMS scoring at the reference's analysis default
     mc_samples=41 (get_var_probs.py:174-175, 343-346): the in-kernel [S]
     sample axis gathers windows/concentrations once per chunk and only the
-    Dirichlet draw grows with S (round-3 path paid 41 full launches)."""
+    Dirichlet draw grows with S (round-3 path paid 41 full launches).
+    Protocol uses reduce="mean_std" — the standard DMS consumption of MC
+    draws — so the per-chunk output fetch is [V, 2] instead of the 41-fold
+    sample tensor (which dominated the round-4 line; full-sample mode
+    remains available and parity-tested)."""
     from bear_tpu.counting.engine import table_rows
     from bear_tpu.inference.serving import BearServer
 
@@ -413,17 +417,18 @@ def bench_snv_mc():
     # sample-mode chunk floor), so no XLA compile lands in the timed region
     # (the earlier 1<<13 warm call compiled a different batch shape).
     eff = min(1 << 17, max((1 << 17) // S, (1 << 21) // S, 1))
-    server.delta_scores_snv(wt, pos[:eff], alt[:eff],
-                            mode="sample", key=key, mc_samples=S)  # compile
+    server.delta_scores_snv(wt, pos[:eff], alt[:eff], mode="sample",
+                            key=key, mc_samples=S,
+                            reduce="mean_std")  # compile
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         out = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key,
-                                      mc_samples=S)
+                                      mc_samples=S, reduce="mean_std")
         _ = float(out[-1, -1])  # fetch barrier: np output already synced
         dt = min(dt, time.perf_counter() - t0)
     return dict(snv_draws_per_sec=V * S / dt, snvs_per_sec=V / dt,
-                mc_samples=S, seconds=dt)
+                mc_samples=S, seconds=dt, reduce="mean_std")
 
 
 def bench_sparse_counting():

@@ -472,3 +472,71 @@ def test_variant_scores_wt_shorter_than_lag():
     np.testing.assert_allclose(
         server.delta_scores_snv(wt, [0, 1], ["A", "G"]),
         server.delta_scores_variants(wt, ["T0A", "A1G"]), rtol=1e-9)
+
+
+def test_sampled_reduce_in_kernel_matches_host_reduction():
+    # reduce="mean_std"/"quantiles" reduce the sample axis IN-KERNEL; with
+    # the same key the draws are identical to reduce="none", so the reduced
+    # outputs must match a host-side reduction of the full-sample output
+    # (to f32 reduction reassociation), for both the SNV and the arbitrary-
+    # variant kernels.
+    import pytest
+
+    tc = _counter()
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.8, dtype=jnp.float64)
+    wt = "TTTATTCTTAG"
+    pos = [1, 4, 7, 9]
+    alt = ["G", "C", "A", "C"]
+    vars_ = [f"{wt[p]}{p}{a}" for p, a in zip(pos, alt)]
+    key = jax.random.key(7)
+    S = 33
+    qs = (0.1, 0.5, 0.9)
+
+    full = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key,
+                                   mc_samples=S)
+    ms = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key,
+                                 mc_samples=S, reduce="mean_std")
+    assert ms.shape == (4, 2)
+    np.testing.assert_allclose(ms[:, 0], full.mean(-1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ms[:, 1], full.std(-1, ddof=1), rtol=1e-4,
+                               atol=1e-6)
+    qt = server.delta_scores_snv(wt, pos, alt, mode="sample", key=key,
+                                 mc_samples=S, reduce="quantiles",
+                                 quantiles=qs)
+    assert qt.shape == (4, 3)
+    np.testing.assert_allclose(
+        qt, np.quantile(full.astype(np.float64), qs, axis=-1).T,
+        rtol=1e-5, atol=1e-5)
+
+    full_v = server.delta_scores_variants(wt, vars_, mode="sample", key=key,
+                                          mc_samples=S)
+    ms_v = server.delta_scores_variants(wt, vars_, mode="sample", key=key,
+                                        mc_samples=S, reduce="mean_std")
+    np.testing.assert_allclose(ms_v[:, 0], full_v.mean(-1), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(ms_v[:, 1], full_v.std(-1, ddof=1), rtol=1e-4,
+                               atol=1e-6)
+    qt_v = server.delta_scores_variants(wt, vars_, mode="sample", key=key,
+                                        mc_samples=S, reduce="quantiles",
+                                        quantiles=qs)
+    np.testing.assert_allclose(
+        qt_v, np.quantile(full_v.astype(np.float64), qs, axis=-1).T,
+        rtol=1e-5, atol=1e-5)
+
+    # chunked == one-shot for reduced outputs (reduction is per-variant)
+    ms_chunked = server.delta_scores_variants(
+        wt, vars_, mode="sample", key=key, mc_samples=S, reduce="mean_std",
+        batch=2)
+    np.testing.assert_allclose(ms_chunked, ms_v, rtol=1e-6)
+
+    # contract errors + empty shapes
+    with pytest.raises(ValueError, match="requires mode"):
+        server.delta_scores_snv(wt, pos, alt, reduce="mean_std")
+    with pytest.raises(ValueError, match="requires mode"):
+        server.delta_scores_variants(wt, vars_, reduce="quantiles")
+    assert server.delta_scores_variants(
+        wt, [], mode="sample", key=key, mc_samples=S,
+        reduce="mean_std").shape == (0, 2)
+    assert server.delta_scores_variants(
+        wt, [], mode="sample", key=key, mc_samples=S, reduce="quantiles",
+        quantiles=qs).shape == (0, 3)
