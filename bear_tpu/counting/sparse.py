@@ -8,14 +8,31 @@ densifies: it sorts packed k-mer codes and merges runs. This module is the
 TPU-native version of that design:
 
     device: rolling context codes in TWO int32 halves (low/high digit
-            blocks) + a small type key (n_pad, next symbol, group)
-            -> one 3-key lexicographic sort per chunk (lax.sort)
+            blocks) + a small type key (n_pad, next symbol, group),
+            appended chunk after chunk into a DEVICE-RESIDENT key buffer
+            (the role of KMC's in-memory bin accumulation before disk,
+            reference summarize.py:322-340)
+            -> when the buffer fills (~a dozen chunks), ONE 3-key
+            lexicographic sort of the whole window (lax.sort)
             -> run boundaries -> (unique key triple, run length)
-    host:   reassemble exact int64 global keys
-            (g * rows(lag) + row) * (A+1) + next and merge into the SAME
-            sparse accumulator the kmer-sharded/multipass counters use.
+    host:   once per WINDOW (not per chunk), reassemble exact int64 global
+            keys (g * rows(lag) + row) * (A+1) + next and merge into the
+            SAME sparse accumulator the kmer-sharded/multipass counters
+            use. At coverage c the within-window duplication factor
+            divides the drained bytes by ~c, and no per-chunk scalar sync
+            ever happens — the round-4 per-chunk drain was link-bound at
+            135x below the dense kernel (PERF.md).
 
-Device memory is bounded by the CHUNK size (never the 4^lag key space), so
+``mesh=`` shards chunk rows over a mesh axis: each device appends its rows'
+keys into its own buffer slice (shard_map, no communication), windows sort
+per device, and each process drains only its addressable shards — the
+data-parallel story of the dense ShardedTransitionCounter applied to the
+one counter with no lag ceiling (reference DP counting via
+MirroredStrategy, bear_net.py:246). Cross-host merging rides
+parallel.multihost.allreduce_tables unchanged (the host accumulator is the
+shared ``_sparse`` machinery).
+
+Device memory is bounded by the BUFFER size (never the 4^lag key space), so
 one chip counts at any lag whose distinct-context count fits host memory —
 the actual resource that bounds the problem (distinct contexts <= corpus
 size, ~1e9 for a human genome, vs 4^20 = 1.1e12 table rows).
@@ -40,7 +57,7 @@ brute-force recount.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import jax
@@ -61,6 +78,13 @@ _SENT = np.iinfo(np.int32).max  # masked positions sort past every real key
 # Consolidate the host accumulator when this many un-merged entries are
 # pending (bounds host memory at ~1.5 GB of (key, count) pairs).
 CONSOLIDATE_PENDING = 1 << 26
+# Default per-device key-buffer capacity (entries per lag; 3 int32 arrays =
+# 12 bytes/entry -> 768 MB at the default). The actual capacity adapts down
+# to ~16 chunks of the first chunk's size, so small jobs never allocate it.
+DEVICE_BUFFER = 1 << 26
+# Window size target in chunks: capacity adapts to hold about this many
+# chunks between drains (the drain amortization factor).
+_WINDOW_CHUNKS = 16
 
 
 def digit_split(A: int) -> int:
@@ -82,15 +106,10 @@ def max_sparse_lag(A: int, n_groups: int = 1) -> int:
     return lag
 
 
-@functools.partial(
-    jax.jit, static_argnames=("lags", "n_groups", "A", "with_fresh")
-)
-def _sorted_runs_jit(codes, lengths, skip, stopped, groups, fresh,
-                     lags, n_groups, A, with_fresh):
-    """Per lag: masked key triples -> 3-key lexicographic sort -> run-start
-    mask. Returns {lag: (t_sorted, hi_sorted, lo_sorted, n_runs, n_valid)};
-    the sorted arrays stay on device — only the two scalars are fetched, and
-    a second jit (_compact_runs_jit) gathers exactly the run heads.
+def _chunk_keys(codes, lengths, skip, stopped, groups, fresh,
+                lags, n_groups, A, with_fresh):
+    """Per lag: flattened [B*(L+1)] masked key triples (t, hi, lo) for every
+    transition position of a chunk (masked positions carry the sentinel t).
 
     Key layout per transition position (same index math as
     engine._count_chunk_kernel, which it is oracle-tested against):
@@ -99,7 +118,7 @@ def _sorted_runs_jit(codes, lengths, skip, stopped, groups, fresh,
       t  = (n_pad * (A+1) + next) * n_groups + group   (masked -> sentinel)
     Pads beyond the read start read the zero padding, which is exactly the
     truncated-prefix code; n_pad in the t key disambiguates 'A' digits from
-    '[' pads.
+    '[' pads. Traced inside the append step (one dispatch per chunk).
     """
     B, L = codes.shape
     P = L + 1
@@ -139,19 +158,49 @@ def _sorted_runs_jit(codes, lengths, skip, stopped, groups, fresh,
         t = jnp.where(
             mask_l, (n_pad * A1 + nxt) * n_groups + groups32, _SENT
         )
-        ts, hs, ls = jax.lax.sort(
-            (t.reshape(-1), hi_acc.reshape(-1), lo_acc.reshape(-1)),
-            num_keys=3,
-        )
-        valid = ts != _SENT
-        prev_ne = jnp.concatenate([
-            jnp.ones(1, bool),
-            (ts[1:] != ts[:-1]) | (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1]),
-        ])
-        run_start = valid & prev_ne
-        out[l] = (ts, hs, ls, jnp.sum(run_start.astype(jnp.int32)),
-                  jnp.sum(valid.astype(jnp.int32)))
+        out[l] = (t.reshape(-1), hi_acc.reshape(-1), lo_acc.reshape(-1))
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lags", "n_groups", "A", "with_fresh"),
+    donate_argnums=(0,),
+)
+def _append_chunk_jit(bufs, offset, codes, lengths, skip, stopped, groups,
+                      fresh, lags, n_groups, A, with_fresh):
+    """Compute a chunk's key triples and write them into the per-lag device
+    buffers at ``offset`` — ONE dispatch per chunk, no sync, no fetch.
+    ``bufs``: {lag: (t_buf, hi_buf, lo_buf)} (donated)."""
+    keys = _chunk_keys(codes, lengths, skip, stopped, groups, fresh,
+                       lags, n_groups, A, with_fresh)
+    out = {}
+    for l in lags:
+        t, h, lo_ = keys[l]
+        bt, bh, bl = bufs[l]
+        out[l] = (
+            jax.lax.dynamic_update_slice(bt, t, (offset,)),
+            jax.lax.dynamic_update_slice(bh, h, (offset,)),
+            jax.lax.dynamic_update_slice(bl, lo_, (offset,)),
+        )
+    return out
+
+
+@jax.jit
+def _window_sort_jit(bt, bh, bl):
+    """One 3-key lexicographic sort of a whole key-buffer window + run-start
+    scalars. Sentinel-t entries (masked positions and the unfilled tail)
+    sort past every real key and are excluded by ``n_valid``. Only the two
+    scalars are fetched; _compact_runs_jit gathers exactly the run heads."""
+    ts, hs, ls = jax.lax.sort((bt, bh, bl), num_keys=3)
+    valid = ts != _SENT
+    prev_ne = jnp.concatenate([
+        jnp.ones(1, bool),
+        (ts[1:] != ts[:-1]) | (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1]),
+    ])
+    run_start = valid & prev_ne
+    return ts, hs, ls, jnp.sum(run_start.astype(jnp.int32)), jnp.sum(
+        valid.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("u_pad",))
@@ -172,22 +221,35 @@ def _compact_runs_jit(ts, hs, ls, u_pad):
 
 
 class SparseTransitionCounter(KmerShardedTransitionCounter):
-    """Single-chip sparse-first counter for lags beyond the dense-table
-    range (DNA lag >= 16, protein lag >= 8; up to lag 30 / 13).
+    """Sparse-first counter for lags beyond the dense-table range (DNA
+    lag >= 16, protein lag >= 8; up to lag 30 / 13), single-chip or
+    sharded over a device mesh.
 
     Drop-in for the other counters' read surface (nonzero_rows,
     counts_for_rows, to_dataset, export_tsv, save/load_state, validate,
     merge_from) and ReadChunk ingest surface (add_chunk incl. reverse
-    complement, segment skip, ambig fresh flags). Unlike the dense
-    counters there is no deferred device flush: each chunk is sorted and
-    consolidated on device, and only its distinct (key, count) pairs cross
-    to the host.
+    complement, segment skip, ambig fresh flags). Chunks append their raw
+    key triples into a device-resident buffer (one dispatch, no sync); the
+    buffer sorts and drains to the host once per ~16 chunks or at
+    ``flush()`` — never per chunk.
+
+    Parameters
+    ----------
+    mesh / axis : optional jax Mesh: chunk rows shard over ``axis``; each
+        device buffers and sorts its own rows' keys and each process
+        drains only its local shards (merge across processes with
+        parallel.multihost.allreduce_tables).
+    device_buffer : per-device key-buffer capacity in entries per lag
+        (12 bytes/entry); the effective capacity adapts down to ~16 chunks
+        of the first chunk's size.
     """
 
     FLUSH_EVERY = FLUSH_EVERY
 
     def __init__(self, lags: Sequence[int], n_groups: int = 1,
-                 reverse: bool = False, alphabet: str = "dna"):
+                 reverse: bool = False, alphabet: str = "dna",
+                 mesh=None, axis: str = "data",
+                 device_buffer: int = DEVICE_BUFFER):
         from bear_tpu.ops import alphabets as _alpha
 
         self.alphabet = alphabet
@@ -207,11 +269,22 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
             )
         self.n_groups = n_groups
         self.reverse = reverse
+        self.mesh = mesh
+        self.axis = axis
+        self.n_dev = int(mesh.shape[axis]) if mesh is not None else 1
+        if device_buffer < 1:
+            raise ValueError("device_buffer must be >= 1")
+        self.device_buffer = int(device_buffer)
         self._m = digit_split(self.A)
         self._sparse = {l: [] for l in self.lags}
         self._consolidated_lags: set = set()
         self._grk_cache = {}
         self._pending = 0  # un-consolidated host entries across all lags
+        self._buf = None   # {lag: (t, hi, lo)} device buffers
+        self._cap = None   # effective per-device capacity (set on first add)
+        self._fill = 0     # filled entries per device (same for every lag)
+        self._mesh_append = {}  # with_fresh -> jitted shard_map append
+        self._buf_maker = None  # jitted buffer allocator (per capacity)
 
     @property
     def max_lag(self) -> int:
@@ -234,27 +307,194 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
             st_rc, fr_rc = rc_boundary_flags(chunk)
             self._add(rc, rlen, chunk.skip, st_rc, chunk.groups, fresh=fr_rc)
 
+    # --- device buffer management -----------------------------------------
+
+    def _ensure_cap(self, n_local: int, row_width: int):
+        """Fix the effective per-device window capacity on first use: ~16
+        chunks of the first chunk's size, bounded by the configured budget,
+        but never below one row's transitions (so row slicing terminates).
+        A later chunk with wider rows raises the floor (buffers recreate
+        per window anyway)."""
+        if self._cap is None:
+            self._cap = max(
+                min(self.device_buffer, _WINDOW_CHUNKS * n_local),
+                1 << 10, row_width,
+            )
+        elif row_width > self._cap:
+            self._drain_all()
+            self._cap = row_width
+            self._buf_maker = None
+
+    def _new_buffers(self):
+        """Fresh sentinel-t buffers (hi/lo need no reset: runs are keyed on
+        t first and sentinel entries never start a counted run)."""
+        if self._buf_maker is None:
+            cap = self._cap
+            if self.mesh is None:
+                self._buf_maker = jax.jit(
+                    lambda: (jnp.full((cap,), _SENT, jnp.int32),
+                             jnp.zeros((cap,), jnp.int32),
+                             jnp.zeros((cap,), jnp.int32)))
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(self.mesh, P(self.axis, None))
+                self._buf_maker = jax.jit(
+                    lambda: (jnp.full((self.n_dev, cap), _SENT, jnp.int32),
+                             jnp.zeros((self.n_dev, cap), jnp.int32),
+                             jnp.zeros((self.n_dev, cap), jnp.int32)),
+                    out_shardings=(sh, sh, sh))
+        self._buf = {l: self._buf_maker() for l in self.lags}
+        self._fill = 0
+
+    def _mesh_append_fn(self, with_fresh: bool):
+        if with_fresh not in self._mesh_append:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            lags, n_groups, A = self.lags, self.n_groups, self.A
+            axis = self.axis
+
+            def per_device(bufs, offset, codes, lengths, skip, stopped,
+                           groups, *fresh):
+                keys = _chunk_keys(
+                    codes[0], lengths[0], skip[0], stopped[0], groups[0],
+                    fresh[0][0] if with_fresh else None,
+                    lags, n_groups, A, with_fresh,
+                )
+                out = {}
+                for l in lags:
+                    t, h, lo_ = keys[l]
+                    bt, bh, bl = bufs[l]
+                    out[l] = (
+                        jax.lax.dynamic_update_slice(bt[0], t, (offset,))[None],
+                        jax.lax.dynamic_update_slice(bh[0], h, (offset,))[None],
+                        jax.lax.dynamic_update_slice(bl[0], lo_, (offset,))[None],
+                    )
+                return out
+
+            mapped = shard_map(
+                per_device,
+                mesh=self.mesh,
+                in_specs=(
+                    P(axis, None), P(),
+                    P(axis), P(axis), P(axis), P(axis), P(axis),
+                ) + ((P(axis),) if with_fresh else ()),
+                out_specs=P(axis, None),
+            )
+            self._mesh_append[with_fresh] = jax.jit(
+                mapped, donate_argnums=(0,))
+        return self._mesh_append[with_fresh]
+
     def _add(self, codes, lengths, skip, stopped, groups, fresh=None):
+        codes = np.asarray(codes)
+        B, L = codes.shape
+        if B == 0:
+            return
+        P_ = L + 1
+        D = self.n_dev
+        pad = (-B) % D
+        n_local = ((B + pad) // D) * P_
+        self._ensure_cap(n_local, P_)
+        if n_local > self._cap:
+            # A single chunk larger than the buffer: slice its rows so each
+            # slice fits (keeps the windowed path the only code path).
+            rows_per = max(D, (self._cap // P_) * D)
+            for s0 in range(0, B, rows_per):
+                sl = slice(s0, s0 + rows_per)
+                self._add(codes[sl], np.asarray(lengths)[sl],
+                          np.asarray(skip)[sl], np.asarray(stopped)[sl],
+                          np.asarray(groups)[sl],
+                          None if fresh is None else np.asarray(fresh)[sl])
+            return
+        if self._buf is not None and self._fill + n_local > self._cap:
+            self._drain_all()
+        if self._buf is None:
+            self._new_buffers()
+
+        lengths = np.asarray(lengths)
+        skip = np.asarray(skip)
+        stopped = np.asarray(stopped)
+        groups = np.asarray(groups)
+        if fresh is not None:
+            fresh = np.asarray(fresh)
+        if pad:
+            codes = np.concatenate([codes, np.zeros((pad, L), codes.dtype)])
+            lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
+            skip = np.concatenate([skip, np.zeros(pad, skip.dtype)])
+            stopped = np.concatenate([stopped, np.zeros(pad, bool)])
+            groups = np.concatenate([groups, np.zeros(pad, groups.dtype)])
+            if fresh is not None:
+                fresh = np.concatenate([fresh, np.ones(pad, bool)])
+
         with_fresh = fresh is not None
-        runs = _sorted_runs_jit(
-            jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(skip),
-            jnp.asarray(stopped), jnp.asarray(groups),
-            jnp.asarray(fresh) if with_fresh else jnp.zeros(
-                codes.shape[0], bool),
-            self.lags, self.n_groups, self.A, with_fresh,
-        )
+        offset = jnp.int32(self._fill)
+        if self.mesh is None:
+            self._buf = _append_chunk_jit(
+                self._buf, offset, jnp.asarray(codes), jnp.asarray(lengths),
+                jnp.asarray(skip), jnp.asarray(stopped), jnp.asarray(groups),
+                jnp.asarray(fresh) if with_fresh else jnp.zeros(
+                    codes.shape[0], bool),
+                self.lags, self.n_groups, self.A, with_fresh,
+            )
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bs = NamedSharding(self.mesh, P(self.axis))
+            Bl = (B + pad) // D
+            put = lambda x: jax.device_put(  # noqa: E731
+                np.asarray(x).reshape((D, Bl) + x.shape[1:]), bs)
+            args = [self._buf, offset, put(codes), put(lengths), put(skip),
+                    put(stopped), put(groups)]
+            if with_fresh:
+                args.append(put(fresh))
+            self._buf = self._mesh_append_fn(with_fresh)(*args)
+        self._fill += n_local
+
+    def _drain_all(self):
+        """Sort every lag's buffer window, fetch only the consolidated runs,
+        and merge them into the host accumulator. One scalar sync + one
+        run fetch per (lag, device) per WINDOW."""
+        # Detach the buffer FIRST: _push may trigger a host consolidation,
+        # whose inherited machinery calls flush() — with the buffer still
+        # attached that re-enters this drain (infinite recursion).
+        buf, self._buf = self._buf, None
+        fill, self._fill = self._fill, 0
+        if buf is None or fill == 0:
+            return
         for l in self.lags:
-            ts, hs, ls, n_runs, n_valid = runs[l]
-            U = int(n_runs)
-            if U == 0:
-                continue
-            nv = int(n_valid)
-            u_pad = 1 << (U - 1).bit_length()
-            pos, t_g, h_g, l_g = _compact_runs_jit(ts, hs, ls, u_pad)
-            pos = np.asarray(pos[:U], np.int64)
-            counts = np.diff(np.append(pos, nv)).astype(np.int64)
-            self._push(l, np.asarray(t_g[:U]), np.asarray(h_g[:U]),
-                       np.asarray(l_g[:U]), counts)
+            bt, bh, bl = buf[l]
+            if self.mesh is None:
+                self._drain_one(l, bt, bh, bl)
+            else:
+                # Per-device windows drain independently on their own
+                # device; a process drains only its addressable shards
+                # (multi-host merging is allreduce_tables' job).
+                sh_h = {s.device: s.data for s in bh.addressable_shards}
+                sh_l = {s.device: s.data for s in bl.addressable_shards}
+                for s in bt.addressable_shards:
+                    if s.replica_id != 0:
+                        # Axes beyond `axis` replicate buffer slices;
+                        # draining every replica would multiply counts.
+                        continue
+                    self._drain_one(
+                        l, s.data.reshape(-1),
+                        sh_h[s.device].reshape(-1),
+                        sh_l[s.device].reshape(-1),
+                    )
+
+    def _drain_one(self, lag: int, bt, bh, bl):
+        ts, hs, ls, n_runs, n_valid = _window_sort_jit(bt, bh, bl)
+        U = int(n_runs)
+        if U == 0:
+            return
+        nv = int(n_valid)
+        u_pad = 1 << (U - 1).bit_length()
+        pos, t_g, h_g, l_g = _compact_runs_jit(ts, hs, ls, u_pad)
+        pos = np.asarray(pos[:U], np.int64)
+        counts = np.diff(np.append(pos, nv)).astype(np.int64)
+        self._push(lag, np.asarray(t_g[:U]), np.asarray(h_g[:U]),
+                   np.asarray(l_g[:U]), counts)
 
     def _push(self, lag: int, t: np.ndarray, hi: np.ndarray, lo: np.ndarray,
               counts: np.ndarray):
@@ -283,12 +523,18 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
             # push — quadratic host cost at genome scale.
             self._pending = 0
 
-    # Chunks consolidate eagerly; these are API-parity no-ops.
     def flush(self):
-        pass
+        """Drain the device buffer into the host accumulator. Called by
+        every host-read path (nonzero_rows, tables, save_state, validate,
+        allreduce_tables) via the inherited machinery."""
+        self._drain_all()
 
     def finish(self):
-        pass
+        self.flush()
 
     def sync(self):
-        pass
+        """Block until all queued device append work has completed."""
+        if self._buf is not None:
+            for l in self.lags:
+                for arr in self._buf[l]:
+                    arr.block_until_ready()

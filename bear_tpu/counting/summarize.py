@@ -130,6 +130,7 @@ def run_counting(
     stats: dict | None = None,
     ambig: str = "a",
     passes: int = 1,
+    data_shards: int = 1,
 ):
     """Count transitions for all requested lags over the input file set.
     Returns an engine.TransitionCounter, or a
@@ -154,9 +155,18 @@ def run_counting(
     device, re-streaming the input each pass — lag 14-15 tables beyond one
     chip's HBM without a multi-device mesh (the single-machine analog of
     KMC's bounded-RAM disk passes). Mutually exclusive with kmer_shards.
+    data_shards: >1 shards chunk ROWS over that many devices on a 'data'
+    mesh axis for the sparse-first counter (lags beyond the dense range) —
+    the data-parallel scale-out of the one counter with no lag ceiling.
+    Dense-range lags scale with kmer_shards/passes instead.
     """
     if reverse and alphabet not in ("dna", "rna"):
         raise ValueError("-r (reverse complement) requires a 4-letter alphabet")
+    if data_shards > 1 and (passes > 1 or kmer_shards > 1):
+        raise ValueError(
+            "--data-shards is mutually exclusive with --passes and "
+            "--kmer-shards (row-parallel vs table-split scaling)"
+        )
     entries = fastx.read_input_csv(input_csv)
     n_groups = max(group for _, group, _ in entries) + 1
     # Reverse-complement counting happens in the read stream (each read also
@@ -203,14 +213,32 @@ def run_counting(
         )
     elif _alphabet_size(alphabet) ** max(lags) > np.iinfo(np.int32).max:
         # Beyond the dense-table int32 range (DNA lag >= 16, protein >= 8):
-        # the sparse-first counter sorts packed key halves per chunk and
-        # keeps only distinct (context, next) pairs — the KMC design, on
-        # device. Shares the KmerSharded host surface incl. save/load_state,
-        # so the file-granular checkpoint path below works unchanged.
+        # the sparse-first counter buffers packed key halves on device and
+        # sort-consolidates per window — the KMC design, on device. Shares
+        # the KmerSharded host surface incl. save/load_state, so the
+        # file-granular checkpoint path below works unchanged.
         from bear_tpu.counting.sparse import SparseTransitionCounter
 
+        mesh = None
+        if data_shards > 1:
+            import jax
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < data_shards:
+                raise ValueError(
+                    f"--data-shards {data_shards} needs that many devices; "
+                    f"have {len(devs)}"
+                )
+            mesh = Mesh(np.array(devs[:data_shards]), ("data",))
         counter = SparseTransitionCounter(
-            lags=lags, n_groups=n_groups, alphabet=alphabet
+            lags=lags, n_groups=n_groups, alphabet=alphabet, mesh=mesh,
+        )
+    elif data_shards > 1:
+        raise ValueError(
+            "--data-shards applies to sparse-first counting (DNA lag >= 16 "
+            "/ protein lag >= 8); dense-range lags scale with --kmer-shards "
+            "or --passes"
         )
     else:
         counter = engine.TransitionCounter(
@@ -288,7 +316,8 @@ def run(args) -> int:
     counter = run_counting(args.file, lags=range(1, args.l + 1), reverse=args.r,
                            method=args.method, kmer_shards=args.kmer_shards,
                            alphabet=args.alphabet, checkpoint=ckpt, stats=stats,
-                           ambig=ambig, passes=getattr(args, "passes", 1))
+                           ambig=ambig, passes=getattr(args, "passes", 1),
+                           data_shards=getattr(args, "data_shards", 1))
     if stats.get("ambig"):
         print(f"ambig=skip: {stats['ambig']} ambiguous bases; transitions "
               "whose window crosses one were dropped")
@@ -381,6 +410,13 @@ def build_parser() -> argparse.ArgumentParser:
              "with the same flag resumes from the last finished file "
              "(elastic recovery the reference's -s12/-s3 stage restarts "
              "cannot do).",
+    )
+    parser.add_argument(
+        "--data-shards", default=1, type=int, dest="data_shards",
+        help="Shard chunk rows over this many devices (data parallelism) "
+             "for sparse-first counting at lags beyond the dense range "
+             "(DNA >= 16 / protein >= 8) — the scale-out of the counter "
+             "with no lag ceiling.",
     )
     parser.add_argument(
         "--passes", default=1, type=int,

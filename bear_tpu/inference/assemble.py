@@ -53,23 +53,53 @@ def _rollout(
 ):
     """jitted scan generating max_steps letters for a batch of sequences.
 
-    table : [rows(lag), A+1] transition counts (device).
+    table : [rows(lag), A+1] transition counts (device), OR a
+        (sorted_rows [n], counts [n, A+1]) pair for a SPARSE table (lag
+        beyond any dense table: counts gather via an in-scan binary
+        search into the nonzero rows; absent contexts count zero).
     seed_codes : [B, lag] int32 codes of the seeds' last lag residues.
     lengths : [B] number of letters to generate per sequence.
     Returns [B, max_steps] int32 generated letters (0..3; padded where
     beyond lengths).
     """
     B = seed_codes.shape[0]
-    offset0 = (4**lag - 1) // 3
-    mod = 4**lag
-    pow4 = 4 ** jnp.arange(lag - 1, -1, -1, dtype=jnp.int32)
-    ctx0 = jnp.sum(seed_codes.astype(jnp.int32) * pow4, axis=-1)
+    # Context codes exceed int32 beyond lag 15 (the sparse-table regime);
+    # the row/key arithmetic promotes to int64 there (requires x64 —
+    # checked by assemble_no_ends).
+    big = 4**lag > np.iinfo(np.int32).max
+    idt = jnp.int64 if big else jnp.int32
+    sparse = isinstance(table, tuple)
+    offset0 = jnp.asarray((4**lag - 1) // 3, idt)
+    mod = jnp.asarray(4**lag, idt)
+    pow4 = (4 ** jnp.arange(lag - 1, -1, -1, dtype=idt)).astype(idt)
+    ctx0 = jnp.sum(seed_codes.astype(idt) * pow4, axis=-1)
     seq_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+
+    def gather_counts(rows):
+        if not sparse:
+            return table[rows].astype(dtype)
+        rows_sorted, vals = table
+        n = rows_sorted.shape[0]
+        if n == 0:  # empty table: prior-only generation
+            return jnp.zeros((rows.shape[0], vals.shape[1]), dtype)
+        slot = jnp.searchsorted(rows_sorted, rows)
+        slot_c = jnp.clip(slot, 0, max(n - 1, 0))
+        hit = (slot < n) & (rows_sorted[slot_c] == rows)
+        return jnp.where(hit[:, None], vals[slot_c].astype(dtype), 0.0)
+
+    def fold_row(seq_key, row):
+        if not big:
+            return jax.random.fold_in(seq_key, row)
+        # fold_in data must fit 32 bits: split the int64 row (two folds
+        # keep the same-row-same-draw contract; draws at lag <= 15 are
+        # unchanged).
+        k = jax.random.fold_in(seq_key, (row & 0x7FFFFFFF).astype(jnp.uint32))
+        return jax.random.fold_in(k, (row >> 31).astype(jnp.uint32))
 
     def step(carry, t):
         ctx, window = carry  # ctx: [B] rolling base-4 code; window [B, lag]
         rows = offset0 + ctx
-        counts = table[rows].astype(dtype)  # [B, A+1]
+        counts = gather_counts(rows)  # [B, A+1]
         if ar_apply is not None:
             oh = alphabets.one_hot(window, 5, dtype)
             conc = ar_apply(oh) / h + counts
@@ -86,14 +116,14 @@ def _rollout(
             # Per-(sequence, context) Dirichlet draw, reused on revisit
             # (same key -> same draw; the shared boost-identity sampler).
             def draw(seq_key, row, c):
-                return log_dirichlet_draw(jax.random.fold_in(seq_key, row), c)
+                return log_dirichlet_draw(fold_row(seq_key, row), c)
 
             lg = jax.vmap(draw)(seq_keys, rows, conc)
             log_probs = lg - jax.scipy.special.logsumexp(lg, axis=-1, keepdims=True)
         gumbel_key = jax.random.fold_in(key, 2_000_003 + t)
         g = jax.random.gumbel(gumbel_key, (B, 4), dtype=dtype)
         letters = jnp.argmax(g + log_probs[:, :4], axis=-1).astype(jnp.int32)
-        ctx_next = (ctx * 4 + letters) % mod
+        ctx_next = (ctx * 4 + letters.astype(idt)) % mod
         window_next = jnp.concatenate([window[:, 1:], letters[:, None]], axis=-1)
         active = t < lengths
         ctx = jnp.where(active, ctx_next, ctx)
@@ -139,7 +169,12 @@ def assemble_no_ends(
     num_to_gen : generated samples per seed.
     counter_table : [table_rows(lag), A+1] transition counts — e.g.
         ``TransitionCounter(lags=[lag], reverse=True).tables[lag][group]``
-        (reverse=True mirrors the reference's KMC reverse counting).
+        (reverse=True mirrors the reference's KMC reverse counting) — OR a
+        ``bear_tpu.inference.scoring.SparseTableIndex`` (any object with
+        sorted ``.rows`` / aligned ``.counts``): generation then runs off
+        a SPARSE table via in-scan binary search, enabling assembly at
+        lag >= 16 where no dense table exists (requires x64 beyond lag 15
+        for exact int64 row arithmetic).
     h, ar_apply : BEAR model (ar_apply: one-hot -> probs); or
     van : BMM prior instead of a BEAR model.
     get_map : extend with the MAP model rather than sampled AR models.
@@ -163,9 +198,19 @@ def assemble_no_ends(
     lengths_rep = np.repeat(lengths_to_gen, num_to_gen, axis=0)  # [B, 2]
     rev_seqs = np.array([_revcomp(s) for s in fwd_seqs])
 
-    table = jnp.asarray(np.asarray(counter_table), dtype=dtype)
-    # no-ends counting: stop column unused (zeroed in the kernel).
-    assert table.shape[0] == table_rows(lag)
+    if hasattr(counter_table, "rows") and hasattr(counter_table, "counts"):
+        if 4**lag > np.iinfo(np.int32).max and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "sparse-table assembly beyond lag 15 needs exact int64 row "
+                "arithmetic — enable jax_enable_x64"
+            )
+        rows_np = np.asarray(counter_table.rows)
+        table = (jnp.asarray(rows_np),
+                 jnp.asarray(np.asarray(counter_table.counts), dtype=dtype))
+    else:
+        table = jnp.asarray(np.asarray(counter_table), dtype=dtype)
+        # no-ends counting: stop column unused (zeroed in the kernel).
+        assert table.shape[0] == table_rows(lag)
 
     key = jax.random.key(seed)
     flanks = []

@@ -29,6 +29,46 @@ STOP = "]"
 # --- counters: kmer strings -> transition counts --------------------------
 
 
+class SparseTableIndex:
+    """Persistent row -> slot index over a sparse-backed counter's nonzero
+    rows: built ONCE (one consolidation pass over the accumulator), then
+    every query is an O(q log n) binary search + gather — the random-access
+    structure behind TableCounter's sparse backend and sparse-table
+    assembly (the py_kmc_api random-access role at lag >= 16, reference
+    get_var_probs.py:210-289). The pre-round-5 path re-consolidated and
+    rescanned ALL keys per query batch (O(n_keys) per call), which made
+    per-step assembly queries over a lag >= 16 table infeasible.
+
+    Snapshots the counter's counts at construction: rebuild after further
+    counting.
+
+    Attributes
+    ----------
+    rows : sorted [n] int64 nonzero table rows.
+    counts : [n, A+1] counts aligned with ``rows`` (one group).
+    """
+
+    def __init__(self, counter, lag: int, group: int = 0):
+        self.lag = lag
+        self.rows = np.asarray(counter.nonzero_rows(lag), np.int64)
+        self.counts = np.ascontiguousarray(
+            counter.counts_for_rows(lag, self.rows)[:, group, :]
+        )
+
+    def gather(self, rows) -> np.ndarray:
+        """[len(rows), A+1] counts; rows absent from the table return zeros
+        (prior-only scoring, the DatasetCounter convention)."""
+        rows = np.asarray(rows, np.int64)
+        out = np.zeros((len(rows), self.counts.shape[1]), self.counts.dtype)
+        if len(self.rows) == 0 or len(rows) == 0:
+            return out
+        pos = np.searchsorted(self.rows, rows)
+        posc = np.minimum(pos, len(self.rows) - 1)
+        hit = self.rows[posc] == rows
+        out[hit] = self.counts[posc[hit]]
+        return out
+
+
 class TableCounter:
     """Random-access transition counts from a TransitionCounter table —
     the TPU-native replacement of make_kmc_genome_counter
@@ -57,16 +97,15 @@ class TableCounter:
                 f"{counter.A}-letter alphabet"
             )
         if hasattr(counter, "counts_for_rows"):  # row-sharded sparse counter
-
-            def _sparse_gather(rows):
-                # counts_for_rows fills one slot per distinct row; queries may
-                # repeat a row (duplicate k-mers), so expand via unique+inverse.
-                uniq, inv = np.unique(rows, return_inverse=True)
-                return counter.counts_for_rows(lag, uniq)[:, group, :][inv]
-
+            # Persistent index built once; per-query cost is O(q log n)
+            # binary search instead of a full accumulator rescan (which
+            # made per-step queries — e.g. assembly over a lag >= 16
+            # table — infeasible). Snapshot semantics: counts added to the
+            # counter AFTER construction need a fresh TableCounter.
+            self._index = SparseTableIndex(counter, lag, group)
             self._table = None
             self._width = counter.A1
-            self._gather = _sparse_gather
+            self._gather = self._index.gather
         else:
             table = counter.tables[lag][group]
             self._table = table

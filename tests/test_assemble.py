@@ -157,3 +157,87 @@ def test_assemble_cli_with_model_dir(tmp_path):
         cli_main([str(seeds), "--counts-csv", str(tmp_path / "in.csv"),
                   "--model-dir", model_dir, "--lag", "2",
                   "--out", str(tmp_path / "x")])
+
+
+def test_assemble_sparse_table_matches_dense():
+    # A SparseTableIndex over the same counts generates BIT-IDENTICAL
+    # sequences to the dense table at dense-range lags (same rows, same
+    # draws, same Gumbel streams), in both MAP and sampled modes.
+    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+    from bear_tpu.counting.sparse import SparseTransitionCounter
+    from bear_tpu.inference.scoring import SparseTableIndex
+
+    rng = np.random.default_rng(31)
+    lag = 8
+    B, L = 200, 60
+    chunk = ReadChunk(
+        rng.integers(0, 4, (B, L)).astype(np.int8),
+        np.full(B, L, np.int32), np.zeros(B, np.int32),
+        np.ones(B, bool), np.zeros(B, np.int32),
+    )
+    dense = TransitionCounter(lags=[lag], n_groups=1, method="scatter")
+    sp = SparseTransitionCounter(lags=[lag], n_groups=1)
+    dense.add_chunk(chunk)
+    sp.add_chunk(chunk)
+    idx = SparseTableIndex(sp, lag)
+    seeds = ["ACGTACGT", "TTTTGGGG"]
+    lengths = np.full((2, 2), 40)
+    for get_map in (False, True):
+        gen_d, ent_d = assemble_no_ends(
+            seeds, lengths, 4, lag=lag, counter_table=dense.tables[lag][0],
+            van=0.3, get_map=get_map, seed=7)
+        gen_s, ent_s = assemble_no_ends(
+            seeds, lengths, 4, lag=lag, counter_table=idx,
+            van=0.3, get_map=get_map, seed=7)
+        np.testing.assert_array_equal(gen_d, gen_s)
+        for a, b in zip(ent_d, ent_s):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_assemble_lag17_from_sparse_counter():
+    # The capability the dense path cannot reach: generation at lag 17
+    # straight off a SparseTransitionCounter (no dense table anywhere;
+    # int64 row arithmetic + split-fold draw keys). A deterministic
+    # single-path corpus (one repeated read) must be reproduced verbatim by
+    # MAP generation seeded inside it.
+    from bear_tpu.counting.engine import ReadChunk
+    from bear_tpu.counting.sparse import SparseTransitionCounter
+    from bear_tpu.inference.scoring import SparseTableIndex
+
+    rng = np.random.default_rng(32)
+    lag = 17
+    genome = "".join(rng.choice(list("ACGT"), 400))
+    # overlapping windows of one genome at coverage ~4
+    starts = rng.integers(0, len(genome) - 80, 40)
+    reads = np.stack([
+        np.frombuffer(genome[s:s + 80].encode(), np.uint8) for s in starts])
+    codes = np.zeros(reads.shape, np.int8)
+    for i, ch in enumerate(b"ACGT"):
+        codes[reads == ch] = i
+    chunk = ReadChunk(codes, np.full(40, 80, np.int32),
+                      np.zeros(40, np.int32), np.zeros(40, bool),
+                      np.zeros(40, np.int32))
+    sp = SparseTransitionCounter(lags=[lag], n_groups=1)
+    sp.add_chunk(chunk)
+    idx = SparseTableIndex(sp, lag)
+    assert idx.rows.dtype == np.int64 and idx.rows.max() > np.iinfo(np.int32).max
+
+    # Seed with a window of the genome whose continuation is unique in the
+    # corpus; MAP generation must follow the genome exactly.
+    s0 = int(starts[0])
+    seed_str = genome[s0:s0 + lag + 3]
+    n_gen = 20
+    gen, _ = assemble_no_ends(
+        [seed_str], np.array([[0, n_gen]]), 2, lag=lag, counter_table=idx,
+        van=1e-9, get_map=True, seed=3)
+    want = genome[s0:s0 + lag + 3 + n_gen]
+    for g in gen[0]:
+        assert g == want, (g, want)
+
+    # sampled mode runs and emits valid letters
+    gen_s, ent = assemble_no_ends(
+        [seed_str], np.array([[5, 10]]), 3, lag=lag, counter_table=idx,
+        van=0.5, seed=4)
+    assert all(set(g) <= set("ACGT") and len(g) == len(seed_str) + 15
+               for g in gen_s[0])
+    assert ent[0].shape == (len(seed_str) + 15,)

@@ -96,7 +96,12 @@ def test_genome_example_small_smoke(tmp_path):
     import subprocess
     import sys
 
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # Drop PYTHONPATH too: a dev-environment sitecustomize (axon tunnel)
+    # there overrides JAX_PLATFORMS=cpu and routes the subprocess to the
+    # remote TPU, where queue delays blow the timeout; the example inserts
+    # its own repo path.
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "PYTHONPATH")}
     env["JAX_PLATFORMS"] = "cpu"
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "genome_lag13.py"),

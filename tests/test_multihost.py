@@ -471,3 +471,71 @@ def test_two_process_streaming_checkpoint(tmp_path, mode):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "OK" in out, out
+
+
+SPARSE_FIRST_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    from bear_tpu.parallel import multihost
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    multihost.initialize(coordinator_address=f"127.0.0.1:{{port}}",
+                         num_processes=nproc, process_id=pid)
+    import numpy as np
+    from bear_tpu.counting import chunk_reads, fastx
+    from bear_tpu.counting.sparse import SparseTransitionCounter
+    rng = np.random.default_rng(21)
+    seqs_all = ["".join(rng.choice(list("ACGT"), 40)) for _ in range(6)]
+    mine = multihost.host_shard(seqs_all)
+    # The flagship lag >= 16 counter itself (not the kmer-sharded dense
+    # one): its windowed device-buffer drain must interact correctly with
+    # the delta-baseline allreduce protocol — tiny device_buffer forces
+    # several window drains between and ACROSS the allreduce points.
+    tc = SparseTransitionCounter(lags=[17], n_groups=1, device_buffer=128)
+    half = len(mine) // 2 or 1
+    for chunk in chunk_reads(((fastx.encode_seq(s), 0) for s in mine[:half]), 17):
+        tc.add_chunk(chunk)
+    multihost.allreduce_tables(tc)
+    for chunk in chunk_reads(((fastx.encode_seq(s), 0) for s in mine[half:]), 17):
+        tc.add_chunk(chunk)
+    multihost.allreduce_tables(tc)
+    multihost.allreduce_tables(tc)  # repeated merge: no double-count
+    single = SparseTransitionCounter(lags=[17], n_groups=1)
+    for chunk in chunk_reads(((fastx.encode_seq(s), 0) for s in seqs_all), 17):
+        single.add_chunk(chunk)
+    rows = single.nonzero_rows(17)
+    np.testing.assert_array_equal(tc.nonzero_rows(17), rows)
+    np.testing.assert_array_equal(tc.counts_for_rows(17, rows),
+                                  single.counts_for_rows(17, rows))
+    tc.validate(expected_transitions=sum(len(s) + 1 for s in seqs_all))
+    print(f"proc {{pid}} OK")
+    """
+).format(repo=REPO)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="process test, linux only")
+@pytest.mark.slow
+def test_two_process_sparse_first_counter_allreduce(tmp_path):
+    worker = tmp_path / "sparse_first_worker.py"
+    worker.write_text(SPARSE_FIRST_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=180)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "OK" in out, out

@@ -3,6 +3,7 @@ parity, chunk-semantics parity, and the end-to-end count -> train -> serve
 path the dense engine cannot reach (role of the reference's KMC at k > 15,
 reference summarize.py:322-328 passes -k up to KMC's 256)."""
 
+import os
 from collections import Counter as PyCounter
 
 import numpy as np
@@ -311,3 +312,139 @@ def test_summarize_auto_selects_sparse(tmp_path):
     row = context_to_row(ctx, 16)
     cnt = counter.counts_for_rows(16, np.array([row]))[0, 0]
     assert cnt["ACGT]".index(nxt)] >= 1
+
+
+def test_sparse_tiny_buffer_windows_and_row_slicing():
+    # Force the windowed drain machinery through every edge: multiple
+    # drains mid-stream, a chunk larger than the whole buffer (row
+    # slicing), and a final partial window at flush. Counts must equal the
+    # default-buffer counter's bit for bit.
+    rng = np.random.default_rng(10)
+    lag = 16
+    chunks = [_rand_chunk(rng, 40, 30, n_groups=2) for _ in range(4)]
+    big = SparseTransitionCounter(lags=[lag], n_groups=2)
+    tiny = SparseTransitionCounter(lags=[lag], n_groups=2,
+                                   device_buffer=64)  # < one chunk row set
+    for ch in chunks:
+        big.add_chunk(ch)
+        tiny.add_chunk(ch)
+    rows = big.nonzero_rows(lag)
+    np.testing.assert_array_equal(tiny.nonzero_rows(lag), rows)
+    np.testing.assert_array_equal(
+        tiny.counts_for_rows(lag, rows), big.counts_for_rows(lag, rows)
+    )
+    total = sum(
+        int(c.lengths.sum()) + int(np.asarray(c.stopped).sum())
+        for c in chunks
+    )
+    tiny.validate(expected_transitions=total)
+
+
+def test_sparse_mesh_matches_single_device():
+    # SparseTransitionCounter(mesh=): chunk rows shard over the data axis,
+    # per-device windows sort/drain independently — consolidated counts
+    # must be bit-equal to the 1-device counter (VERDICT r4 task 2).
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    rng = np.random.default_rng(12)
+    lag = 17
+    chunks = [_rand_chunk(rng, 52, 24, n_groups=2) for _ in range(3)]
+    one = SparseTransitionCounter(lags=[lag], n_groups=2)
+    dp = SparseTransitionCounter(lags=[lag], n_groups=2, mesh=mesh)
+    # Also a fresh-flagged chunk (ambig-piece semantics through shard_map)
+    B = 36
+    ch = _rand_chunk(rng, B, 24, n_groups=2)
+    ch = ReadChunk(ch.codes, ch.lengths, ch.skip, ch.stopped, ch.groups,
+                   fresh=rng.random(B) < 0.5)
+    for c in chunks + [ch]:
+        one.add_chunk(c)
+        dp.add_chunk(c)
+    rows = one.nonzero_rows(lag)
+    np.testing.assert_array_equal(dp.nonzero_rows(lag), rows)
+    np.testing.assert_array_equal(
+        dp.counts_for_rows(lag, rows), one.counts_for_rows(lag, rows)
+    )
+    one.validate()
+    dp.validate()
+
+
+def test_sparse_mesh_tiny_buffer_and_reverse():
+    # mesh= composed with small windows (multi-drain) and the reverse-
+    # complement ingest path.
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 4:
+        _pytest.skip("needs 4 virtual devices")
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    rng = np.random.default_rng(13)
+    lag = 16
+    chunks = [_rand_chunk(rng, 24, 20, n_groups=1) for _ in range(3)]
+    one = SparseTransitionCounter(lags=[lag], n_groups=1, reverse=True)
+    dp = SparseTransitionCounter(lags=[lag], n_groups=1, reverse=True,
+                                 mesh=mesh, device_buffer=128)
+    for c in chunks:
+        one.add_chunk(c)
+        dp.add_chunk(c)
+    rows = one.nonzero_rows(lag)
+    np.testing.assert_array_equal(dp.nonzero_rows(lag), rows)
+    np.testing.assert_array_equal(
+        dp.counts_for_rows(lag, rows), one.counts_for_rows(lag, rows)
+    )
+
+
+def test_summarize_data_shards_routes_sparse_mesh(tmp_path):
+    # run_counting(data_shards=N) shards the sparse counter's rows over N
+    # devices; counts equal the 1-device CLI path. Dense-range lags reject
+    # data_shards with a pointer to --kmer-shards/--passes.
+    import jax
+    import pytest as _pytest
+
+    from bear_tpu.counting.summarize import run_counting
+
+    if len(jax.devices()) < 4:
+        _pytest.skip("needs 4 virtual devices")
+    rng = np.random.default_rng(14)
+    seqs = ["".join(rng.choice(list(LETTERS), 35)) for _ in range(12)]
+    fa = tmp_path / "in.fa"
+    fa.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+    csv = tmp_path / "files.csv"
+    csv.write_text(f"{fa},0,fa\n")
+    one = run_counting(str(csv), lags=[17])
+    dp = run_counting(str(csv), lags=[17], data_shards=4)
+    assert isinstance(dp, SparseTransitionCounter) and dp.mesh is not None
+    rows = one.nonzero_rows(17)
+    np.testing.assert_array_equal(dp.nonzero_rows(17), rows)
+    np.testing.assert_array_equal(
+        dp.counts_for_rows(17, rows), one.counts_for_rows(17, rows)
+    )
+    with pytest.raises(ValueError, match="kmer-shards"):
+        run_counting(str(csv), lags=[5], data_shards=4)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_counting(str(csv), lags=[17], data_shards=4, passes=2)
+
+
+@pytest.mark.slow
+def test_lag17_demo_pipeline_toy():
+    # The flagship lag-17 end-to-end demo (count -> validate -> train ->
+    # serve -> assemble off the sparse table) at toy scale — the script the
+    # single-chip proof runs (tools/lag17_demo.py).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "lag17_demo",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "lag17_demo.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main(["--bases", "6e4", "--read-len", "60", "--cov", "5",
+                     "--oracle-reads", "10"]) == 0
