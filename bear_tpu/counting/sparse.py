@@ -57,7 +57,7 @@ brute-force recount.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax
@@ -285,6 +285,7 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
         self._fill = 0     # filled entries per device (same for every lag)
         self._mesh_append = {}  # with_fresh -> jitted shard_map append
         self._buf_maker = None  # jitted buffer allocator (per capacity)
+        self._last_upad = {}    # lag -> previous window's compact bucket
 
     @property
     def max_lag(self) -> int:
@@ -387,7 +388,6 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
         return self._mesh_append[with_fresh]
 
     def _add(self, codes, lengths, skip, stopped, groups, fresh=None):
-        codes = np.asarray(codes)
         B, L = codes.shape
         if B == 0:
             return
@@ -399,6 +399,7 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
         if n_local > self._cap:
             # A single chunk larger than the buffer: slice its rows so each
             # slice fits (keeps the windowed path the only code path).
+            codes = np.asarray(codes)
             rows_per = max(D, (self._cap // P_) * D)
             for s0 in range(0, B, rows_per):
                 sl = slice(s0, s0 + rows_per)
@@ -412,12 +413,18 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
         if self._buf is None:
             self._new_buffers()
 
-        lengths = np.asarray(lengths)
-        skip = np.asarray(skip)
-        stopped = np.asarray(stopped)
-        groups = np.asarray(groups)
-        if fresh is not None:
-            fresh = np.asarray(fresh)
+        if self.mesh is not None or pad:
+            # Padding / mesh placement run on the host. The single-device
+            # no-pad path below takes arrays AS GIVEN instead — a chunk
+            # already staged on device flows straight into the append jit
+            # (an unconditional np.asarray would fetch it back per call).
+            codes = np.asarray(codes)
+            lengths = np.asarray(lengths)
+            skip = np.asarray(skip)
+            stopped = np.asarray(stopped)
+            groups = np.asarray(groups)
+            if fresh is not None:
+                fresh = np.asarray(fresh)
         if pad:
             codes = np.concatenate([codes, np.zeros((pad, L), codes.dtype)])
             lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
@@ -485,12 +492,23 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
 
     def _drain_one(self, lag: int, bt, bh, bl):
         ts, hs, ls, n_runs, n_valid = _window_sort_jit(bt, bh, bl)
+        # Speculative compact: dispatch the run gather with the PREVIOUS
+        # window's u_pad BEFORE the run-count scalar fetch syncs — window
+        # distinct counts are stable in steady state, so the gather is
+        # usually in flight already when the scalar arrives (saves one
+        # dispatch round trip per drain; matters on remote-dispatch links).
+        guess = self._last_upad.get(lag)
+        spec = _compact_runs_jit(ts, hs, ls, guess) if guess else None
         U = int(n_runs)
         if U == 0:
             return
         nv = int(n_valid)
         u_pad = 1 << (U - 1).bit_length()
-        pos, t_g, h_g, l_g = _compact_runs_jit(ts, hs, ls, u_pad)
+        if spec is not None and u_pad <= guess:
+            pos, t_g, h_g, l_g = spec  # first U entries are exact
+        else:
+            pos, t_g, h_g, l_g = _compact_runs_jit(ts, hs, ls, u_pad)
+        self._last_upad[lag] = u_pad
         pos = np.asarray(pos[:U], np.int64)
         counts = np.diff(np.append(pos, nv)).astype(np.int64)
         self._push(lag, np.asarray(t_g[:U]), np.asarray(h_g[:U]),
