@@ -312,13 +312,16 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
 
     def _ensure_cap(self, n_local: int, row_width: int):
         """Fix the effective per-device window capacity on first use: ~16
-        chunks of the first chunk's size, bounded by the configured budget,
-        but never below one row's transitions (so row slicing terminates).
-        A later chunk with wider rows raises the floor (buffers recreate
-        per window anyway)."""
+        chunks of the first chunk's size, bounded by the configured budget
+        SPLIT ACROSS LAGS (every lag owns its own buffer triple — a 20-lag
+        summarize job must not allocate 20 full budgets), but never below
+        one row's transitions (so row slicing terminates). A later chunk
+        with wider rows raises the floor (buffers recreate per window
+        anyway)."""
         if self._cap is None:
             self._cap = max(
-                min(self.device_buffer, _WINDOW_CHUNKS * n_local),
+                min(self.device_buffer // len(self.lags),
+                    _WINDOW_CHUNKS * n_local),
                 1 << 10, row_width,
             )
         elif row_width > self._cap:

@@ -70,6 +70,9 @@ def build_parser():
                    help="Posterior-sampled scores (mean over --mc-samples) "
                         "instead of exact MAP.")
     d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--std", action="store_true",
+                   help="With --sample: add a Monte-Carlo std column "
+                        "(in-kernel mean/std reduction either way).")
     d.add_argument("--batch", type=int, default=1 << 17,
                    help="Device batch size (variants per launch).")
     return p
@@ -119,21 +122,30 @@ def _main_snv(args, parser) -> int:
             labels.append(var)
     import numpy as np
 
+    stds = None
     if args.sample:
-        scores = server.delta_scores_snv(
+        # In-kernel mean/std reduction: the [V, S] sample tensor never
+        # leaves the device (serving.delta_scores_snv reduce=).
+        out = server.delta_scores_snv(
             wt, positions, np.array(alts), batch=args.batch, mode="sample",
             key=jax.random.key(args.seed), mc_samples=args.mc_samples,
+            reduce="mean_std",
         )
-        scores = np.asarray(scores)
-        if scores.ndim == 2:
-            scores = scores.mean(-1)
+        scores = out[:, 0]
+        if args.std:
+            stds = out[:, 1]
     else:
         scores = server.delta_scores_snv(
             wt, positions, np.array(alts), batch=args.batch, mode="map"
         )
-    print("variant\tBEAR")
-    for label, val in zip(labels, scores):
-        print(f"{label}\t{val:.6f}")
+    if stds is None:
+        print("variant\tBEAR")
+        for label, val in zip(labels, scores):
+            print(f"{label}\t{val:.6f}")
+    else:
+        print("variant\tBEAR\tmc_std")
+        for label, val, sd in zip(labels, scores, stds):
+            print(f"{label}\t{val:.6f}\t{sd:.6f}")
     return 0
 
 
@@ -155,10 +167,8 @@ def main(argv=None) -> int:
             scores = server.delta_scores_variants(
                 args.wt_seq, args.vars, mode="sample",
                 key=jax.random.key(args.seed), mc_samples=args.mc_samples,
-            )
-            scores = np.asarray(scores)
-            if scores.ndim == 2:
-                scores = scores.mean(-1)
+                reduce="mean_std",
+            )[:, 0]
         print("target\tBEAR")
         for label, val in zip(args.vars, scores):
             print(f"{label}\t{val:.6f}")

@@ -188,3 +188,12 @@ def test_table_from_dataset_lag_mismatch():
     )
     with pytest.raises(ValueError, match="lag"):
         table_from_dataset(tc.to_dataset(2), 3)
+
+
+def test_snv_cli_sampled_std_column(model_dir, capsys):
+    assert score_main(["snv", model_dir, "ACGTAC", "A0G", "--sample",
+                       "--mc-samples", "5", "--std"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "variant\tBEAR\tmc_std"
+    fields = out[1].split("\t")
+    assert len(fields) == 3 and float(fields[2]) >= 0.0
