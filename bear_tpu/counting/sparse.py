@@ -311,22 +311,26 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
     # --- device buffer management -----------------------------------------
 
     def _ensure_cap(self, n_local: int, row_width: int):
-        """Fix the effective per-device window capacity on first use: ~16
-        chunks of the first chunk's size, bounded by the configured budget
-        SPLIT ACROSS LAGS (every lag owns its own buffer triple — a 20-lag
-        summarize job must not allocate 20 full budgets), but never below
-        one row's transitions (so row slicing terminates). A later chunk
-        with wider rows raises the floor (buffers recreate per window
-        anyway)."""
+        """Size the effective per-device window capacity: ~16 chunks of
+        the CURRENT chunk's size, bounded by the configured budget SPLIT
+        ACROSS LAGS (every lag owns its own buffer triple — a 20-lag
+        summarize job must not allocate 20 full budgets), never below one
+        row's transitions (so row slicing terminates). The capacity
+        RATCHETS UP when a bigger chunk (or wider rows) arrives — a small
+        first chunk must not pin the window size for the whole stream, and
+        collapsing to one-row windows would reintroduce the per-chunk
+        drain this design removes (each raise drains once and reallocates;
+        monotonic, so raises are rare)."""
+        want = max(
+            min(self.device_buffer // len(self.lags),
+                _WINDOW_CHUNKS * n_local),
+            row_width,
+        )
         if self._cap is None:
-            self._cap = max(
-                min(self.device_buffer // len(self.lags),
-                    _WINDOW_CHUNKS * n_local),
-                1 << 10, row_width,
-            )
-        elif row_width > self._cap:
+            self._cap = want
+        elif want > self._cap:
             self._drain_all()
-            self._cap = row_width
+            self._cap = want
             self._buf_maker = None
 
     def _new_buffers(self):

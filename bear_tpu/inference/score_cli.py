@@ -122,6 +122,9 @@ def _main_snv(args, parser) -> int:
             labels.append(var)
     import numpy as np
 
+    if args.std and not args.sample:
+        parser.error("--std requires --sample (MAP scores have no "
+                     "Monte-Carlo spread)")
     stds = None
     if args.sample:
         # In-kernel mean/std reduction: the [V, S] sample tensor never

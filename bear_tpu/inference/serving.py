@@ -464,8 +464,11 @@ class BearServer:
             if reduce == "mean_std":
                 def red(d):
                     # ddof=1: the MC standard error convention for S draws.
+                    # S=1 has no spread estimate — report 0, not the 0/0
+                    # NaN ddof=1 would produce.
+                    ddof = min(1, d.shape[-1] - 1)
                     return jnp.stack(
-                        [jnp.mean(d, -1), jnp.std(d, -1, ddof=1)], -1)
+                        [jnp.mean(d, -1), jnp.std(d, -1, ddof=ddof)], -1)
             elif reduce == "quantiles":
                 qv = jnp.asarray(qs, jnp.float32)
 

@@ -197,3 +197,8 @@ def test_snv_cli_sampled_std_column(model_dir, capsys):
     assert out[0] == "variant\tBEAR\tmc_std"
     fields = out[1].split("\t")
     assert len(fields) == 3 and float(fields[2]) >= 0.0
+
+
+def test_snv_cli_std_requires_sample(model_dir):
+    with pytest.raises(SystemExit):
+        score_main(["snv", model_dir, "ACGTAC", "A0G", "--std"])

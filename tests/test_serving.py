@@ -540,3 +540,19 @@ def test_sampled_reduce_in_kernel_matches_host_reduction():
     assert server.delta_scores_variants(
         wt, [], mode="sample", key=key, mc_samples=S, reduce="quantiles",
         quantiles=qs).shape == (0, 3)
+
+
+def test_sampled_reduce_mean_std_single_sample_no_nan():
+    # mc_samples=1 has no spread estimate: the std column must be exact 0,
+    # never the ddof-1 0/0 NaN (code-review r5 finding).
+    tc = _counter()
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.8, dtype=jnp.float64)
+    wt = "TTTATTCTT"
+    out = server.delta_scores_snv(wt, [2, 5], ["G", "A"], mode="sample",
+                                  key=jax.random.key(1), reduce="mean_std")
+    assert out.shape == (2, 2)
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[:, 1], np.zeros(2, np.float32))
+    full = server.delta_scores_snv(wt, [2, 5], ["G", "A"], mode="sample",
+                                   key=jax.random.key(1), mc_samples=1)
+    np.testing.assert_allclose(out[:, 0], full, rtol=1e-6)

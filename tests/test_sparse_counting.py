@@ -448,3 +448,28 @@ def test_lag17_demo_pipeline_toy():
     spec.loader.exec_module(mod)
     assert mod.main(["--bases", "6e4", "--read-len", "60", "--cov", "5",
                      "--oracle-reads", "10"]) == 0
+
+
+def test_sparse_cap_ratchets_up_for_bigger_chunks():
+    # A small first chunk must not pin the window capacity: a later bigger
+    # chunk ratchets the cap up (draining once) instead of collapsing into
+    # one-row window slices (code-review r5 finding). Counts stay exact.
+    rng = np.random.default_rng(15)
+    lag = 16
+    small = _rand_chunk(rng, 4, 10, n_groups=1)
+    big = _rand_chunk(rng, 200, 50, n_groups=1)
+    sp = SparseTransitionCounter(lags=[lag], n_groups=1)
+    sp.add_chunk(small)
+    cap_small = sp._cap
+    sp.add_chunk(big)
+    assert sp._cap > cap_small
+    # the big chunk fits one window (no row slicing at default budget)
+    assert sp._cap >= 200 * 51
+    # exactness against the brute-force recount (an independent oracle —
+    # a same-code-path reference counter would be vacuous)
+    o1, t1 = _brute_force_lag(small, lag)
+    o2, t2 = _brute_force_lag(big, lag)
+    oracle = PyCounter(o1)
+    oracle.update(o2)
+    sp.validate(expected_transitions=t1 + t2)
+    assert _sparse_as_oracle_dict(sp, lag) == dict(oracle)
