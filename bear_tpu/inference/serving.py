@@ -450,6 +450,7 @@ class BearServer:
         # (43 MB per chunk; PERF.md round 4).
         self._snv_sample_raw = snv_delta_sampled
         self._var_sample_raw = var_delta_sampled
+        self._score_sample_raw = log_prob_sampled_multi
         self._reduced_cache = {}
 
     def _sampled_reduced_fn(self, which: str, reduce: str, quantiles):
@@ -459,8 +460,9 @@ class BearServer:
         key = (which, reduce, qs)
         fn = self._reduced_cache.get(key)
         if fn is None:
-            raw = (self._snv_sample_raw if which == "snv"
-                   else self._var_sample_raw)
+            raw = {"snv": self._snv_sample_raw,
+                   "var": self._var_sample_raw,
+                   "score": self._score_sample_raw}[which]
             if reduce == "mean_std":
                 def red(d):
                     # ddof=1: the MC standard error convention for S draws.
@@ -814,13 +816,18 @@ class BearServer:
         return out[..., 0] if mc_samples == 1 else out
 
     def score(self, seqs, mode: str = "map", key=None,
-              pad_to: Optional[int] = None, mc_samples: int = 1):
+              pad_to: Optional[int] = None, mc_samples: int = 1,
+              reduce: str = "none", quantiles=(0.05, 0.5, 0.95)):
         """Convenience host API: list of strings -> [B] scores. Pads to
         ``pad_to`` (or the max length rounded up to 64) so repeated calls
         reuse the compiled kernel. With mode="sample" and mc_samples > 1,
         returns [B, mc_samples] independent posterior draws (each sample
         index folds a fresh key; within one sample the usual per-sequence
-        stateless draw semantics hold)."""
+        stateless draw semantics hold). ``reduce``/``quantiles`` as in
+        :meth:`delta_scores_snv`: an in-kernel reduction over the sample
+        axis returning [B, 2] ("mean_std") or [B, len(quantiles)]."""
+        if reduce != "none" and mode != "sample":
+            raise ValueError('reduce= requires mode="sample"')
         seqs = list(seqs)
         lengths = np.asarray([len(s) for s in seqs], np.int32)
         maxlen = int(lengths.max()) if len(seqs) else 0
@@ -833,6 +840,12 @@ class BearServer:
             return np.asarray(self.log_prob_map(codes, lengths))
         if mode == "sample":
             base = key if key is not None else jax.random.key(0)
+            if reduce != "none":
+                keys = jnp.stack(
+                    [jax.random.fold_in(base, s) for s in range(mc_samples)])
+                fn = self._sampled_reduced_fn("score", reduce, quantiles)
+                return np.asarray(fn(self._table, jnp.asarray(codes),
+                                     jnp.asarray(lengths), keys))
             if mc_samples == 1:
                 return np.asarray(self.log_prob_sampled(codes, lengths, base))
             keys = jnp.stack(

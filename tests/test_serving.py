@@ -556,3 +556,29 @@ def test_sampled_reduce_mean_std_single_sample_no_nan():
     full = server.delta_scores_snv(wt, [2, 5], ["G", "A"], mode="sample",
                                    key=jax.random.key(1), mc_samples=1)
     np.testing.assert_allclose(out[:, 0], full, rtol=1e-6)
+
+
+def test_score_reduce_in_kernel():
+    # score(mode="sample", reduce=...) matches a host reduction of the raw
+    # [B, S] samples with the same key; contract errors enforced.
+    import pytest
+
+    tc = _counter()
+    server = BearServer(tc.tables[LAG][0], LAG, van=0.6, dtype=jnp.float64)
+    seqs = ["TTTATT", "TTCT", "TA"]
+    key = jax.random.key(9)
+    S = 17
+    full = server.score(seqs, mode="sample", key=key, mc_samples=S)
+    ms = server.score(seqs, mode="sample", key=key, mc_samples=S,
+                      reduce="mean_std")
+    assert ms.shape == (3, 2)
+    np.testing.assert_allclose(ms[:, 0], full.mean(-1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ms[:, 1], full.std(-1, ddof=1), rtol=1e-4,
+                               atol=1e-6)
+    qt = server.score(seqs, mode="sample", key=key, mc_samples=S,
+                      reduce="quantiles", quantiles=(0.25, 0.75))
+    np.testing.assert_allclose(
+        qt, np.quantile(full.astype(np.float64), (0.25, 0.75), axis=-1).T,
+        rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="requires mode"):
+        server.score(seqs, reduce="mean_std")

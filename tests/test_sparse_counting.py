@@ -473,3 +473,43 @@ def test_sparse_cap_ratchets_up_for_bigger_chunks():
     oracle.update(o2)
     sp.validate(expected_transitions=t1 + t2)
     assert _sparse_as_oracle_dict(sp, lag) == dict(oracle)
+
+
+@pytest.mark.parametrize("seed", [101, 102, 103])
+def test_sparse_fuzz_random_geometry_vs_oracle(seed):
+    # Randomized chunk geometries, buffer budgets, group counts, and fresh
+    # flags against the brute-force oracle: insurance over the windowed
+    # drain's edge interactions (partial windows, row slicing, ratchets,
+    # fresh-masked positions) beyond the targeted tests.
+    rng = np.random.default_rng(seed)
+    lag = int(rng.integers(16, 19))
+    n_groups = int(rng.integers(1, 3))
+    sp = SparseTransitionCounter(
+        lags=[lag], n_groups=n_groups,
+        device_buffer=int(rng.integers(40, 4000)))
+    oracle = PyCounter()
+    total = 0
+    for _ in range(4):
+        B = int(rng.integers(1, 60))
+        L = int(rng.integers(1, 48))
+        ch = _rand_chunk(rng, B, L, n_groups=n_groups)
+        if rng.random() < 0.5:
+            ch = ReadChunk(ch.codes, ch.lengths, ch.skip, ch.stopped,
+                           ch.groups, fresh=rng.random(B) < 0.5)
+        sp.add_chunk(ch)
+        # oracle incl. fresh semantics: non-fresh rows drop positions j<lag
+        for b in range(ch.codes.shape[0]):
+            n = int(ch.lengths[b])
+            g = int(ch.groups[b])
+            fresh = True if ch.fresh is None else bool(ch.fresh[b])
+            s = "".join(LETTERS[c] for c in ch.codes[b, :n])
+            padded = "[" * lag + s
+            for j in range(n + (1 if ch.stopped[b] else 0)):
+                if not fresh and j < lag:
+                    continue
+                nxt = s[j] if j < n else "]"
+                oracle[(g, padded[j:j + lag], nxt)] += 1
+                total += 1
+    got = _sparse_as_oracle_dict(sp, lag)
+    assert got == dict(oracle), (lag, n_groups, sp._cap)
+    sp.validate(expected_transitions=total)
