@@ -230,3 +230,32 @@ def test_cli_passes_and_kmer_shards_match_single(tmp_path):
         np.testing.assert_allclose(np.array(got["log_marginals"]),
                                    np.array(base["log_marginals"]),
                                    rtol=1e-12)
+
+
+def test_select_lag_sparse_with_sparse_first_counter():
+    # Model selection sweeps the sparse-FIRST counter (lags beyond any
+    # dense table) through the same sparse accessors: a multi-lag
+    # SparseTransitionCounter incl. a lag >= 16 entry ranks lags and the
+    # dense-range entries match the dense counter's evidence exactly.
+    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+    from bear_tpu.counting.sparse import SparseTransitionCounter
+    from bear_tpu.models.lag_selection import select_lag_sparse
+
+    rng = np.random.default_rng(44)
+    lags = [2, 4, 17]
+    sp = SparseTransitionCounter(lags=lags, n_groups=1)
+    dense = TransitionCounter(lags=[2, 4], n_groups=1, method="scatter")
+    B, L = 80, 40
+    chunk = ReadChunk(
+        rng.integers(0, 4, (B, L)).astype(np.int8),
+        np.full(B, L, np.int32), np.zeros(B, np.int32),
+        np.ones(B, bool), np.zeros(B, np.int32),
+    )
+    sp.add_chunk(chunk)
+    dense.add_chunk(chunk)
+    got = select_lag_sparse(sp)
+    want = select_lag(dense)
+    assert got.log_marginals.shape == (3, 3)
+    np.testing.assert_allclose(got.log_marginals[:2], want.log_marginals,
+                               rtol=1e-12)
+    assert np.isfinite(got.log_marginals).all()
