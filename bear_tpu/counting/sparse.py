@@ -78,9 +78,10 @@ _SENT = np.iinfo(np.int32).max  # masked positions sort past every real key
 # Consolidate the host accumulator when this many un-merged entries are
 # pending (bounds host memory at ~1.5 GB of (key, count) pairs).
 CONSOLIDATE_PENDING = 1 << 26
-# Default per-device key-buffer capacity (entries per lag; 3 int32 arrays =
-# 12 bytes/entry -> 768 MB at the default). The actual capacity adapts down
-# to ~16 chunks of the first chunk's size, so small jobs never allocate it.
+# Default per-device key-buffer budget in TOTAL entries, SPLIT ACROSS LAGS
+# (each lag owns one buffer triple; 3 int32 arrays = 12 bytes/entry ->
+# 768 MB total at the default). The effective per-lag window adapts down to
+# ~16 chunks of the current chunk size, so small jobs never allocate it.
 DEVICE_BUFFER = 1 << 26
 # Window size target in chunks: capacity adapts to hold about this many
 # chunks between drains (the drain amortization factor).
@@ -239,9 +240,10 @@ class SparseTransitionCounter(KmerShardedTransitionCounter):
         device buffers and sorts its own rows' keys and each process
         drains only its local shards (merge across processes with
         parallel.multihost.allreduce_tables).
-    device_buffer : per-device key-buffer capacity in entries per lag
-        (12 bytes/entry); the effective capacity adapts down to ~16 chunks
-        of the first chunk's size.
+    device_buffer : per-device key-buffer budget in TOTAL entries,
+        split across the counted lags (12 bytes/entry); each lag's
+        effective window adapts down to ~16 chunks of the current chunk
+        size and ratchets up for bigger chunks.
     """
 
     FLUSH_EVERY = FLUSH_EVERY

@@ -39,8 +39,14 @@ class SparseTableIndex:
     rescanned ALL keys per query batch (O(n_keys) per call), which made
     per-step assembly queries over a lag >= 16 table infeasible.
 
-    Snapshots the counter's counts at construction: rebuild after further
-    counting.
+    Queries stay LIVE: each ``gather`` cheaply checks whether the counter
+    consolidated new counts since the index was built (an identity probe
+    on its consolidated key array — no work while the counter is idle)
+    and rebuilds the index if so, preserving the pre-round-5 semantics
+    where counts added after construction are visible. The ``rows`` /
+    ``counts`` ARRAYS are a snapshot as of the last (re)build — callers
+    holding them directly (e.g. assembly's device copies) see that
+    snapshot.
 
     Attributes
     ----------
@@ -50,14 +56,27 @@ class SparseTableIndex:
 
     def __init__(self, counter, lag: int, group: int = 0):
         self.lag = lag
-        self.rows = np.asarray(counter.nonzero_rows(lag), np.int64)
+        self._counter = counter
+        self._group = group
+        self._build()
+
+    def _build(self):
+        self.rows = np.asarray(self._counter.nonzero_rows(self.lag),
+                               np.int64)
         self.counts = np.ascontiguousarray(
-            counter.counts_for_rows(lag, self.rows)[:, group, :]
+            self._counter.counts_for_rows(self.lag, self.rows)[
+                :, self._group, :]
         )
+        # Identity probe for staleness: _consolidated returns the SAME key
+        # array object until new counts merge; a cheap `is` check detects
+        # any post-build counting (flush is a no-op on an idle counter).
+        self._keys_probe = self._counter._consolidated(self.lag)[0]
 
     def gather(self, rows) -> np.ndarray:
         """[len(rows), A+1] counts; rows absent from the table return zeros
         (prior-only scoring, the DatasetCounter convention)."""
+        if self._counter._consolidated(self.lag)[0] is not self._keys_probe:
+            self._build()  # counter ingested more since the last build
         rows = np.asarray(rows, np.int64)
         out = np.zeros((len(rows), self.counts.shape[1]), self.counts.dtype)
         if len(self.rows) == 0 or len(rows) == 0:
@@ -97,11 +116,11 @@ class TableCounter:
                 f"{counter.A}-letter alphabet"
             )
         if hasattr(counter, "counts_for_rows"):  # row-sharded sparse counter
-            # Persistent index built once; per-query cost is O(q log n)
-            # binary search instead of a full accumulator rescan (which
-            # made per-step queries — e.g. assembly over a lag >= 16
-            # table — infeasible). Snapshot semantics: counts added to the
-            # counter AFTER construction need a fresh TableCounter.
+            # Persistent index; per-query cost is O(q log n) binary search
+            # instead of a full accumulator rescan (which made per-step
+            # queries — e.g. assembly over a lag >= 16 table — infeasible).
+            # Queries stay LIVE: the index rebuilds itself when the counter
+            # consolidates new counts (SparseTableIndex staleness probe).
             self._index = SparseTableIndex(counter, lag, group)
             self._table = None
             self._width = counter.A1

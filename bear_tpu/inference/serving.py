@@ -453,6 +453,16 @@ class BearServer:
         self._score_sample_raw = log_prob_sampled_multi
         self._reduced_cache = {}
 
+    @staticmethod
+    def _reduce_width(reduce: str, quantiles) -> int:
+        """Output columns of an in-kernel sample reduction (the single
+        source of truth for the reduced shapes)."""
+        if reduce == "mean_std":
+            return 2
+        if reduce == "quantiles":
+            return len(quantiles)
+        raise ValueError(f"unknown reduce {reduce!r}")
+
     def _sampled_reduced_fn(self, which: str, reduce: str, quantiles):
         """jitted sampled-delta kernel with an in-kernel reduction over the
         sample axis. Cached per (kernel, reduce, quantiles)."""
@@ -595,7 +605,7 @@ class BearServer:
                 fn, width = self._snv_sample_fn, mc_samples
             else:
                 fn = self._sampled_reduced_fn("snv", reduce, quantiles)
-                width = 2 if reduce == "mean_std" else len(quantiles)
+                width = self._reduce_width(reduce, quantiles)
             batch = min(batch, max(batch // mc_samples,
                                    (1 << 21) // mc_samples, 1))
         else:
@@ -693,8 +703,8 @@ class BearServer:
             # single-sample, [0, mc_samples] for a multi-sample request,
             # [0, k] for a reduced request.
             if mode == "sample" and reduce != "none":
-                k = 2 if reduce == "mean_std" else len(quantiles)
-                return np.zeros((0, k), np.float32)
+                return np.zeros((0, self._reduce_width(reduce, quantiles)),
+                                np.float32)
             if mode == "sample" and mc_samples != 1:
                 return np.zeros((0, mc_samples), np.float32)
             return np.zeros((0,), np.float32)
@@ -785,7 +795,7 @@ class BearServer:
                 fn, width = self._var_sample_fn, mc_samples
             else:
                 fn = self._sampled_reduced_fn("var", reduce, quantiles)
-                width = 2 if reduce == "mean_std" else len(quantiles)
+                width = self._reduce_width(reduce, quantiles)
             batch = min(batch, max(batch // mc_samples,
                                    (1 << 20) // mc_samples, 1))
         else:

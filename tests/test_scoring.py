@@ -333,3 +333,39 @@ def test_variant_windows_equal_full_sequence_delta_fuzz():
     full = get_bear_probs_seqs(None, [wt] + mutants, **common)
     delta = full[1:] - full[0]
     np.testing.assert_allclose(windowed, delta, rtol=1e-9, atol=1e-9)
+
+
+def test_sparse_table_index_live_after_more_counting():
+    # The persistent sparse index must stay LIVE: counts added to the
+    # counter AFTER the index/TableCounter is built are visible on the
+    # next query (the index detects consolidation staleness and rebuilds —
+    # the pre-round-5 per-query rescan semantics, at index cost only when
+    # something changed; code-review r5 finding).
+    from bear_tpu.counting.engine import ReadChunk
+    from bear_tpu.counting.sparse import SparseTransitionCounter
+
+    rng = np.random.default_rng(71)
+    lag = 16
+
+    def chunk():
+        B = 30
+        return ReadChunk(
+            rng.integers(0, 4, (B, 25)).astype(np.int8),
+            np.full(B, 25, np.int32), np.zeros(B, np.int32),
+            np.ones(B, bool), np.zeros(B, np.int32),
+        )
+
+    c1, c2 = chunk(), chunk()
+    sp = SparseTransitionCounter(lags=[lag], n_groups=1)
+    sp.add_chunk(c1)
+    tc = TableCounter(sp, lag)
+    ctx1 = "".join("ACGT"[b] for b in c1.codes[0, :lag])
+    before = tc(np.array([ctx1])).copy()
+    assert before.sum() > 0
+    sp.add_chunk(c2)  # counted AFTER the TableCounter was built
+    ctx2 = "".join("ACGT"[b] for b in c2.codes[0, :lag])
+    after2 = tc(np.array([ctx2]))
+    assert after2.sum() > 0, "post-construction counts must be visible"
+    # full-table agreement with a fresh TableCounter
+    both = np.stack([ctx1, ctx2])
+    np.testing.assert_array_equal(tc(both), TableCounter(sp, lag)(both))
