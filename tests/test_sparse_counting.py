@@ -513,3 +513,37 @@ def test_sparse_fuzz_random_geometry_vs_oracle(seed):
     got = _sparse_as_oracle_dict(sp, lag)
     assert got == dict(oracle), (lag, n_groups, sp._cap)
     sp.validate(expected_transitions=total)
+
+
+def test_sparse_at_envelope_caps_dna30_prot13():
+    # The documented envelope EDGES work, not just the claim: exact counts
+    # at DNA lag 30 and protein lag 13 (the int32 digit-half / int64
+    # global-key boundaries), verified against the brute-force oracle.
+    rng = np.random.default_rng(77)
+    # DNA lag 30: rows reach (4^31-1)/3 ~ 1.5e18 — near the int64 cap.
+    lag = 30
+    ch = _rand_chunk(rng, 20, 40, n_groups=1)
+    sp = SparseTransitionCounter(lags=[lag], n_groups=1)
+    sp.add_chunk(ch)
+    oracle, total = _brute_force_lag(ch, lag)
+    sp.validate(expected_transitions=total)
+    assert _sparse_as_oracle_dict(sp, lag) == dict(oracle)
+    rows = sp.nonzero_rows(lag)
+    assert rows.max() < np.iinfo(np.int64).max // 5
+
+    # protein lag 13 (cap): base-20 digit halves + int64 key boundary.
+    from bear_tpu.counting.engine import rows_to_contexts
+
+    codes = rng.integers(0, 20, (15, 20)).astype(np.int8)
+    lengths = rng.integers(5, 21, 15).astype(np.int32)
+    chp = ReadChunk(codes, lengths, np.zeros(15, np.int32),
+                    np.ones(15, bool), np.zeros(15, np.int32))
+    spp = SparseTransitionCounter(lags=[13], n_groups=1, alphabet="prot")
+    spp.add_chunk(chp)
+    spp.validate(expected_transitions=int(lengths.sum()) + 15)
+    # row codec round-trips at the cap (decode -> re-encode)
+    prows = spp.nonzero_rows(13)
+    ctxs = rows_to_contexts(prows[:10], 13, "prot")
+    from bear_tpu.inference.serving import contexts_to_rows
+    np.testing.assert_array_equal(
+        contexts_to_rows(ctxs, 13, "prot"), prows[:10])
