@@ -547,3 +547,35 @@ def test_sparse_at_envelope_caps_dna30_prot13():
     from bear_tpu.inference.serving import contexts_to_rows
     np.testing.assert_array_equal(
         contexts_to_rows(ctxs, 13, "prot"), prows[:10])
+
+
+def test_sparse_counting_checkpoint_resume(tmp_path):
+    # --checkpoint at lag >= 16 rides the sparse counter's save/load_state
+    # (the windowed device buffer must fully drain into each checkpoint):
+    # a run killed between files resumes from the last completed file and
+    # ends exactly equal to a fresh full run.
+    from bear_tpu.counting.summarize import run_counting
+
+    rng = np.random.default_rng(19)
+    csv_lines = []
+    for fi in range(3):
+        seqs = ["".join(rng.choice(list(LETTERS), 40)) for _ in range(5)]
+        p = tmp_path / f"f{fi}.fa"
+        p.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+        csv_lines.append(f"{p},0,fa")
+    full_csv = tmp_path / "all.csv"
+    full_csv.write_text("\n".join(csv_lines) + "\n")
+    part_csv = tmp_path / "part.csv"
+    part_csv.write_text("\n".join(csv_lines[:2]) + "\n")
+
+    lag = 17
+    ckpt = str(tmp_path / "count.ckpt")
+    run_counting(str(part_csv), lags=[lag], checkpoint=ckpt)  # "crash"
+    resumed = run_counting(str(full_csv), lags=[lag], checkpoint=ckpt)
+    assert isinstance(resumed, SparseTransitionCounter)
+    fresh = run_counting(str(full_csv), lags=[lag])
+    rows = fresh.nonzero_rows(lag)
+    np.testing.assert_array_equal(resumed.nonzero_rows(lag), rows)
+    np.testing.assert_array_equal(
+        resumed.counts_for_rows(lag, rows), fresh.counts_for_rows(lag, rows)
+    )
