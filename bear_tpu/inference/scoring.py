@@ -106,15 +106,15 @@ class TableCounter:
     KmerShardedTransitionCounter (lag 14-15 scale: rows are looked up in its
     sparse host accumulator via counts_for_rows — the dense table is never
     materialized).
+
+    Any alphabet works (the row codec is base-A) — a capability the
+    reference's DNA-only KMC queries lack; the reverse-strand inclusion
+    convention above is a DNA concept and applies only there.
     """
 
     def __init__(self, counter, lag: int, group: int = 0, no_end: bool = False):
-        if getattr(counter, "A", 4) != 4:
-            raise ValueError(
-                "TableCounter's row math and reverse-strand queries are "
-                "base-4 (DNA); got a counter over a "
-                f"{counter.A}-letter alphabet"
-            )
+        self._alphabet = getattr(counter, "alphabet", "dna")
+        self._A = getattr(counter, "A", 4)
         if hasattr(counter, "counts_for_rows"):  # row-sharded sparse counter
             # Persistent index; per-query cost is O(q log n) binary search
             # instead of a full accumulator rescan (which made per-step
@@ -135,20 +135,22 @@ class TableCounter:
 
     def rows(self, kmers) -> np.ndarray:
         """Vectorized context-string -> table-row computation (no per-k-mer
-        Python; same index math as the counting kernel)."""
+        Python; same index math as the counting kernel), base-A for the
+        counter's alphabet."""
         kmers = np.asarray(kmers).astype(str)
         flat = np.array(
             ["[" * (self._lag - len(k)) + k if len(k) < self._lag else k for k in kmers.reshape(-1)]
         )
-        codes = alphabets.encode_kmers(flat, "dna")  # [n, lag]; '[' -> 4
-        is_pad = codes == 4
+        A = self._A
+        codes = alphabets.encode_kmers(flat, self._alphabet)  # '[' -> A
+        is_pad = codes == A
         n_pad = is_pad.sum(axis=-1)
-        pow4 = 4 ** np.arange(self._lag - 1, -1, -1, dtype=np.int64)
+        powA = A ** np.arange(self._lag - 1, -1, -1, dtype=np.int64)
         digits = np.where(is_pad, 0, codes.astype(np.int64))
-        # The suffix occupies the LAST (lag - n_pad) positions, so its base-4
+        # The suffix occupies the LAST (lag - n_pad) positions, so its base-A
         # value is exactly the dot with descending powers ('[' digits are 0).
-        code = (digits * pow4[None, :]).sum(axis=-1)
-        row = (4 ** (self._lag - n_pad) - 1) // 3 + code
+        code = (digits * powA[None, :]).sum(axis=-1)
+        row = (A ** (self._lag - n_pad) - 1) // (A - 1) + code
         return row.reshape(kmers.shape)
 
     def __call__(self, kmers) -> np.ndarray:

@@ -236,3 +236,53 @@ def test_protein_snv_and_variant_scoring():
     indels = server.delta_scores_variants(
         wt, [(wt[2:4], wt[2], 2), ("", letters[5], 7)])
     assert np.isfinite(np.asarray(indels)).all()
+
+
+def test_protein_table_counter_random_access_and_scoring():
+    # TableCounter speaks any alphabet (base-A row codec) — protein
+    # random-access queries over a dense counter AND the sparse-first
+    # counter at lag >= 8 (both beyond the reference's DNA-only KMC
+    # queries), plus whole-sequence MAP scoring through the counter.
+    from collections import Counter as PyCounter
+
+    from bear_tpu.counting.engine import ReadChunk, TransitionCounter
+    from bear_tpu.counting.sparse import SparseTransitionCounter
+    from bear_tpu.inference.scoring import TableCounter, get_bear_probs_seqs
+    from bear_tpu.ops import alphabets
+
+    rng = np.random.default_rng(55)
+    letters = alphabets.input_letters("prot")[:-1]
+    out_letters = alphabets.output_letters("prot")
+    B, L = 40, 18
+    codes = rng.integers(0, 20, (B, L)).astype(np.int8)
+    chunk = ReadChunk(codes, np.full(B, L, np.int32), np.zeros(B, np.int32),
+                      np.ones(B, bool), np.zeros(B, np.int32))
+
+    for lag, counter in [
+        (4, TransitionCounter(lags=[4], n_groups=1, alphabet="prot",
+                              method="scatter")),
+        (9, SparseTransitionCounter(lags=[9], n_groups=1, alphabet="prot")),
+    ]:
+        counter.add_chunk(chunk)
+        tc = TableCounter(counter, lag)
+        # brute-force oracle over every window of the first 10 reads
+        oracle = PyCounter()
+        for b in range(10):
+            s = "".join(letters[c] for c in codes[b])
+            padded = "[" * lag + s
+            for j in range(L + 1):
+                nxt = s[j] if j < L else "]"
+                oracle[(padded[j:j + lag], nxt)] += 1
+        ctxs = sorted(set(k for k, _ in oracle))
+        got = tc(np.array(ctxs))
+        for i, ctx in enumerate(ctxs):
+            for k, sym in enumerate(out_letters):
+                want = oracle.get((ctx, sym), 0)
+                assert got[i, k] >= want, (lag, ctx, sym)
+        # whole-sequence MAP scoring through the counter (BMM prior)
+        seqs = ["".join(letters[c] for c in codes[0])]
+        scores = get_bear_probs_seqs(
+            None, seqs, 0, get_map=True, vans=[0.5], lag=lag,
+            alphabet_name="prot", counter=tc,
+        )
+        assert np.isfinite(scores).all() and scores[0, 0] < 0
